@@ -1,0 +1,12 @@
+"""Beyond-reference pipeline operators for large-scale training data.
+
+The reference (a 2015 HiveQL lineage tool) has none of these; they are
+the operators a 100 TB LLM-data pipeline needs, each expressed with
+JVM-side built-in functions (higher-order array functions, xxhash64,
+bit ops) wherever possible — Python/Pandas UDFs appear only in the
+multimodal decode path where imperative byte handling is the point.
+"""
+
+from hadoop__spark.operators import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

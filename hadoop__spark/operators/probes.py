@@ -1,0 +1,313 @@
+"""Probe registry for the pipeline operators (dedup / similarity /
+text / multimodal) — each an entry in ``queries()`` with, where the
+semantics are SQL-expressible, a DuckDB oracle that recomputes the
+same result from first principles (e.g. MinHash-LSH is checked against
+exact all-pairs Jaccard, which it provably approximates with recall
+~1 at the configured S-curve).
+
+The DuckDB text normalization mirrors ``operators.text.normalized``:
+lower → non-alnum→space → squeeze → trim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop__spark.operators import dedup, multimodal, similarity, text
+from hadoop__spark.queries import Probe
+from hadoop__spark.session import load_tables
+
+# -- shared DuckDB SQL fragments -------------------------------------------
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_WORDS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
+# distinct 3-gram shingles (falls back to the whole text for short docs)
+_SHINGLES3 = (
+    f"list_distinct(CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w) - 1), i -> "
+    "array_to_string(list_slice(w, i, i + 2), ' ')) "
+    "ELSE [array_to_string(w, ' ')] END)"
+)
+# exact all-pairs jaccard over 3-gram shingles at a threshold
+def _jaccard_oracle(threshold: float) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+"""
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+# -- probe impls ------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+def _dd01(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _dd02(spark, sf_dir):
+    return dedup.fingerprint_dedup(_docs(spark, sf_dir))
+
+
+def _dd03(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _dd04(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _dd05(spark, sf_dir):
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=6, n_chunks=8
+    )
+
+
+def _dd06(spark, sf_dir):
+    return dedup.embedding_dedup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+def _ann01(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return similarity.cosine_topk(embs, embs.where(F.col("vec_id") < 5), k=10)
+
+
+def _ann02(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return similarity.ivf_topk(embs, embs.where(F.col("vec_id") < 5), k=10)
+
+
+def _ts01(spark, sf_dir):
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def _ts02(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def _ts03(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def _ts04(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+def _mm01(spark, sf_dir):
+    return multimodal.extract_features(multimodal.to_media(_docs(spark, sf_dir)))
+
+
+def _mm02(spark, sf_dir):
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return (
+        multimodal.frame_sample(media, every_n_bytes=64)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum(F.octet_length("frame")).cast("bigint").alias("total_bytes"),
+        )
+    )
+
+
+OPERATOR_PROBES: list[Probe] = [
+    Probe(
+        name="dd01_dedup_exact",
+        fn=_dd01,
+        oracle=(
+            f"SELECT min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
+            f"FROM documents GROUP BY {_NORM}"
+        ),
+    ),
+    Probe(
+        name="dd02_dedup_fingerprint",
+        fn=_dd02,
+        oracle=(
+            f"SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_copies "
+            f"FROM documents GROUP BY md5({_NORM})"
+        ),
+    ),
+    Probe(name="dd03_minhash_lsh", fn=_dd03, oracle=_jaccard_oracle(0.8)),
+    Probe(name="dd04_ngram_jaccard", fn=_dd04, oracle=_jaccard_oracle(0.8)),
+    # SimHash signatures are xxhash64-specific and the Hamming-ball pair
+    # set is not a SQL-expressible function of the text — rows-only
+    # check here; recall vs exact Jaccard is asserted in
+    # tests/test_operators.py.
+    Probe(name="dd05_simhash", fn=_dd05, oracle=None),
+    Probe(
+        name="dd06_embedding_dedup",
+        fn=_dd06,
+        oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+""",
+    ),
+    Probe(
+        name="ann01_cosine_topk",
+        fn=_ann01,
+        oracle=f"""
+WITH s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos('q.embedding', 'c.embedding')} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 10
+""",
+    ),
+    # IVF is approximate by construction (k-means bucketing) — no SQL
+    # oracle; recall vs brute force is asserted in tests/test_operators.
+    Probe(name="ann02_ivf_topk", fn=_ann02, oracle=None),
+    Probe(
+        name="ts01_token_stats",
+        fn=_ts01,
+        oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, {_WORDS} AS w, {_NORM} AS norm FROM documents)
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       length(norm) / 4.0 AS subword_est,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens
+FROM t JOIN documents USING (doc_id)
+""",
+    ),
+    Probe(
+        name="ts02_quality_score",
+        fn=_ts02,
+        oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_WORDS} AS w FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(w) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_filter(list_distinct(w),
+      x -> list_contains(['the','and','of','is','a'], x))) AS DOUBLE) AS n_stop,
+    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+      AS DOUBLE) AS n_punct,
+    CAST(length(array_to_string(w, '')) AS DOUBLE) AS sum_word_len,
+    CAST(len(list_distinct(w)) AS DOUBLE) AS n_distinct
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CASE WHEN n_tok > 0 THEN sum_word_len / n_tok ELSE 0.0 END
+    AS mean_word_len,
+  CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END
+    AS type_token_ratio,
+  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END
+    AS punct_ratio,
+  n_stop / 5.0 AS stopword_ratio,
+  least(n_tok / 64.0, 1.0) * 0.4
+    + (CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END) * 0.3
+    + (n_stop / 5.0) * 0.2
+    + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                    ELSE 0.0 END) * 10.0, 1.0)) * 0.1 AS quality_score
+FROM m
+""",
+    ),
+    Probe(
+        name="ts03_lang_id",
+        fn=_ts03,
+        oracle="""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '\\bthe\\b'))
+       + len(regexp_extract_all(lower(text), '\\band\\b'))
+       + len(regexp_extract_all(lower(text), '\\bof\\b'))
+       + len(regexp_extract_all(lower(text), '\\bis\\b'))
+       + len(regexp_extract_all(lower(text), '\\ba\\b')) AS BIGINT) AS s_en,
+    CAST(len(regexp_extract_all(lower(text), '\\bder\\b'))
+       + len(regexp_extract_all(lower(text), '\\bdie\\b'))
+       + len(regexp_extract_all(lower(text), '\\bund\\b'))
+       + len(regexp_extract_all(lower(text), '\\bist\\b'))
+       + len(regexp_extract_all(lower(text), '\\bdas\\b')) AS BIGINT) AS s_de,
+    CAST(len(regexp_extract_all(lower(text), '\\bel\\b'))
+       + len(regexp_extract_all(lower(text), '\\bla\\b'))
+       + len(regexp_extract_all(lower(text), '\\blos\\b'))
+       + len(regexp_extract_all(lower(text), '\\bes\\b'))
+       + len(regexp_extract_all(lower(text), '\\bde\\b')) AS BIGINT) AS s_es,
+    CAST(len(regexp_extract_all(lower(text), '\\ble\\b'))
+       + len(regexp_extract_all(lower(text), '\\bles\\b'))
+       + len(regexp_extract_all(lower(text), '\\bet\\b'))
+       + len(regexp_extract_all(lower(text), '\\best\\b'))
+       + len(regexp_extract_all(lower(text), '\\bune\\b')) AS BIGINT) AS s_fr,
+    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS pred_lang,
+  greatest(s_en, s_de, s_es, s_fr, s_zh) AS marker_hits
+FROM s
+""",
+    ),
+    Probe(
+        name="ts04_fingerprint",
+        fn=_ts04,
+        oracle=f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
+    ),
+    Probe(
+        name="mm01_multimodal_features",
+        fn=_mm01,
+        oracle="""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+       ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte,
+  'text/plain' AS mime
+FROM documents
+""",
+    ),
+    Probe(
+        name="mm02_frame_sample",
+        fn=_mm02,
+        oracle="""
+SELECT doc_id,
+  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+  CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+FROM documents WHERE octet_length(encode(text)) > 0
+""",
+    ),
+]

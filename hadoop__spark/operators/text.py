@@ -1,0 +1,157 @@
+"""Text-analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path expressions are Spark built-ins (whole-stage codegen,
+no Python in the loop).  Normalization is shared with the dedup
+operators so shingle/token semantics line up across the pipeline.
+
+Scale: every operator here is a narrow per-row projection — no
+shuffle, fully pipelined with the parquet scan, safe at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Marker words for the n-gram/stopword language-ID heuristic.  Chosen
+#: to be high-frequency function words that rarely collide across the
+#: five fixture languages.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "los", "es", "de"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": [],  # handled by CJK codepoint detection below
+}
+
+
+def normalized(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, squeeze whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " "), r" +", " "
+        )
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (non-empty)."""
+    return F.filter(F.split(normalized(col), " "), lambda x: x != F.lit(""))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate.
+
+    The subword estimate counts alternating letter/digit runs — a cheap
+    deterministic proxy for BPE token counts (~chars/4 for English).
+    """
+    t = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        (F.length(normalized(F.col(text_col))) / 4.0).alias("subword_est"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Features follow the usual web-corpus filters: length, punctuation
+    density, stopword ratio, mean word length, type-token ratio.  All
+    arithmetic is deterministic double math on integer counts, so the
+    operator is oracle-checkable bit-for-bit.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), stop)).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.!?,;:]", ""))
+    )
+    mean_word_len = F.when(n_tok > 0, (F.length(F.concat_ws("", t)) / n_tok)).otherwise(0.0)
+    ttr = F.when(
+        n_tok > 0, F.size(F.array_distinct(t)).cast("double") / n_tok
+    ).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = n_stop / F.lit(5.0)
+    score = (
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.4
+        + ttr * 0.3
+        + stop_ratio * 0.2
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1
+    )
+    return df.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        ttr.alias("type_token_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID by marker-word frequency (n-gram heuristic).
+
+    Counts word-boundary matches of per-language marker words with
+    ``regexp_count`` (JVM regex, no UDF), plus CJK-codepoint counting
+    for zh; argmax with a fixed language-order tiebreak.
+    """
+    cols = [df[c] for c in df.columns]
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        if lang == "zh":
+            score = F.length(
+                F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")
+            ).cast("bigint")
+        else:
+            score = sum(
+                F.regexp_count(F.lower(F.col(text_col)), F.lit(rf"\b{m}\b"))
+                for m in markers
+            ).cast("bigint")
+        scores.append(score.alias(f"score_{lang}"))
+    scored = df.select(*cols, *scores)
+    # argmax with deterministic tiebreak: language order as listed
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cand = F.col(f"score_{lang}")
+        best = F.when(cand > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(cand > best_score, cand).otherwise(best_score)
+    return scored.select(
+        "doc_id",
+        best.alias("pred_lang"),
+        best_score.alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints.
+
+    * ``fp_md5`` — md5 of the normalized text (cross-engine stable,
+      used by the dedup oracle).
+    * ``fp_roll`` — polynomial rolling hash of the token stream
+      (base-31 over token md5 prefixes, mod 2^61-1), computed with
+      ``aggregate`` entirely JVM-side.
+    """
+    t = tokens(F.col(text_col))
+    # modulus small enough that acc*31 + 2^32 stays below 2^63 (ANSI
+    # mode makes long overflow a hard error, not a wraparound)
+    mod = F.lit(99999999999999997)
+    roll = F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (
+            acc * 31 + F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+        ) % mod,
+    )
+    return df.select(
+        "doc_id",
+        F.md5(normalized(F.col(text_col))).alias("fp_md5"),
+        roll.alias("fp_roll"),
+    )

@@ -648,4 +648,11 @@ _probe(
 
 
 def probe_map() -> dict[str, Probe]:
-    return {p.name: p for p in PROBES}
+    """All probes: exec-plane (this module) + pipeline operators.
+
+    Imported lazily to avoid a circular import (operators.probes uses
+    :class:`Probe`).
+    """
+    from hadoop__spark.operators.probes import OPERATOR_PROBES
+
+    return {p.name: p for p in [*PROBES, *OPERATOR_PROBES]}

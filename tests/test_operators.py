@@ -1,0 +1,110 @@
+"""Operator-level tests that the DuckDB oracle can't express:
+approximate-method recall, determinism, and multimodal batch plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop__spark.operators import dedup, multimodal, similarity, text
+from hadoop__spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_DIR)["documents"]
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_tables(spark, SF_DIR)["embeddings"]
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_equals_exact_jaccard(spark, docs):
+    """LSH candidates + exact verify must reproduce exact all-pairs
+    Jaccard at the threshold (recall ~1 by the S-curve argument)."""
+    lsh = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.8))
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
+    assert lsh == exact
+    assert len(exact) > 0, "fixtures contain planted near-duplicates"
+
+
+def test_simhash_recall_on_planted_dups(spark, docs):
+    """SimHash (8 chunks, Hamming ≤ 6) must find the planted
+    near-duplicates (exact Jaccard ≥ 0.9) with high recall and keep
+    clear of the unrelated-pair noise floor."""
+    sim = _pairs(
+        dedup.simhash_pairs(docs, max_hamming=6, n_chunks=8).select(
+            "id_a", "id_b"
+        )
+    )
+    planted = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.9))
+    assert planted, "fixtures contain planted near-duplicates"
+    recall = len(sim & planted) / len(planted)
+    assert recall >= 0.9, f"simhash recall {recall} on planted dups"
+    # noise control: pairs found must be a small fraction of all pairs
+    n_docs = docs.count()
+    assert len(sim) <= 3 * len(planted) + 5
+
+
+def test_ivf_recall_vs_bruteforce(spark, embs):
+    queries = embs.where(F.col("vec_id") < 20)
+    brute = similarity.cosine_topk(embs, queries, k=10)
+    ivf = similarity.ivf_topk(embs, queries, k=10, nlist=8, nprobe=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"IVF recall@10 {recall} vs brute force"
+
+
+def test_simhash_deterministic(spark, docs):
+    s1 = {(r.doc_id, r.simhash) for r in dedup.simhash(docs).collect()}
+    s2 = {(r.doc_id, r.simhash) for r in dedup.simhash(docs).collect()}
+    assert s1 == s2
+
+
+def test_rolling_fingerprint_deterministic(spark, docs):
+    f1 = {(r.doc_id, r.fp_roll) for r in text.fingerprint(docs).collect()}
+    f2 = {(r.doc_id, r.fp_roll) for r in text.fingerprint(docs).collect()}
+    assert f1 == f2
+    assert len({h for _, h in f1}) == len(f1), "distinct texts → distinct fingerprints"
+
+
+def test_multimodal_batch_plumbing(spark, docs):
+    """mapInPandas must preserve rows 1:1, carry binary payloads, and
+    respect the Arrow max-batch size."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        media = multimodal.to_media(docs).repartition(4)
+        feats = multimodal.extract_features(media)
+        n_docs = docs.count()
+        assert feats.count() == n_docs
+        row = feats.where(F.col("doc_id") == 0).collect()[0]
+        src = docs.where(F.col("doc_id") == 0).collect()[0]
+        assert row.n_bytes == len(src.text.encode())
+        assert row.first_byte == src.text.encode()[0]
+        assert row.mime == "text/plain"
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_frame_sample_reassembles(spark, docs):
+    media = multimodal.to_media(docs.where(F.col("doc_id") < 20))
+    frames = multimodal.frame_sample(media, every_n_bytes=64)
+    back = (
+        frames.groupBy("doc_id")
+        .agg(F.sum(F.octet_length("frame")).alias("total"))
+        .join(media.select("doc_id", F.col("meta.n_bytes").alias("n_bytes")), "doc_id")
+    )
+    bad = back.where(F.col("total") != F.col("n_bytes")).count()
+    assert bad == 0
+
+
+def test_decode_image_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG")

@@ -13,8 +13,10 @@ import math
 import pandas as pd
 import pytest
 
-from hadoop__spark.queries import PROBES
+from hadoop__spark.queries import probe_map
 from tests.conftest import SF_DIR
+
+PROBES = list(probe_map().values())
 
 
 def _canon(df: pd.DataFrame) -> list[tuple]:
