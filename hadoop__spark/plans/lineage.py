@@ -1,0 +1,553 @@
+"""Column-level lineage extraction — the reference tool's actual
+product (``LineParser``, reference README.md:100-844), rebuilt over
+Spark's parsed logical plans.
+
+Per statement the analyzer emits:
+
+* **input tables** — every relation referenced in a FROM
+  (README.md:173-192),
+* **output tables** — INSERT/CTAS/LOAD destinations; ALTER targets
+  tagged ``"table\\tALTER"`` (README.md:163-172, 259-263),
+* **column edges** (``ColLine``, README.md:802-804): target column,
+  parsed alias, ordered source columns, and a condition set combining
+  the statement-wide ``WHERE:`` / ``<JOINKIND>:`` tags with per-column
+  ``COLFUN:`` expression tags (README.md:256-278, 290-297).
+
+Design differences from the reference (all deliberate):
+
+* lexical scoping instead of one global alias map + clause stacks —
+  each query block resolves against its own FROM sources;
+* fresh analysis state per ``analyze`` call (the reference accumulates
+  across ``parse()`` calls forever, README.md:108-129 — a wart);
+* ``spark.catalog`` replaces the Hive ``MetaDataDao``
+  (README.md:102, 239, 814) for ``SELECT *`` expansion and positional
+  sink alignment;
+* multi-source provenance is stored as ``list[str]``; the reference's
+  ``&``/``,`` string encodings (README.md:231, 1050) appear only in
+  rendered output.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from pyspark.sql import SparkSession
+
+from hadoop__spark.plans.jbridge import Node, parse_statement
+from hadoop__spark.plans.render import (
+    LineageError,
+    extract_sources,
+    not_normal_col,
+    render,
+)
+
+__all__ = ["ColLine", "LineageAnalyzer", "LineageError", "LineageResult"]
+
+
+@dataclass(frozen=True)
+class ColLine:
+    """One lineage edge (reference ``ColLine``, README.md:802-804)."""
+
+    to_table: str | None  # destination table; "TOK_TMP_FILE" for bare SELECT
+    to_name: str | None  # physical sink column (positional, README.md:796-804)
+    to_name_parse: str  # parsed output alias
+    from_names: tuple[str, ...]  # qualified source columns, in order
+    conditions: frozenset[str]  # WHERE:/JOIN-kind:/COLFUN: tags
+
+
+@dataclass
+class LineageResult:
+    input_tables: set[str] = field(default_factory=set)
+    output_tables: set[str] = field(default_factory=set)
+    col_lines: list[ColLine] = field(default_factory=list)
+    statements: list[str] = field(default_factory=list)  # statement kinds
+
+
+class Metastore(Protocol):
+    def columns(self, qualified_table: str) -> list[str] | None: ...
+
+
+class SparkCatalogMetastore:
+    """``spark.catalog`` as the metastore (replaces ``MetaDataDao``,
+    reference README.md:102, 239, 814)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def columns(self, qualified_table: str) -> list[str] | None:
+        for name in (qualified_table, qualified_table.split(".", 1)[-1]):
+            try:
+                return [c.name for c in self.spark.catalog.listColumns(name)]
+            except Exception:
+                continue
+        return None
+
+
+class DictMetastore:
+    """In-memory metastore for tests: {'db.table': [col, ...]}."""
+
+    def __init__(self, tables: dict[str, list[str]]):
+        self.tables = {k.lower(): v for k, v in tables.items()}
+
+    def columns(self, qualified_table: str) -> list[str] | None:
+        return self.tables.get(qualified_table.lower())
+
+
+# --------------------------------------------------------------------------
+# FROM-clause scope model
+
+
+@dataclass
+class OutCol:
+    name: str  # '' when the item is an unaliased literal/expression
+    sources: list[str]
+    colfun: set[str]
+
+
+@dataclass
+class Scope:
+    """Output description of one query block."""
+
+    tables: list[str]  # contributing base tables, in order
+    cols: list[OutCol]
+    branch_cols: list[list[OutCol]] | None = None  # set for UNION blocks
+
+
+@dataclass
+class BaseTable:
+    qname: str  # db.table
+    simple: str  # unqualified name, for `table.col` references
+
+
+@dataclass
+class SubScope:
+    scope: Scope
+
+
+@dataclass
+class FromCtx:
+    sources: list[tuple[str | None, BaseTable | SubScope]] = field(
+        default_factory=list
+    )
+
+    def all_tables(self) -> list[str]:
+        out: list[str] = []
+        for _, s in self.sources:
+            for t in [s.qname] if isinstance(s, BaseTable) else s.scope.tables:
+                if t not in out:
+                    out.append(t)
+        return out
+
+    # -- resolution ---------------------------------------------------------
+
+    def _resolve_in(self, source: BaseTable | SubScope, col: str) -> str:
+        if isinstance(source, BaseTable):
+            return f"{source.qname}.{col}"
+        # Subquery: every output column matching the name contributes its
+        # source-table prefix, merged with '&' — this is what produces
+        # `app.action_video&fact.action_comment.uid` for a column coming
+        # through a UNION subquery (reference README.md:596-611).
+        prefixes: list[str] = []
+        matched = False
+        for c in source.scope.cols:
+            if c.name.lower() == col:
+                matched = True
+                for s in c.sources:
+                    p = s.rsplit(".", 1)[0]
+                    if p not in prefixes:
+                        prefixes.append(p)
+        if not prefixes:
+            if not matched and source.scope.tables:
+                prefixes = list(source.scope.tables)
+            else:
+                return col  # literal-only column: no table provenance
+        return f"{'&'.join(prefixes)}.{col}"
+
+    def _find(self, name: str) -> BaseTable | SubScope | None:
+        for alias, s in self.sources:
+            if alias is not None and alias.lower() == name:
+                return s
+        for _, s in self.sources:
+            if isinstance(s, BaseTable) and (
+                s.simple == name or s.qname == name
+            ):
+                return s
+        return None
+
+    def _claims(self, source: BaseTable | SubScope, col: str, ms: Metastore) -> bool:
+        if isinstance(source, SubScope):
+            return any(c.name.lower() == col for c in source.scope.cols)
+        cols = ms.columns(source.qname)
+        return cols is not None and col in [c.lower() for c in cols]
+
+    def make_qualify(self, analyzer: "LineageAnalyzer"):
+        def resolve(src: BaseTable | SubScope, col: str) -> str:
+            if isinstance(src, BaseTable):
+                # a concrete db.table.col binding — validation checks
+                # these, not the rendered strings (which may carry
+                # subquery-renamed or &-merged pseudo columns)
+                analyzer._bindings.append((src.qname, col))
+            return self._resolve_in(src, col)
+
+        def qualify(parts: list[str]) -> str:
+            if len(parts) >= 3:
+                qname, col = ".".join(parts[-3:-1]), parts[-1]
+                analyzer._bindings.append((qname, col))
+                return f"{qname}.{col}"
+            if len(parts) == 2:
+                owner, col = parts
+                src = self._find(owner)
+                if src is not None:
+                    return resolve(src, col)
+                # unknown qualifier: treat as a table name, like the
+                # reference's getRealTable fallback (README.md:537-553)
+                return f"{analyzer.fill_db(owner)}.{col}"
+            col = parts[0]
+            if len(self.sources) == 1:
+                return resolve(self.sources[0][1], col)
+            claimers = [
+                s
+                for _, s in self.sources
+                if self._claims(s, col, analyzer.metastore)
+            ]
+            if len(claimers) == 1:
+                return resolve(claimers[0], col)
+            # ambiguous / unknown: all candidate tables &-joined
+            # (reference nowQueryTable behavior, README.md:179-185, 537-548)
+            tables = self.all_tables()
+            return f"{'&'.join(tables)}.{col}" if tables else col
+
+        return qualify
+
+
+# --------------------------------------------------------------------------
+
+
+_SPLIT_RE = re.compile(r"(?<!\\);")  # reference README.md:746
+
+
+def split_statements(script: str) -> list[str]:
+    return [
+        s.replace("\\;", ";").strip()
+        for s in _SPLIT_RE.split(script)
+        if s.strip()
+    ]
+
+
+class LineageAnalyzer:
+    """Entry point of the analysis plane (reference ``LineParser.parse``,
+    README.md:744-764): multi-statement scripts, ``USE db`` session
+    state, validation against the catalog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        metastore: Metastore | None = None,
+        current_db: str = "default",
+    ):
+        self.spark = spark
+        self.metastore = metastore or SparkCatalogMetastore(spark)
+        self.current_db = current_db
+        self._bindings: list[tuple[str, str]] = []
+
+    def fill_db(self, name: str) -> str:
+        """``table`` → ``db.table`` with the session database
+        (reference ``fillDB``, README.md:826-843)."""
+        name = name.lower()
+        return name if "." in name else f"{self.current_db}.{name}"
+
+    def _fill_parts(self, parts: list[str]) -> str:
+        parts = [p.lower() for p in parts]
+        if len(parts) == 1:
+            return f"{self.current_db}.{parts[0]}"
+        return ".".join(parts[-2:])
+
+    # -- public API ---------------------------------------------------------
+
+    def analyze(self, script: str, validate: bool = False) -> LineageResult:
+        res = LineageResult()
+        self._bindings = []
+        for sql in split_statements(script):
+            self._statement(sql, res)
+        if validate:
+            self._validate(res)
+        return res
+
+    # -- per-statement ------------------------------------------------------
+
+    def _statement(self, sql: str, res: LineageResult) -> None:
+        node = parse_statement(self.spark, sql)
+        conditions: set[str] = set()
+
+        if node.cls == "Use":
+            parts = node["parts"]
+            if parts:
+                self.current_db = parts[-1].lower()
+            res.statements.append("USE")
+        elif node.cls == "InsertIntoStatement":
+            dest = self._fill_parts(node["table_parts"])
+            res.output_tables.add(dest)
+            scope = self._walk_query(node.children[0], conditions, res)
+            self._emit(dest, scope, conditions, res)
+            res.statements.append("INSERT")
+        elif node.cls == "CreateTableAsSelect":
+            dest = self._fill_parts(node["table_parts"])
+            res.output_tables.add(dest)
+            scope = self._walk_query(node.children[0], conditions, res)
+            self._emit(dest, scope, conditions, res)
+            res.statements.append("CREATETABLE")
+        elif node.cls == "CreateTable":
+            if node.get("table_parts"):
+                res.output_tables.add(self._fill_parts(node["table_parts"]))
+            res.statements.append("CREATETABLE")
+        elif node.cls == "LoadData":
+            if node.get("table_parts"):
+                res.output_tables.add(self._fill_parts(node["table_parts"]))
+            res.statements.append("LOAD")
+        elif node.cls == "AlterTable":
+            if node.get("table_parts"):
+                # tagged output, reference README.md:259-263
+                res.output_tables.add(
+                    f"{self._fill_parts(node['table_parts'])}\tALTER"
+                )
+            res.statements.append("ALTER")
+        elif node.cls == "DropTable":
+            res.statements.append("DROP")
+        elif node.cls == "TruncateTable":
+            res.statements.append("TRUNCATE")
+        else:
+            # bare SELECT: pseudo-destination, reference README.md:211-225
+            scope = self._walk_query(node, conditions, res)
+            self._emit("TOK_TMP_FILE", scope, conditions, res)
+            res.statements.append("SELECT")
+
+    # -- query walking ------------------------------------------------------
+
+    def _walk_query(
+        self, node: Node, conditions: set[str], res: LineageResult
+    ) -> Scope:
+        if node.cls == "Union":
+            # N-way UNION parses as nested binary Unions — flatten so
+            # positional merge sees every branch (README.md:398-415).
+            leaves: list[Node] = []
+
+            def _flat(n: Node) -> None:
+                if n.cls == "Union":
+                    for c in n.children:
+                        _flat(c)
+                else:
+                    leaves.append(n)
+
+            _flat(node)
+            branches = [
+                self._walk_query(c, conditions, res) for c in leaves
+            ]
+            tables: list[str] = []
+            cols: list[OutCol] = []
+            for b in branches:
+                for t in b.tables:
+                    if t not in tables:
+                        tables.append(t)
+                cols.extend(b.cols)
+            return Scope(tables, cols, branch_cols=[b.cols for b in branches])
+
+        if node.cls in ("Project", "Aggregate"):
+            ctx = self._walk_from(node.children[0], conditions, res)
+            qualify = ctx.make_qualify(self)
+            cols: list[OutCol] = []
+            for item in node["exprs"]:
+                cols.extend(self._select_item(item, ctx, qualify))
+            return Scope(ctx.all_tables(), cols)
+
+        if node.cls == "Filter":
+            # A Filter *above* the select block is HAVING (the reference
+            # predates HAVING; we tag it WHERE: like any filter).
+            inner = self._walk_query(node.children[0], conditions, res)
+            ctx = FromCtx([(None, SubScope(inner))])
+            conditions.add(
+                f"WHERE:{render(node['cond'], ctx.make_qualify(self))}"
+            )
+            return inner
+
+        # Anything else used as a query block (rare): expose its FROM
+        # tables with no column list.
+        ctx = self._walk_from(node, conditions, res)
+        return Scope(ctx.all_tables(), [])
+
+    def _walk_from(
+        self, node: Node, conditions: set[str], res: LineageResult
+    ) -> FromCtx:
+        if node.cls == "UnresolvedRelation":
+            qname = self._fill_parts(node["parts"])
+            res.input_tables.add(qname)
+            simple = node["parts"][-1].lower()
+            return FromCtx([(None, BaseTable(qname, simple))])
+        if node.cls == "SubqueryAlias":
+            alias = node["alias"]
+            child = node.children[0]
+            if child.cls == "UnresolvedRelation":
+                qname = self._fill_parts(child["parts"])
+                res.input_tables.add(qname)
+                simple = child["parts"][-1].lower()
+                return FromCtx([(alias, BaseTable(qname, simple))])
+            scope = self._walk_query(child, conditions, res)
+            return FromCtx([(alias, SubScope(scope))])
+        if node.cls == "Filter":
+            ctx = self._walk_from(node.children[0], conditions, res)
+            rendered = render(node["cond"], ctx.make_qualify(self))
+            conditions.add(f"WHERE:{rendered}")  # README.md:256-258
+            return ctx
+        if node.cls == "Join":
+            left = self._walk_from(node.children[0], conditions, res)
+            right = self._walk_from(node.children[1], conditions, res)
+            ctx = FromCtx(left.sources + right.sources)
+            if node["cond"] is not None:
+                rendered = render(node["cond"], ctx.make_qualify(self))
+                conditions.add(f"{node['label']}:{rendered}")  # README.md:265-278
+            return ctx
+        if node.cls in ("Project", "Aggregate", "Union"):
+            scope = self._walk_query(node, conditions, res)
+            return FromCtx([(None, SubScope(scope))])
+        # unknown plan node: merge children contexts (robustness)
+        merged = FromCtx([])
+        for c in node.children:
+            merged.sources.extend(
+                self._walk_from(c, conditions, res).sources
+            )
+        return merged
+
+    # -- select items -------------------------------------------------------
+
+    def _select_item(self, item: Node, ctx: FromCtx, qualify) -> list[OutCol]:
+        if item.cls == "Star":
+            return self._expand_star(item, ctx)
+        if item.cls == "Alias":
+            name = item["name"]
+            expr = item.children[0]
+        elif item.cls == "UnresolvedAlias":
+            expr = item.children[0]
+            name = self._derived_name(expr, qualify)
+        else:
+            expr = item
+            name = self._derived_name(expr, qualify)
+
+        sources = extract_sources(expr, qualify)
+        rendered = render(expr, qualify)
+        colfun: set[str] = set()
+        # COLFUN only when the item is a real expression — a bare column
+        # renders equal to its source (reference filterCondition,
+        # README.md:290-297)
+        if rendered and rendered != ",".join(sources):
+            colfun.add(f"COLFUN:{rendered}")
+        return [OutCol(name, sources, colfun)]
+
+    def _derived_name(self, expr: Node, qualify) -> str:
+        if expr.cls == "Attr":
+            return expr["parts"][-1].lower()
+        if expr.cls == "Literal":
+            return render(expr, qualify)
+        return ""
+
+    def _expand_star(self, item: Node, ctx: FromCtx) -> list[OutCol]:
+        """``SELECT *`` expansion against the catalog (reference
+        README.md:228-245) — metastore-ordered columns per source."""
+        target = item.get("parts")
+        sources = ctx.sources
+        if target:
+            wanted = target[-1].lower()
+            sources = [
+                (a, s)
+                for a, s in ctx.sources
+                if (a or "").lower() == wanted
+                or (isinstance(s, BaseTable) and s.simple == wanted)
+            ]
+        out: list[OutCol] = []
+        for _, s in sources:
+            if isinstance(s, SubScope):
+                out.extend(
+                    OutCol(c.name, list(c.sources), set(c.colfun))
+                    for c in s.scope.cols
+                )
+                continue
+            cols = self.metastore.columns(s.qname)
+            if cols is None:
+                raise LineageError(
+                    f"SELECT * needs catalog columns for {s.qname}"
+                )
+            out.extend(
+                OutCol(c.lower(), [f"{s.qname}.{c.lower()}"], set())
+                for c in cols
+            )
+        return out
+
+    # -- edge emission ------------------------------------------------------
+
+    def _emit(
+        self,
+        dest: str,
+        scope: Scope,
+        conditions: set[str],
+        res: LineageResult,
+    ) -> None:
+        cols = scope.cols
+        if scope.branch_cols and len(scope.branch_cols) > 1:
+            cols = self._merge_union(scope.branch_cols)
+        dest_cols = (
+            self.metastore.columns(dest) if dest != "TOK_TMP_FILE" else None
+        )
+        for i, c in enumerate(cols):
+            to_name = (
+                f"{dest}.{dest_cols[i]}"
+                if dest_cols is not None and i < len(dest_cols)
+                else None
+            )
+            res.col_lines.append(
+                ColLine(
+                    to_table=dest,
+                    to_name=to_name,
+                    to_name_parse=c.name,
+                    from_names=tuple(c.sources),
+                    conditions=frozenset(c.colfun | conditions),
+                )
+            )
+
+    @staticmethod
+    def _merge_union(branch_cols: list[list[OutCol]]) -> list[OutCol]:
+        """Positional merge of a top-level UNION's branches (reference
+        ``putSubQueryMap`` EOF path, README.md:396-425): alias from the
+        first non-literal branch, sources concatenated in branch order,
+        COLFUN tags unioned."""
+        out: list[OutCol] = []
+        width = len(branch_cols[0])
+        for i in range(width):
+            entries = [b[i] for b in branch_cols if i < len(b)]
+            name = next(
+                (e.name for e in entries if not not_normal_col(e.name)),
+                entries[0].name,
+            )
+            sources: list[str] = []
+            colfun: set[str] = set()
+            for e in entries:
+                sources.extend(e.sources)
+                colfun |= e.colfun
+            out.append(OutCol(name, sources, colfun))
+        return out
+
+    # -- validation ---------------------------------------------------------
+
+    def _validate(self, res: LineageResult) -> None:
+        """Catalog validation (reference ``LineValidater.validate``,
+        README.md:760-763 — implementation absent upstream; inferred:
+        every lineage endpoint must exist)."""
+        problems: list[str] = []
+        for t in sorted(res.input_tables):
+            if self.metastore.columns(t) is None:
+                problems.append(f"unknown input table: {t}")
+        for table, col in dict.fromkeys(self._bindings):
+            cols = self.metastore.columns(table)
+            if cols is not None and col not in [c.lower() for c in cols]:
+                problems.append(f"unknown column: {table}.{col}")
+        if problems:
+            raise LineageError("; ".join(problems))

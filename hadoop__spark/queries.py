@@ -654,5 +654,6 @@ def probe_map() -> dict[str, Probe]:
     :class:`Probe`).
     """
     from hadoop__spark.operators.probes import OPERATOR_PROBES
+    from hadoop__spark.plans.probes import LINEAGE_PROBES
 
-    return {p.name: p for p in [*PROBES, *OPERATOR_PROBES]}
+    return {p.name: p for p in [*PROBES, *OPERATOR_PROBES, *LINEAGE_PROBES]}

@@ -1,0 +1,93 @@
+"""Exec-plane script session tests: USE state, multi-statement scripts,
+INSERT OVERWRITE with static partitions, and exec/lineage agreement
+(the testParseWhere shape end-to-end, reference README.md:900-929)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop__spark.scripting import ScriptSession
+
+
+@pytest.fixture()
+def sess(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS appx")
+    yield ScriptSession(spark)
+    spark.sql("USE default")
+    spark.sql("DROP TABLE IF EXISTS appx.src")
+    spark.sql("DROP TABLE IF EXISTS appx.dest")
+    spark.sql("DROP DATABASE IF EXISTS appx CASCADE")
+
+
+def test_insert_overwrite_partitioned_script(sess, spark):
+    sess.run_script(
+        """
+        USE appx;
+        CREATE TABLE src (ip STRING, name STRING, age INT) USING parquet;
+        INSERT INTO src VALUES ('1.1.1.1','a',5),('2.2.2.2','b',20),('3.3.3.3','c',30);
+        CREATE TABLE dest (ip STRING, name STRING)
+            USING parquet PARTITIONED BY (year STRING, month STRING)
+        """
+    )
+    sess.run_script(
+        "INSERT OVERWRITE TABLE dest PARTITION (year='2015',month='10') "
+        "SELECT ip,name FROM src WHERE age > 10"
+    )
+    rows = sess.run(
+        "SELECT ip, name, year, month FROM dest ORDER BY ip"
+    ).collect()
+    assert [(r.ip, r.year) for r in rows] == [
+        ("2.2.2.2", "2015"),
+        ("3.3.3.3", "2015"),
+    ]
+    # overwrite replaces only the targeted static partition
+    sess.run(
+        "INSERT OVERWRITE TABLE dest PARTITION (year='2016',month='01') "
+        "SELECT ip,name FROM src WHERE age <= 10"
+    )
+    sess.run(
+        "INSERT OVERWRITE TABLE dest PARTITION (year='2015',month='10') "
+        "SELECT ip,name FROM src WHERE age > 25"
+    )
+    left = sess.run("SELECT ip, year FROM dest ORDER BY ip").collect()
+    assert [(r.ip, r.year) for r in left] == [
+        ("1.1.1.1", "2016"),
+        ("3.3.3.3", "2015"),
+    ]
+
+
+def test_partition_pruning_in_plan(sess, spark):
+    """Static-partition filters must prune at scan time — at 100 TB a
+    partition-blind scan is the difference between one partition and
+    the whole table."""
+    sess.run_script(
+        """
+        USE appx;
+        CREATE TABLE dest (ip STRING) USING parquet PARTITIONED BY (year STRING);
+        INSERT INTO dest PARTITION (year='2015') VALUES ('a');
+        INSERT INTO dest PARTITION (year='2016') VALUES ('b')
+        """
+    )
+    plan = (
+        spark.sql("SELECT ip FROM appx.dest WHERE year = '2015'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "year" in plan
+
+
+def test_use_state_shared_between_planes(sess, spark):
+    sess.run("USE appx")
+    res = sess.lineage("select ip from dest where year = '2015'")
+    assert res.input_tables == {"appx.dest"}
+
+
+def test_lineage_matches_exec_schema(sess, spark):
+    """The analysis plane's output names for a script must match the
+    columns the exec plane actually produces."""
+    sess.run_script(
+        "USE appx; CREATE TABLE src (ip STRING, name STRING, age INT) USING parquet"
+    )
+    script = "SELECT ip, concat(name,'!') AS shout FROM appx.src WHERE age > 1"
+    df = sess.run(script)
+    res = sess.lineage(script, validate=True)
+    assert [line.to_name_parse for line in res.col_lines] == df.columns
