@@ -8,5 +8,6 @@ multimodal decode path where imperative byte handling is the point.
 """
 
 from hadoop__spark.operators import dedup, multimodal, similarity, text
+from hadoop__spark.operators.util import ensure_parallelism
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "ensure_parallelism"]

@@ -29,29 +29,44 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hadoop__spark.operators.text import normalized, tokens
+from hadoop__spark.operators.util import ensure_parallelism
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text.
+
+    Built with ``zip_with`` over shifted copies of the token array, not
+    ``transform(sequence, i -> slice(w, i, n))``: every argument here is
+    evaluated once per ROW, whereas an expression referencing the token
+    pipeline inside a lambda re-runs normalize+split per ELEMENT
+    (higher-order lambdas re-evaluate captured expressions; measured
+    ~100µs/shingle → seconds/doc at sf0.1).
+    """
     w = tokens(col)
     if n == 1:
         return F.array_distinct(w)
-    return F.when(
-        F.size(w) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - n),
-                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
+    sh = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0)))
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat(a, F.lit(" "), b)),
+        )
+    sh = F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+    return F.when(F.size(w) >= n, sh).otherwise(
+        F.array(F.concat_ws(" ", w))
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text: one row per distinct text with the
     smallest id as the keeper and the duplicate count."""
     return (
-        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
         .groupBy("_norm")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -68,7 +83,8 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     16-byte digest instead of the document body.
     """
     return (
-        df.select(
+        ensure_parallelism(df)
+        .select(
             F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fp")
         )
         .groupBy("fp")
@@ -80,18 +96,27 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def _minhashes(sh: Column, num_perm: int) -> list[Column]:
-    """num_perm independent minhashes of a shingle array.
+def _minhash_signatures(base: DataFrame, num_perm: int) -> DataFrame:
+    """``num_perm`` minhash columns per ``_id`` from a (_id, _sh) frame.
 
-    Permutation i is simulated by seeding xxhash64 with a distinct
-    literal — the standard 'k hash functions' MinHash construction.
+    Each shingle string is hashed once (``xxhash64``); permutation i is
+    then a fixed-width ``xxhash64(h, i)`` — the standard 'k hash
+    functions' construction.  Shingles are *exploded* and reduced with
+    num_perm ``min`` hash-aggregates: unlike higher-order array
+    functions (interpreted, no codegen — measured minutes at sf0.1)
+    this stays inside whole-stage codegen with map-side partial
+    aggregation, so the shuffle carries one partially-reduced row per
+    (partition, doc), not per shingle.
     """
-    return [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))).alias(
-            f"mh_{i}"
-        )
-        for i in range(num_perm)
-    ]
+    exploded = base.select(
+        "_id", F.explode("_sh").alias("_s")
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    return exploded.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -114,22 +139,28 @@ def minhash_lsh_pairs(
     the DuckDB oracle computes).
     """
     rows_per_band = num_perm // bands
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     ).where(F.size("_sh") > 0)
-    mh = base.select("_id", "_sh", *_minhashes(F.col("_sh"), num_perm))
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = mh.select("_id", *band_cols)
-    buckets = banded.select(
+    mh = _minhash_signatures(base, num_perm)
+    # band hash = xxhash64 over the band's rows_per_band signature slots
+    banded = mh.select(
         "_id",
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "band_idx", "band_hash"
-        ),
+        F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        ).alias("_bands"),
+    )
+    buckets = banded.select(
+        "_id", F.posexplode("_bands").alias("band_idx", "band_hash")
     )
     cand = (
         buckets.alias("a")
@@ -173,7 +204,7 @@ def ngram_jaccard_pairs(
     explode(shingle) → self-join on shingle (the inverted index — the
     scalable alternative to a cross join) → common counts → Jaccard.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     ).where(F.size("_sh") > 0)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
@@ -203,24 +234,33 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: in
     """64-bit SimHash over n-gram shingle features, fully JVM-side.
 
     Bit i of the signature is 1 iff the majority of feature hashes have
-    bit i set.  Computed per-row with higher-order functions — no
-    shuffle, no UDF.
+    bit i set.  One ``aggregate`` pass builds all 64 bit-counts at once
+    (same single-pass trick as :func:`_minhash_array`); no shuffle, no
+    UDF.
     """
-    sh = shingles(F.col(text_col), n)
-    h = F.transform(sh, lambda s: F.xxhash64(s))
-    nfeat = F.size(h)
-    bit_terms = []
-    for i in range(64):
-        ones = F.size(
-            F.filter(h, lambda x: F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit_terms.append(
-            F.when(ones * 2 >= nfeat, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    sig = reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_s"),
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    counted = exploded.groupBy("_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(
+                (F.col("_h").bitwiseAND(F.lit(m).cast("long")) != 0).cast("int")
+            ).alias(f"c_{i}")
+            for i, m in enumerate(masks)
+        ],
+    )
+    sig = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(F.col(f"c_{i}") * 2 >= F.col("_n"), F.lit(m).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i, m in enumerate(masks)
+        ],
+    )
+    return counted.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(

@@ -22,6 +22,8 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+
+from hadoop__spark.operators.util import ensure_parallelism
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -61,6 +63,7 @@ def to_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     """Pack a text column as an opaque binary payload + typed metadata —
     the storage layout real image/audio corpora use (binary body,
     struct metadata) built from the text fixtures."""
+    df = ensure_parallelism(df)
     content = F.encode(F.col(text_col), "UTF-8")
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from hadoop__spark.operators.util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision (deterministic)."""
@@ -61,7 +63,9 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     sims = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hadoop__spark.operators.util import ensure_parallelism
+
 #: Marker words for the n-gram/stopword language-ID heuristic.  Chosen
 #: to be high-frequency function words that rarely collide across the
 #: five fixture languages.
@@ -45,6 +47,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     The subword estimate counts alternating letter/digit runs — a cheap
     deterministic proxy for BPE token counts (~chars/4 for English).
     """
+    df = ensure_parallelism(df)
     t = tokens(F.col(text_col))
     return df.select(
         "doc_id",
@@ -63,6 +66,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     arithmetic is deterministic double math on integer counts, so the
     operator is oracle-checkable bit-for-bit.
     """
+    df = ensure_parallelism(df)
     t = tokens(F.col(text_col))
     n_tok = F.size(t).cast("double")
     n_chars = F.length(F.col(text_col)).cast("double")
@@ -101,6 +105,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``regexp_count`` (JVM regex, no UDF), plus CJK-codepoint counting
     for zh; argmax with a fixed language-order tiebreak.
     """
+    df = ensure_parallelism(df)
     cols = [df[c] for c in df.columns]
     scores = []
     for lang, markers in LANG_MARKERS.items():
@@ -139,6 +144,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       (base-31 over token md5 prefixes, mod 2^61-1), computed with
       ``aggregate`` entirely JVM-side.
     """
+    df = ensure_parallelism(df)
     t = tokens(F.col(text_col))
     # modulus small enough that acc*31 + 2^32 stays below 2^63 (ANSI
     # mode makes long overflow a hard error, not a wraparound)

@@ -1,0 +1,110 @@
+"""Format readers and scale-aware writers.
+
+Scale discipline baked in (the parts that matter at 100 TB):
+
+* readers never infer schemas twice — pass ``schema`` to skip the
+  sampling pass on text formats (CSV/JSON schema inference reads the
+  data once before the real scan);
+* ``write_partitioned`` repartitions by the partition columns first so
+  each task writes one file per partition instead of
+  ``tasks × partitions`` small files — the classic small-files failure
+  at scale;
+* ``write_bucketed_table`` persists a bucketed layout so equi-joins and
+  aggregations on the bucket keys skip their shuffle entirely
+  (bucket-local sort-merge join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "orc", "json", "csv", "text", "avro")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` in ``fmt``; column pruning and predicate pushdown
+    stay available because this returns the raw scan (callers filter /
+    select on it declaratively — see tests asserting PushedFilters)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        # schema inference on text formats costs a full extra pass at
+        # scale; make it explicit that the caller opted in
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-style partitioned layout (``.../year=2015/month=10/``).
+
+    Repartitioning on the partition columns first bounds output file
+    count at ``partitions × files_per_partition`` — without it every
+    task holds a writer per partition value and a 1000-task stage over
+    1000 partition values emits up to a million small files."""
+    from pyspark.sql import functions as F
+
+    keys = [F.col(c) for c in partition_by]
+    shuffled = (
+        df.repartition(*keys)
+        if files_per_partition == 1
+        else df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, *keys
+        )
+    )
+    shuffled.write.format(fmt).mode(mode).partitionBy(*partition_by).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a bucketed (and optionally sorted) table.
+
+    Joins/aggregations keyed on ``bucket_by`` between tables bucketed
+    the same way run shuffle-free — at 100 TB this turns the dominant
+    cost of a fact-fact join into a bucket-local merge."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -1,0 +1,24 @@
+"""Structured Streaming operators (beyond-reference roadmap).
+
+The reference predates streaming entirely (SURVEY.md §2.8 negative);
+this package is the engine's forward surface: watermarked windowed
+rollups and custom stateful operators over the ``events`` stream
+shape, written so the same code runs on a file stream locally and a
+Kafka/queue source on a cluster (swap ``readStream`` options only).
+"""
+
+from hadoop__spark.streaming.rollup import (
+    hourly_rollup,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize,
+    sliding_rollup,
+)
+
+__all__ = [
+    "hourly_rollup",
+    "read_events_stream",
+    "run_stream_to_memory",
+    "sessionize",
+    "sliding_rollup",
+]

@@ -1,0 +1,141 @@
+"""Sources: pushdown/pruning discipline and partitioned/bucketed
+writes.  Streaming: replay the events fixture through Structured
+Streaming and match the batch answer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop__spark import sources, streaming
+from hadoop__spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_read_pushdown_and_pruning(spark):
+    df = sources.read_table(spark, os.path.join(SF_DIR, "lineitem.parquet"))
+    q = df.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # column pruning: the scan schema must carry only the two columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity" in plan
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = sources.read_table(spark, os.path.join(SF_DIR, "region.parquet"))
+    for fmt in ("csv", "json", "orc"):
+        path = str(tmp_path / fmt)
+        sources.write_table(df, path, fmt=fmt)
+        back = sources.read_table(spark, path, fmt=fmt)
+        assert back.count() == df.count()
+        assert set(c.lower() for c in back.columns) == set(df.columns)
+
+
+def test_write_partitioned_layout_and_file_count(spark, tmp_path):
+    orders = sources.read_table(spark, os.path.join(SF_DIR, "orders.parquet"))
+    out = str(tmp_path / "orders_by_status")
+    sources.write_partitioned(
+        orders, out, partition_by=["o_orderstatus"], files_per_partition=1
+    )
+    statuses = [
+        d for d in os.listdir(out) if d.startswith("o_orderstatus=")
+    ]
+    assert len(statuses) >= 2
+    for d in statuses:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, "one file per partition, no small-file spray"
+    back = sources.read_table(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning on the partition column
+    plan = _plan(back.where(F.col("o_orderstatus") == "F"))
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Bucketed tables joined on the bucket key must not shuffle —
+    the plan contains no Exchange on either side of the join."""
+    warehouse = load_tables(spark, SF_DIR)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sources.write_bucketed_table(
+            warehouse["orders"], "b_orders", ["o_custkey"], 8
+        )
+        sources.write_bucketed_table(
+            warehouse["customer"], "b_customer", ["c_custkey"], 8
+        )
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j.groupBy("c_mktsegment").count())
+        before_agg = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in before_agg, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_streaming_hourly_matches_batch(spark):
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    stream = streaming.read_events_stream(spark, events_path)
+    assert stream.isStreaming
+    streaming.run_stream_to_memory(
+        streaming.hourly_rollup(stream), "hourly_stream", output_mode="complete"
+    )  # complete: a finite replay never advances the watermark past the tail
+    got = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 6))
+        for r in spark.table("hourly_stream").collect()
+    }
+    batch = load_tables(spark, SF_DIR)["events"]
+    want = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 6))
+        for r in (
+            batch.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_sessionize_stream(spark):
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    stream = streaming.read_events_stream(spark, events_path)
+    streaming.run_stream_to_memory(
+        streaming.sessionize(stream, gap="30 minutes"), "sessions_stream",
+        output_mode="complete",
+    )
+    sessions = spark.table("sessions_stream")
+    n = sessions.count()
+    assert n > 0
+    # sessions are per-user, disjoint in time, and sum to all events
+    total = sessions.agg(F.sum("n_events")).collect()[0][0]
+    batch_n = load_tables(spark, SF_DIR)["events"].count()
+    assert total == batch_n
+    by_user: dict[int, list[tuple]] = {}
+    for r in sessions.collect():
+        by_user.setdefault(r.user_id, []).append(
+            (r.session_start, r.session_end)
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (_, end_a), (start_b, _) in zip(spans, spans[1:]):
+            assert start_b >= end_a, "overlapping sessions for one user"
