@@ -360,3 +360,63 @@ def embedding_dedup_pairs(
         .where(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def embedding_dedup_pairs_bucketed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    n_assign: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100 TB composition: IVF-bucket the corpus, then pair-search
+    bucket-locally.
+
+    Each vector is assigned to its ``n_assign`` nearest centroids
+    (multi-assignment), so a near-duplicate pair straddling a Voronoi
+    boundary still shares at least one bucket with high probability —
+    the standard recall fix for bucketed dedup.  The pairwise join is
+    per-bucket: cost drops from O(N²) to O(Σ bucket²), and the buckets
+    are the shuffle partitions.
+    """
+    from pyspark.sql import Window
+
+    from hadoop__spark.operators.similarity import (
+        cosine_sim,
+        ivf_fit_centroids,
+    )
+
+    cents = ivf_fit_centroids(df, nlist, vec_col, seed)
+    e = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), "centroid_id")
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "_id",
+            "_v",
+            "centroid_id",
+            cosine_sim(F.col("_v"), F.col("centroid")).alias("_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_assign)
+        .select("_id", "_v", "centroid_id")
+    )
+    return (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            on=[
+                F.col("a.centroid_id") == F.col("b.centroid_id"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_sim(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -101,6 +101,12 @@ def _dd06(spark, sf_dir):
     return dedup.embedding_dedup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def _dd07(spark, sf_dir):
+    return dedup.embedding_dedup_pairs_bucketed(
+        _embs(spark, sf_dir), threshold=0.4, nlist=8, n_assign=2
+    )
+
+
 def _ann01(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     return similarity.cosine_topk(embs, embs.where(F.col("vec_id") < 5), k=10)
@@ -178,6 +184,9 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
 """,
     ),
+    # IVF-bucketed dedup is approximate (recall vs brute force asserted
+    # in tests/test_skew_and_bucketed_dedup.py) — rows-only here.
+    Probe(name="dd07_embedding_dedup_bucketed", fn=_dd07, oracle=None),
     Probe(
         name="ann01_cosine_topk",
         fn=_ann01,

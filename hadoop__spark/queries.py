@@ -655,5 +655,14 @@ def probe_map() -> dict[str, Probe]:
     """
     from hadoop__spark.operators.probes import OPERATOR_PROBES
     from hadoop__spark.plans.probes import LINEAGE_PROBES
+    from hadoop__spark.streaming.probes import STREAMING_PROBES
 
-    return {p.name: p for p in [*PROBES, *OPERATOR_PROBES, *LINEAGE_PROBES]}
+    return {
+        p.name: p
+        for p in [
+            *PROBES,
+            *OPERATOR_PROBES,
+            *LINEAGE_PROBES,
+            *STREAMING_PROBES,
+        ]
+    }

@@ -1,0 +1,78 @@
+"""Skew-aware join correctness + plan shape, and the IVF-bucketed
+embedding dedup scale path vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop__spark.operators import dedup
+from hadoop__spark.operators.skew import key_skew_report, salted_join
+from hadoop__spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = load_tables(spark, SF_DIR)
+    # manufacture skew: orders keyed to one hot customer
+    probe = t["orders"].withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    build = t["customer"].select("c_custkey", "c_name")
+    plain = probe.join(
+        build, probe.o_custkey == build.c_custkey
+    ).select("o_orderkey", "c_name")
+    build2 = build.withColumnRenamed("c_custkey", "o_custkey")
+    salted = salted_join(probe, build2, on="o_custkey", salt=8).select(
+        "o_orderkey", "c_name"
+    )
+    a = {(r.o_orderkey, r.c_name) for r in plain.collect()}
+    b = {(r.o_orderkey, r.c_name) for r in salted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    t = load_tables(spark, SF_DIR)
+    probe = t["orders"].withColumn("o_custkey", F.lit(7))  # all rows hot
+    build = (
+        t["customer"].select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    out = salted_join(probe, build, on="o_custkey", salt=8)
+    # pre-drop('_salt') the join key is (o_custkey, _salt): the single
+    # hot key must occupy several salt values
+    salted_probe = probe.withColumn(
+        "_salt", (F.abs(F.xxhash64(*probe.columns)) % 8).cast("int")
+    )
+    n_salts = salted_probe.select("_salt").distinct().count()
+    assert n_salts >= 6, "hot key not spread across salts"
+    assert out.count() == probe.count()  # inner join, dim has key 7
+
+
+def test_key_skew_report(spark):
+    t = load_tables(spark, SF_DIR)
+    rep = key_skew_report(t["lineitem"], "l_returnflag", top=3)
+    rows = rep.collect()
+    assert len(rows) == 3
+    assert rows[0].n_rows >= rows[1].n_rows >= rows[2].n_rows
+    assert 0 < rows[0].share <= 1
+
+
+def test_bucketed_embedding_dedup_recall(spark):
+    embs = load_tables(spark, SF_DIR)["embeddings"]
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dedup_pairs(embs, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dedup_pairs_bucketed(
+            embs, threshold=0.4, nlist=8, n_assign=2
+        ).collect()
+    }
+    assert brute, "fixtures contain similar embedding pairs"
+    assert bucketed <= brute, "bucketed result must be a subset (no FPs)"
+    recall = len(bucketed & brute) / len(brute)
+    assert recall >= 0.7, f"bucketed dedup recall {recall}"
