@@ -152,6 +152,14 @@ def convert_plan(jplan, sql: str) -> Node:
         return Node(
             "Union", {}, [convert_plan(c, sql) for c in _seq(jplan.children())]
         )
+    if cls == "UnresolvedWith":
+        # WITH ctes (beyond the reference — it predates CTEs): each
+        # (name, SubqueryAlias(query)) pair plus the main query child
+        ctes = [
+            (str(t._1()), convert_plan(t._2().child(), sql))
+            for t in _seq(jplan.cteRelations())
+        ]
+        return Node("With", {"ctes": ctes}, [convert_plan(jplan.child(), sql)])
     if cls == "InsertIntoStatement":
         table = convert_plan(jplan.table(), sql)
         return Node(

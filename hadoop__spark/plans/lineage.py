@@ -251,6 +251,7 @@ class LineageAnalyzer:
         self.metastore = metastore or SparkCatalogMetastore(spark)
         self.current_db = current_db
         self._bindings: list[tuple[str, str]] = []
+        self._ctes: dict[str, Scope] = {}  # per-statement WITH scopes
 
     def fill_db(self, name: str) -> str:
         """``table`` → ``db.table`` with the session database
@@ -280,6 +281,7 @@ class LineageAnalyzer:
     def _statement(self, sql: str, res: LineageResult) -> None:
         node = parse_statement(self.spark, sql)
         conditions: set[str] = set()
+        self._ctes = {}
 
         if node.cls == "Use":
             parts = node["parts"]
@@ -328,6 +330,18 @@ class LineageAnalyzer:
     def _walk_query(
         self, node: Node, conditions: set[str], res: LineageResult
     ) -> Scope:
+        if node.cls == "With":
+            # CTEs resolve lexically; later CTEs see earlier ones.
+            # A CTE reference is NOT an input table — its own inputs are.
+            saved = dict(self._ctes)
+            for name, cte_query in node["ctes"]:
+                self._ctes[name.lower()] = self._walk_query(
+                    cte_query, conditions, res
+                )
+            scope = self._walk_query(node.children[0], conditions, res)
+            self._ctes = saved
+            return scope
+
         if node.cls == "Union":
             # N-way UNION parses as nested binary Unions — flatten so
             # positional merge sees every branch (README.md:398-415).
@@ -380,18 +394,25 @@ class LineageAnalyzer:
         self, node: Node, conditions: set[str], res: LineageResult
     ) -> FromCtx:
         if node.cls == "UnresolvedRelation":
-            qname = self._fill_parts(node["parts"])
+            parts = node["parts"]
+            if len(parts) == 1 and parts[0].lower() in self._ctes:
+                name = parts[0].lower()
+                return FromCtx([(name, SubScope(self._ctes[name]))])
+            qname = self._fill_parts(parts)
             res.input_tables.add(qname)
-            simple = node["parts"][-1].lower()
-            return FromCtx([(None, BaseTable(qname, simple))])
+            return FromCtx([(None, BaseTable(qname, parts[-1].lower()))])
         if node.cls == "SubqueryAlias":
             alias = node["alias"]
             child = node.children[0]
             if child.cls == "UnresolvedRelation":
-                qname = self._fill_parts(child["parts"])
+                parts = child["parts"]
+                if len(parts) == 1 and parts[0].lower() in self._ctes:
+                    return FromCtx(
+                        [(alias, SubScope(self._ctes[parts[0].lower()]))]
+                    )
+                qname = self._fill_parts(parts)
                 res.input_tables.add(qname)
-                simple = child["parts"][-1].lower()
-                return FromCtx([(alias, BaseTable(qname, simple))])
+                return FromCtx([(alias, BaseTable(qname, parts[-1].lower()))])
             scope = self._walk_query(child, conditions, res)
             return FromCtx([(alias, SubScope(scope))])
         if node.cls == "Filter":

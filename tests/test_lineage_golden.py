@@ -346,3 +346,21 @@ def test_escaped_semicolon_split(spark):
         "select 1; ok",
         "use app",
     ]
+
+
+def test_cte_lineage(spark):
+    """WITH support (beyond the reference): CTE references resolve
+    through the CTE's own query; only base tables count as inputs."""
+    res = LineageAnalyzer(spark, DictMetastore({})).analyze(
+        "with t as (select n_name, n_regionkey from nation "
+        "where n_nationkey > 3), "
+        "u as (select t.n_name from t) "
+        "select u.n_name from u"
+    )
+    assert res.input_tables == {"default.nation"}
+    lines = lines_by_name(res)
+    check_line(
+        lines["n_name"],
+        "default.nation.n_name",
+        {"WHERE:default.nation.n_nationkey > 3"},
+    )

@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL
+inputs, not just fixtures — the dedup algebra and the lineage walker's
+robustness over generated SQL."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from hadoop__spark.operators import dedup
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=doc_strategy)
+@_SETTINGS
+def test_exact_dedup_conserves_rows(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    out = dedup.exact_dedup(df).toPandas()
+    # total copies = total docs; keepers are distinct minimal ids
+    assert out["n_copies"].sum() == len(texts)
+    norm = pd.Series(
+        [" ".join(t.lower().split()) for t in texts]
+    )  # fixture texts are already alnum+space
+    assert len(out) == norm.nunique()
+    want_keepers = set(
+        pd.DataFrame({"id": range(len(texts)), "n": norm})
+        .groupby("n")["id"]
+        .min()
+    )
+    assert set(out["keep_id"]) == want_keepers
+
+
+@given(texts=doc_strategy, threshold=st.sampled_from([0.5, 0.8]))
+@_SETTINGS
+def test_lsh_equals_exact_jaccard_on_random_docs(spark, texts, threshold):
+    """The LSH+verify pipeline must equal exact all-pairs Jaccard for
+    any input (verify removes false positives; banding with 16 bands of
+    4 rows has ~zero false-negative mass at these thresholds)."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(df, threshold=threshold).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert lsh == exact
+
+
+@given(texts=doc_strategy)
+@_SETTINGS
+def test_simhash_identical_texts_collide(spark, texts):
+    """Identical (post-normalization) texts must get identical
+    signatures; Hamming distance is symmetric in the pair output."""
+    dup = texts + [texts[0]]
+    df = spark.createDataFrame(
+        list(enumerate(dup)), "doc_id LONG, text STRING"
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert sigs[0] == sigs[len(dup) - 1]
+
+
+# -- lineage robustness over generated SQL ----------------------------------
+
+_cols = st.sampled_from(["a", "b", "c"])
+_literals = st.sampled_from(["1", "'x'", "2.5"])
+
+
+@st.composite
+def _expr(draw, depth=0):
+    if depth >= 2:
+        return draw(st.one_of(_cols, _literals))
+    kind = draw(st.sampled_from(["col", "lit", "fun", "bin", "case"]))
+    if kind == "col":
+        return draw(_cols)
+    if kind == "lit":
+        return draw(_literals)
+    if kind == "fun":
+        fn = draw(st.sampled_from(["concat", "nvl", "upper", "myudf"]))
+        args = [draw(_expr(depth + 1)) for _ in range(draw(st.integers(1, 3)))]
+        return f"{fn}({','.join(args)})"
+    if kind == "bin":
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        return f"{draw(_expr(depth + 1))} {op} {draw(_expr(depth + 1))}"
+    branches = draw(st.integers(1, 2))
+    parts = ["case"]
+    for _ in range(branches):
+        parts.append(
+            f"when {draw(_cols)} > {draw(st.integers(0, 9))} "
+            f"then {draw(_expr(depth + 1))}"
+        )
+    parts.append(f"else {draw(_expr(depth + 1))} end")
+    return " ".join(parts)
+
+
+@given(e=_expr(), pred_col=_cols, v=st.integers(0, 99))
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lineage_never_crashes_and_sources_are_sound(spark, e, pred_col, v):
+    """For any expression from the grammar: the analyzer produces one
+    edge whose sources are qualified t-columns from the mentioned set,
+    and the WHERE tag is always captured."""
+    from hadoop__spark.plans import LineageAnalyzer
+    from hadoop__spark.plans.lineage import DictMetastore
+
+    sql = f"select {e} as z from t where {pred_col} > {v}"
+    res = LineageAnalyzer(spark, DictMetastore({})).analyze(sql)
+    assert res.input_tables == {"default.t"}
+    (line,) = res.col_lines
+    assert line.to_name_parse == "z"
+    for src in line.from_names:
+        assert src.startswith("default.t.")
+        assert src.rsplit(".", 1)[1] in {"a", "b", "c"}
+    assert any(
+        c.startswith(f"WHERE:default.t.{pred_col} > {v}")
+        for c in line.conditions
+    )
