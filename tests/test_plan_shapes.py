@@ -1,0 +1,84 @@
+"""Physical-plan assertions for the headline operators.
+
+Correct rows are not enough at 100 TB — these tests pin the plan
+*shape*: filters reach the scan, small sides broadcast, partial
+aggregation precedes the exchange, and nothing degenerates into a
+cartesian product.  If a Spark upgrade or refactor regresses a plan,
+these fail before the benchmark does.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop__spark.operators import dedup, similarity
+from hadoop__spark.queries import probe_map
+from hadoop__spark.session import load_tables, register_views
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    register_views(spark, SF_DIR)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_h01_scan_pushdown_and_partial_agg(spark):
+    df = probe_map()["h01_pricing_summary"].run(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity" in plan
+    assert "partial_sum" in plan, "map-side combine missing"
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_j06_mapjoin_hint_broadcasts(spark):
+    df = probe_map()["j06_map_join_broadcast"].run(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_h03_dimension_joins_broadcast(spark):
+    """TPC-H Q5 shape: every dimension (region/nation/supplier/
+    customer) must broadcast against the lineitem fact — no sort-merge
+    exchange of the fact table for dimension joins at this size."""
+    df = probe_map()["h03_local_supplier"].run(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_no_cartesian(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(dedup.minhash_lsh_pairs(docs, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+    embs = load_tables(spark, SF_DIR)["embeddings"]
+    q = embs.where(F.col("vec_id") < 5)
+    plan = _plan(similarity.cosine_topk(embs, q, k=5))
+    # the only join must be a broadcast NL join (tiny query side);
+    # the corpus must not hash-shuffle before it
+    join_part = plan.split("BroadcastNestedLoopJoin")
+    assert len(join_part) == 2, "expected broadcast of the query side"
+    assert "Exchange hashpartitioning" not in join_part[1].split("Window")[0]
+
+
+def test_exact_dedup_single_shuffle(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(dedup.fingerprint_dedup(docs))
+    # one exchange for the repartition spread (narrow input) and one
+    # for the groupBy — but never more
+    assert plan.count("Exchange") <= 2
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_window_probe_single_sort_per_partition(spark):
+    df = probe_map()["w01_window_rank"].run(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
