@@ -1,9 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship TPC-H-Q1-shaped pricing summary;
-``queries()`` exposes every implemented probe from SURVEY.md §2 (plus
-the beyond-reference pipeline operators); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for each oracle-checkable probe.
+``queries()`` exposes every implemented probe from SURVEY.md §2 plus
+the beyond-reference pipeline, lineage, and streaming operators (72
+probes; see COVERAGE.md for the row-by-row map); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for each oracle-checkable probe (67).
 """
 
 from __future__ import annotations

@@ -288,6 +288,22 @@ class LineageAnalyzer:
             if parts:
                 self.current_db = parts[-1].lower()
             res.statements.append("USE")
+        elif node.cls == "Union" and all(
+            c.cls == "InsertIntoStatement" for c in node.children
+        ):
+            # Hive multi-insert `FROM src INSERT ... INSERT ...` parses
+            # as a Union of inserts with the FROM duplicated per branch;
+            # each branch gets its own condition set (cleaner than the
+            # reference's shared statement-wide accumulator)
+            for branch in node.children:
+                branch_conditions: set[str] = set()
+                dest = self._fill_parts(branch["table_parts"])
+                res.output_tables.add(dest)
+                scope = self._walk_query(
+                    branch.children[0], branch_conditions, res
+                )
+                self._emit(dest, scope, branch_conditions, res)
+            res.statements.append("MULTIINSERT")
         elif node.cls == "InsertIntoStatement":
             dest = self._fill_parts(node["table_parts"])
             res.output_tables.add(dest)

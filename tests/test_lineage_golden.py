@@ -364,3 +364,21 @@ def test_cte_lineage(spark):
         "default.nation.n_name",
         {"WHERE:default.nation.n_nationkey > 3"},
     )
+
+
+def test_multi_insert_from_first(spark):
+    """Hive multi-insert (Q2 extension): one FROM, several INSERT
+    branches, each with its own WHERE and destination."""
+    res = LineageAnalyzer(spark, DictMetastore({})).analyze(
+        "use app; from src insert overwrite table t1 select a where a > 1 "
+        "insert into table t2 select b, c where b < 5"
+    )
+    assert res.statements == ["USE", "MULTIINSERT"]
+    assert res.output_tables == {"app.t1", "app.t2"}
+    assert res.input_tables == {"app.src"}
+    lines = lines_by_name(res)
+    assert set(lines) == {"a", "b", "c"}
+    check_line(lines["a"], "app.src.a", {"WHERE:app.src.a > 1"})
+    check_line(lines["b"], "app.src.b", {"WHERE:app.src.b < 5"})
+    assert lines["a"].to_table == "app.t1"
+    assert lines["b"].to_table == "app.t2"
