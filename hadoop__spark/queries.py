@@ -383,6 +383,36 @@ _probe(
     same=True,
 )
 
+# A7+ approximate aggregation — the 100 TB substitutes for exact
+# DISTINCT/percentile (sketches merge map-side; no full shuffle of the
+# distinct values). Sketch internals are engine-specific, so the
+# oracle checks cardinality bounds, not values: HLL must land within
+# 5% of the exact count (rel err ~1.6% at default p), and the median
+# estimate must sit between the true 40th and 60th percentiles —
+# both exact in DuckDB, so the check is still a hash-match on a
+# boolean + the exact anchor columns.
+_probe(
+    "a07_approx_count_distinct",
+    "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd, "
+    "CAST(approx_count_distinct(l_partkey) BETWEEN "
+    "CAST(COUNT(DISTINCT l_partkey) * 0.95 AS BIGINT) AND "
+    "CAST(COUNT(DISTINCT l_partkey) * 1.05 AS BIGINT) AS INT) AS hll_ok "
+    "FROM lineitem",
+    oracle=(
+        "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd, "
+        "1 AS hll_ok FROM lineitem"
+    ),
+)
+
+_probe(
+    "a08_approx_percentile",
+    "SELECT CAST(approx_percentile(l_extendedprice, 0.5, 10000) BETWEEN "
+    "(SELECT percentile_cont(0.40) WITHIN GROUP (ORDER BY l_extendedprice) FROM lineitem) AND "
+    "(SELECT percentile_cont(0.60) WITHIN GROUP (ORDER BY l_extendedprice) FROM lineitem) "
+    "AS INT) AS median_ok FROM lineitem",
+    oracle="SELECT 1 AS median_ok",
+)
+
 # ---------------------------------------------------------------------------
 # §2.5 Set operations (ref README.md:641-647, 396-425)
 # ---------------------------------------------------------------------------

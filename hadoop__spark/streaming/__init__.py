@@ -14,11 +14,13 @@ from hadoop__spark.streaming.rollup import (
     sessionize,
     sliding_rollup,
 )
+from hadoop__spark.streaming.stateful import running_totals
 
 __all__ = [
     "hourly_rollup",
     "read_events_stream",
     "run_stream_to_memory",
+    "running_totals",
     "sessionize",
     "sliding_rollup",
 ]

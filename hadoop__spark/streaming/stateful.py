@@ -1,0 +1,93 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``session_window`` (streaming/rollup.py) covers gap sessions natively;
+this module is the escape hatch for state machines Spark has no
+built-in for.  The example operator — a per-user running total with a
+high-water-mark alert — keeps O(1) state per key, emits only on
+change, and uses an event-time timeout so idle keys are evicted by the
+watermark instead of accumulating forever (the stateful-operator
+equivalent of bounded windows; state size ∝ active keys at 100 TB/day,
+not total keys ever seen).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("high_water", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("high_water", DoubleType()),
+    ]
+)
+
+
+def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running (count, sum, high-water-mark of the sum).
+
+    The state tuple is three scalars per user; on each micro-batch the
+    group's new rows fold into it and one row per updated user is
+    emitted.  Event-time timeout + watermark evict users idle past the
+    watermark, bounding state.
+    """
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, high = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            high = max(high, total)
+        state.update((n, total, high))
+        # evict when the event-time watermark passes the user's silence
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "total_value": [total],
+                "high_water": [high],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -82,3 +82,25 @@ def test_window_probe_single_sort_per_partition(spark):
     plan = _plan(df)
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a filter on the dim side of a join over a partitioned fact
+    must prune fact partitions at runtime (dynamicpruning subquery in
+    the plan) — on a 100 TB partitioned fact this is the difference
+    between scanning one day and scanning all of them."""
+    from hadoop__spark import sources
+
+    orders = load_tables(spark, SF_DIR)["orders"]
+    fact_path = str(tmp_path / "orders_part")
+    sources.write_partitioned(orders, fact_path, ["o_orderstatus"])
+    fact = spark.read.parquet(fact_path)
+    dim_path = str(tmp_path / "status_dim")
+    spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        ["status", "label"],
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("label") == "finished")
+    j = fact.join(dim, fact.o_orderstatus == dim.status)
+    optimized = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized, optimized

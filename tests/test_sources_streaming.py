@@ -139,3 +139,38 @@ def test_sessionize_stream(spark):
         spans.sort()
         for (_, end_a), (start_b, _) in zip(spans, spans[1:]):
             assert start_b >= end_a, "overlapping sessions for one user"
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState custom operator: final per-user totals
+    after a full replay must equal the batch groupBy."""
+    from hadoop__spark.streaming.stateful import running_totals
+
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    stream = streaming.read_events_stream(spark, events_path)
+    streaming.run_stream_to_memory(
+        running_totals(stream), "running_totals", output_mode="update"
+    )
+    # update mode emits one row per user per micro-batch; the LAST row
+    # per user is the final state
+    out = spark.sql(
+        "SELECT user_id, n_events, total_value FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY user_id ORDER BY n_events DESC) AS rn"
+        "  FROM running_totals) WHERE rn = 1"
+    )
+    got = {
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in out.collect()
+    }
+    batch = load_tables(spark, SF_DIR)["events"]
+    want = {
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
