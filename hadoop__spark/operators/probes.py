@@ -149,6 +149,82 @@ def _mm02(spark, sf_dir):
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+def _tj01(spark, sf_dir):
+    from hadoop__spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    # right side: per-user purchase anchors, unique per (user, ts)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_purchase_value").alias("last_purchase_value"),
+    )
+
+
+def _tj02(spark, sf_dir):
+    from hadoop__spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    # deterministic 90-minute interval grid from midnight of min day
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    intervals = bounds.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    (F.unix_timestamp("t1") - F.unix_timestamp("t0")) / 5400
+                ).cast("int"),
+            )
+        ).alias("interval_idx"),
+        "t0",
+    ).select(
+        "interval_idx",
+        F.timestamp_seconds(
+            F.unix_timestamp("t0") + F.col("interval_idx") * 5400
+        ).alias("start"),
+        F.timestamp_seconds(
+            F.unix_timestamp("t0") + (F.col("interval_idx") + 1) * 5400
+        ).alias("end"),
+    )
+    return (
+        range_join(ev, intervals, bucket_seconds=5400)
+        .groupBy("interval_idx")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+
+
+def _tj03(spark, sf_dir):
+    from hadoop__spark.operators.temporal import time_bucket_rollup
+
+    ev = _events(spark, sf_dir)
+    return time_bucket_rollup(
+        ev,
+        levels=("1 hour", "1 day"),
+        aggs=[
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+    )
+
+
 OPERATOR_PROBES: list[Probe] = [
     Probe(
         name="dd01_dedup_exact",
@@ -207,6 +283,49 @@ QUALIFY rank <= 10
     # IVF is approximate by construction (k-means bucketing) — no SQL
     # oracle; recall vs brute force is asserted in tests/test_operators.
     Probe(name="ann02_ivf_topk", fn=_ann02, oracle=None),
+    Probe(
+        name="tj01_asof_join",
+        fn=_tj01,
+        oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, p.purchase_value AS last_purchase_value
+FROM events e ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    ),
+    Probe(
+        name="tj02_range_join",
+        fn=_tj02,
+        oracle="""
+-- equivalent closed form of the inner interval join over a complete
+-- 90-min grid anchored at midnight of the first event day: each event
+-- belongs to exactly floor((ts - t0)/5400); empty intervals drop out
+-- of the inner join on both sides
+WITH t AS (SELECT date_trunc('day', MIN(ts)) AS t0 FROM events)
+SELECT CAST(floor(epoch(ev.ts - t.t0) / 5400) AS BIGINT) AS interval_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events ev, t
+GROUP BY 1
+""",
+    ),
+    Probe(
+        name="tj03_time_rollup",
+        fn=_tj03,
+        oracle="""
+SELECT '1 hour' AS level, date_trunc('hour', ts) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts)
+UNION ALL
+SELECT '1 day', date_trunc('day', ts),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+FROM events GROUP BY date_trunc('day', ts)
+""",
+    ),
     Probe(
         name="ts01_token_stats",
         fn=_ts01,

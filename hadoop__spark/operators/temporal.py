@@ -1,0 +1,159 @@
+"""Temporal joins Spark has no built-in operator for, expressed as
+compositions of DataFrame ops (no UDFs, no driver loops).
+
+* **As-of join** — each left row picks the most recent right row with
+  ``right.ts <= left.ts`` per key.  Implemented with the union+window
+  trick: tag sides, union, and ``last(..., ignorenulls)`` over a
+  per-key time-ordered window.  ONE shuffle on the key — contrast a
+  naive ``left.ts >= right.ts`` join which is a per-key cross product
+  *plus* a max-pick aggregation.
+* **Range join** — left rows against right `[start, end)` intervals.
+  Implemented by time-bucketing: both sides map to fixed-width
+  buckets (intervals explode into every bucket they overlap), the
+  join is an equi-join on bucket, and the exact predicate filters.
+  Turns a BroadcastNestedLoop/cartesian into a hash join whose fanout
+  is interval_length/bucket_width.
+* **Time-bucket rollup** — one pass per resolution level
+  (minute/hour/day...), the batch form of a hypertable's continuous
+  aggregates; each level is an independent partial-aggregated shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) left join, inclusive (``right.ts <=
+    left.ts``), matching DuckDB ``ASOF LEFT JOIN`` semantics.
+
+    Output: all left columns + every non-key right column (renamed
+    ``asof_<col>``), null when no right row precedes the left row (or
+    the match is older than ``tolerance_seconds``).
+
+    Ties: a right row at exactly ``left.ts`` matches (right sorts
+    before left at equal timestamps).  Right rows must be unique per
+    (key, ts) — pre-aggregate otherwise.
+    """
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+        F.lit(None).cast("timestamp_ntz").alias("_rt"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.col(right_ts).cast("timestamp_ntz").alias("_rt"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in rcols
+        ],
+        F.last("_rt", ignorenulls=True).over(w).alias("_asof_ts"),
+    )
+    out = filled.where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_timestamp("_t") - F.unix_timestamp("_asof_ts")
+            > tolerance_seconds
+        )
+        for c in rcols:
+            out = out.withColumn(
+                f"asof_{c}",
+                F.when(stale, F.lit(None)).otherwise(F.col(f"asof_{c}")),
+            )
+    return out.select(*left.columns, *[f"asof_{c}" for c in rcols])
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows to every interval with ``start <= ts < end``.
+
+    ``bucket_seconds`` should be ≥ the typical interval length: each
+    interval lands in ``len/bucket + 1`` buckets, each left row in
+    exactly one, so result pairs are produced exactly once (no
+    dedup needed) by an equi-join on the bucket id.
+    """
+    b = F.lit(bucket_seconds)
+    l_b = left.withColumn(
+        "_bucket", (F.unix_timestamp(F.col(left_ts)) / b).cast("long")
+    )
+    i_b = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start)) / b).cast("long"),
+                # end is exclusive; an interval ending exactly on a
+                # bucket boundary does not reach into the next bucket
+                ((F.unix_timestamp(F.col(end)) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        l_b.join(i_b, on="_bucket", how=how)
+        .where(
+            (F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end))
+        )
+        .drop("_bucket")
+    )
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts: str = "ts",
+    levels: tuple[str, ...] = ("1 hour", "1 day"),
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Multi-resolution rollup (hypertable continuous-aggregate shape):
+    one row per (level, bucket) with the given aggregates.
+
+    Epoch-aligned ``window()`` buckets make hour/day levels equal to
+    ``date_trunc`` — which is what the DuckDB oracle recomputes.  At
+    scale each level materializes incrementally (append-only buckets);
+    here it is the batch equivalent: one partial-agg shuffle per level.
+    """
+    if aggs is None:
+        aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    parts = []
+    for level in levels:
+        rolled = df.groupBy(F.window(ts, level).alias("_w")).agg(*aggs)
+        agg_cols = [c for c in rolled.columns if c != "_w"]
+        parts.append(
+            rolled.select(
+                F.lit(level).alias("level"),
+                F.col("_w.start").alias("bucket_start"),
+                *agg_cols,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
