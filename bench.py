@@ -36,6 +36,8 @@ HEADLINE = [
     "dd03_minhash_lsh",
     "ts01_token_stats",
     "ann01_cosine_topk",
+    "tj01_asof_join",
+    "tj04_sessionize_batch",
 ]
 
 

@@ -225,6 +225,20 @@ def _tj03(spark, sf_dir):
     )
 
 
+def _tj04(spark, sf_dir):
+    from hadoop__spark.operators.temporal import sessionize_batch
+
+    return sessionize_batch(
+        _events(spark, sf_dir).select("user_id", "ts"), gap_seconds=1800
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+    )
+
+
 OPERATOR_PROBES: list[Probe] = [
     Probe(
         name="dd01_dedup_exact",
@@ -324,6 +338,30 @@ SELECT '1 day', date_trunc('day', ts),
        CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
 FROM events GROUP BY date_trunc('day', ts)
+""",
+    ),
+    Probe(
+        name="tj04_sessionize_batch",
+        fn=_tj04,
+        oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), idx AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(MIN(ts) AS VARCHAR) AS session_start,
+       CAST(MAX(ts) AS VARCHAR) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM idx GROUP BY user_id, session_idx
 """,
     ),
     Probe(

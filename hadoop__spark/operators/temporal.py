@@ -126,6 +126,44 @@ def range_join(
     )
 
 
+def sessionize_batch(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch gap-based sessionization: the lag/cumsum window idiom.
+
+    A new session starts where the gap to the previous event of the
+    same key exceeds ``gap_seconds``; the running sum of session-start
+    flags is the session index.  Two window passes over ONE
+    hash-partition-by-key shuffle (both windows share the partitioning,
+    Catalyst plans a single Exchange).  Streaming twin:
+    ``streaming.sessionize`` (native session_window).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(
+        F.lag(ts).over(w)
+    )
+    is_start = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_idx = df.withColumn(
+        "session_idx",
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_idx.groupBy(key, "session_idx")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def time_bucket_rollup(
     df: DataFrame,
     ts: str = "ts",

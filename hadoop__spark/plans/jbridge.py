@@ -162,9 +162,14 @@ def convert_plan(jplan, sql: str) -> Node:
         return Node("With", {"ctes": ctes}, [convert_plan(jplan.child(), sql)])
     if cls == "InsertIntoStatement":
         table = convert_plan(jplan.table(), sql)
+        ucols = jplan.userSpecifiedCols()
         return Node(
             "InsertIntoStatement",
-            {"table_parts": table["parts"], "overwrite": bool(jplan.overwrite())},
+            {
+                "table_parts": table["parts"],
+                "overwrite": bool(jplan.overwrite()),
+                "cols": [str(ucols.apply(i)) for i in range(ucols.size())],
+            },
             [convert_plan(jplan.query(), sql)],
         )
     if cls == "SetCatalogAndNamespace":

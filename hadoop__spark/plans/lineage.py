@@ -302,13 +302,19 @@ class LineageAnalyzer:
                 scope = self._walk_query(
                     branch.children[0], branch_conditions, res
                 )
-                self._emit(dest, scope, branch_conditions, res)
+                self._emit(
+                    dest, scope, branch_conditions, res,
+                    dest_cols=branch.get("cols") or None,
+                )
             res.statements.append("MULTIINSERT")
         elif node.cls == "InsertIntoStatement":
             dest = self._fill_parts(node["table_parts"])
             res.output_tables.add(dest)
             scope = self._walk_query(node.children[0], conditions, res)
-            self._emit(dest, scope, conditions, res)
+            self._emit(
+                dest, scope, conditions, res,
+                dest_cols=node.get("cols") or None,
+            )
             res.statements.append("INSERT")
         elif node.cls == "CreateTableAsSelect":
             dest = self._fill_parts(node["table_parts"])
@@ -527,13 +533,20 @@ class LineageAnalyzer:
         scope: Scope,
         conditions: set[str],
         res: LineageResult,
+        dest_cols: list[str] | None = None,
     ) -> None:
         cols = scope.cols
         if scope.branch_cols and len(scope.branch_cols) > 1:
             cols = self._merge_union(scope.branch_cols)
-        dest_cols = (
-            self.metastore.columns(dest) if dest != "TOK_TMP_FILE" else None
-        )
+        if dest_cols is None:
+            # positional alignment against the physical sink schema
+            # (README.md:796-804); an explicit INSERT column list
+            # overrides the metastore order
+            dest_cols = (
+                self.metastore.columns(dest)
+                if dest != "TOK_TMP_FILE"
+                else None
+            )
         for i, c in enumerate(cols):
             to_name = (
                 f"{dest}.{dest_cols[i]}"

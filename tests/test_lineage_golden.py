@@ -382,3 +382,15 @@ def test_multi_insert_from_first(spark):
     check_line(lines["b"], "app.src.b", {"WHERE:app.src.b < 5"})
     assert lines["a"].to_table == "app.t1"
     assert lines["b"].to_table == "app.t2"
+
+
+def test_insert_explicit_column_list_alignment(spark):
+    """INSERT INTO t (colb, cola): positional sink alignment follows
+    the explicit column list, not the metastore order."""
+    ms = DictMetastore({"app.t1": ["cola", "colb"]})
+    res = LineageAnalyzer(spark, ms).analyze(
+        "use app; insert into t1 (colb, cola) select x, y from src"
+    )
+    lines = lines_by_name(res)
+    assert lines["x"].to_name == "app.t1.colb"
+    assert lines["y"].to_name == "app.t1.cola"
