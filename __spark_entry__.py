@@ -2,9 +2,10 @@
 
 ``entry(spark)`` runs the flagship TPC-H-Q1-shaped pricing summary;
 ``queries()`` exposes every implemented probe from SURVEY.md §2 plus
-the beyond-reference pipeline, lineage, and streaming operators (72
-probes; see COVERAGE.md for the row-by-row map); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for each oracle-checkable probe (67).
+the beyond-reference pipeline, temporal, lineage, and streaming
+operators (76 probes; see COVERAGE.md for the row-by-row map);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+oracle-checkable probe (71).
 """
 
 from __future__ import annotations
