@@ -326,6 +326,22 @@ def convert_expr(jexpr, sql: str) -> Node:
             src=src,
         )
 
+    if cls in ("ScalarSubquery", "Exists", "ListQuery", "LateralSubquery"):
+        # expression-level subquery: keep the inner plan so the walker
+        # can register its input tables (beyond the reference's Q3)
+        return Node(
+            "SubqueryExpr", {"plan": convert_plan(jexpr.plan(), sql)}, src=src
+        )
+    if cls == "InSubquery":
+        values = [convert_expr(v, sql) for v in _seq(jexpr.values())]
+        inner = convert_expr(jexpr.query(), sql)  # ListQuery
+        return Node(
+            "SubqueryExpr",
+            {"plan": inner.get("plan")},
+            values,
+            src=src,
+        )
+
     # Unknown expression: generic node; renderer falls back to the
     # source slice, sources = union over children.
     try:

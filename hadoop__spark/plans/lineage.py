@@ -252,6 +252,7 @@ class LineageAnalyzer:
         self.current_db = current_db
         self._bindings: list[tuple[str, str]] = []
         self._ctes: dict[str, Scope] = {}  # per-statement WITH scopes
+        self._cur_res: LineageResult | None = None
 
     def fill_db(self, name: str) -> str:
         """``table`` → ``db.table`` with the session database
@@ -282,6 +283,7 @@ class LineageAnalyzer:
         node = parse_statement(self.spark, sql)
         conditions: set[str] = set()
         self._ctes = {}
+        self._cur_res = res  # for expression-subquery input scanning
 
         if node.cls == "Use":
             parts = node["parts"]
@@ -439,6 +441,7 @@ class LineageAnalyzer:
             return FromCtx([(alias, SubScope(scope))])
         if node.cls == "Filter":
             ctx = self._walk_from(node.children[0], conditions, res)
+            self._scan_subquery_exprs(node["cond"], res)
             rendered = render(node["cond"], ctx.make_qualify(self))
             conditions.add(f"WHERE:{rendered}")  # README.md:256-258
             return ctx
@@ -447,6 +450,7 @@ class LineageAnalyzer:
             right = self._walk_from(node.children[1], conditions, res)
             ctx = FromCtx(left.sources + right.sources)
             if node["cond"] is not None:
+                self._scan_subquery_exprs(node["cond"], res)
                 rendered = render(node["cond"], ctx.make_qualify(self))
                 conditions.add(f"{node['label']}:{rendered}")  # README.md:265-278
             return ctx
@@ -463,9 +467,37 @@ class LineageAnalyzer:
 
     # -- select items -------------------------------------------------------
 
+    def _scan_subquery_exprs(self, expr: Node, res: LineageResult) -> None:
+        """Register input tables of expression-level subqueries
+        (scalar / IN / EXISTS) — beyond the reference's surface (Q3
+        negative), but input-table completeness matters for lineage
+        consumers.  Conditions inside them are not tagged."""
+        stack: list[Node] = [expr]
+        while stack:
+            n = stack.pop()
+            if not isinstance(n, Node):
+                continue
+            if n.cls == "SubqueryExpr":
+                plan = n.get("plan")
+                if plan is not None:
+                    self._walk_query(plan, set(), res)
+            stack.extend(n.children)
+            for v in n.fields.values():
+                if isinstance(v, Node):
+                    stack.append(v)
+                elif isinstance(v, (list, tuple)):
+                    for x in v:
+                        if isinstance(x, Node):
+                            stack.append(x)
+                        elif isinstance(x, tuple):
+                            stack.extend(
+                                i for i in x if isinstance(i, Node)
+                            )
+
     def _select_item(self, item: Node, ctx: FromCtx, qualify) -> list[OutCol]:
         if item.cls == "Star":
             return self._expand_star(item, ctx)
+        self._scan_subquery_exprs(item, self._cur_res)
         if item.cls == "Alias":
             name = item["name"]
             expr = item.children[0]

@@ -394,3 +394,16 @@ def test_insert_explicit_column_list_alignment(spark):
     lines = lines_by_name(res)
     assert lines["x"].to_name == "app.t1.colb"
     assert lines["y"].to_name == "app.t1.cola"
+
+
+def test_expression_subquery_inputs_registered(spark):
+    """Scalar/IN/EXISTS subqueries in expressions register their input
+    tables (beyond the reference's Q3-negative surface)."""
+    an = LineageAnalyzer(spark, DictMetastore({}))
+    res = an.analyze("select a from t where b in (select c from u)")
+    assert res.input_tables == {"default.t", "default.u"}
+    res = an.analyze(
+        "select (select max(c) from u2) as m, a from t "
+        "where exists (select 1 from u3 where u3.k = t.a)"
+    )
+    assert res.input_tables == {"default.t", "default.u2", "default.u3"}
