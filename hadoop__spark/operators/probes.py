@@ -239,6 +239,33 @@ def _tj04(spark, sf_dir):
     )
 
 
+def _pp01(spark, sf_dir):
+    """End-to-end corpus prep: quality-filter → exact-dedup →
+    running token budget (the composed pipeline a training-data run
+    executes, as one declarative plan)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = text.quality_score(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    keepers = dedup.fingerprint_dedup(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    surviving = (
+        scored.join(keepers, "doc_id")
+        .where(F.col("quality_score") >= 0.5)
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return surviving.select(
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).where(F.col("cum_tokens") <= 100_000)
+
+
 OPERATOR_PROBES: list[Probe] = [
     Probe(
         name="dd01_dedup_exact",
@@ -297,6 +324,43 @@ QUALIFY rank <= 10
     # IVF is approximate by construction (k-means bucketing) — no SQL
     # oracle; recall vs brute force is asserted in tests/test_operators.
     Probe(name="ann02_ivf_topk", fn=_ann02, oracle=None),
+    Probe(
+        name="pp01_corpus_prep_pipeline",
+        fn=_pp01,
+        oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_WORDS} AS w FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(w) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_filter(list_distinct(w),
+      x -> list_contains(['the','and','of','is','a'], x))) AS DOUBLE) AS n_stop,
+    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+      AS DOUBLE) AS n_punct,
+    CAST(length(array_to_string(w, '')) AS DOUBLE) AS sum_word_len,
+    CAST(len(list_distinct(w)) AS DOUBLE) AS n_distinct
+  FROM t
+), q AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+    least(n_tok / 64.0, 1.0) * 0.4
+      + (CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END) * 0.3
+      + (n_stop / 5.0) * 0.2
+      + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                      ELSE 0.0 END) * 10.0, 1.0)) * 0.1 AS quality_score
+  FROM m
+), k AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+), s AS (
+  SELECT q.doc_id, q.n_tokens FROM q JOIN k USING (doc_id)
+  WHERE q.quality_score >= 0.5
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_tokens
+FROM s QUALIFY cum_tokens <= 100000
+""",
+    ),
     Probe(
         name="tj01_asof_join",
         fn=_tj01,

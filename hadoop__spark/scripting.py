@@ -36,13 +36,23 @@ class ScriptSession:
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
-    def run_script(self, script: str) -> list[StatementResult]:
+    def run_script(
+        self, script: str, validate: bool = False
+    ) -> list[StatementResult]:
         """Execute every statement in order; returns per-statement
         results (the last SELECT's DataFrame is typically the payload).
 
         ``USE db`` goes through ``spark.sql`` too, so the catalog's
         current database — not parser state — carries the session
-        (≡ reference ``nowQueryDB``, README.md:129, 637-640)."""
+        (≡ reference ``nowQueryDB``, README.md:129, 637-640).
+
+        ``validate=True`` runs the analysis plane FIRST (reference
+        ``parse(sql, validate)``, README.md:744-764): every referenced
+        table and column must resolve against the catalog before any
+        statement executes — a whole-script precheck instead of
+        failing halfway through a multi-statement mutation."""
+        if validate:
+            self.lineage(script, validate=True)
         return [
             StatementResult(sql, self.spark.sql(sql))
             for sql in split_statements(script)

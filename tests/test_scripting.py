@@ -91,3 +91,28 @@ def test_lineage_matches_exec_schema(sess, spark):
     df = sess.run(script)
     res = sess.lineage(script, validate=True)
     assert [line.to_name_parse for line in res.col_lines] == df.columns
+
+
+def test_run_script_validate_precheck(sess, spark):
+    """validate=True prechecks the whole script via the analysis plane
+    before executing anything: a bad column in statement 2 aborts the
+    script with statement 1 never run."""
+    import pytest as _pytest
+
+    from hadoop__spark.plans import LineageError
+
+    sess.run_script(
+        "USE appx; CREATE TABLE src (ip STRING, age INT) USING parquet"
+    )
+    with _pytest.raises(LineageError):
+        sess.run_script(
+            "INSERT INTO src VALUES ('a', 1); "
+            "SELECT no_such_col FROM src",
+            validate=True,
+        )
+    assert spark.table("appx.src").count() == 0, "nothing may execute"
+    results = sess.run_script(
+        "INSERT INTO src VALUES ('a', 1); SELECT ip FROM src",
+        validate=True,
+    )
+    assert [r.ip for r in results[-1].df.collect()] == ["a"]
