@@ -134,6 +134,98 @@ def ivf_assign(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: the assigned corpus partitioned by
+    ``centroid_id`` (so query-time probing is a partition-pruned scan)
+    plus the centroid table.
+
+    This is the storage layout the in-memory :func:`ivf_topk` docstring
+    promises at 100 TB: each centroid bucket is a Hive-style partition
+    directory, and a query touching nprobe buckets reads exactly those
+    directories and nothing else.
+    """
+    cents = ivf_fit_centroids(corpus, nlist, vec_col, seed)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assigned")
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_read_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVF index with partition pruning.
+
+    The probe-bucket set (|queries| × nprobe ints) is collected to the
+    driver — that tiny list, never the corpus, is what drives the
+    ``centroid_id IN (...)`` partition filter on the assigned scan.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), "centroid_id"
+    )
+    q_buckets = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "_qv",
+            "centroid_id",
+            cosine_sim(F.col("_qv"), F.col("centroid")).alias("_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(qw))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "centroid_id")
+    )
+    probe_ids = sorted(
+        {r.centroid_id for r in q_buckets.select("centroid_id").collect()}
+    )
+    assigned = spark.read.parquet(f"{path}/assigned").where(
+        F.col("centroid_id").isin(probe_ids)  # -> PartitionFilters
+    )
+    sims = (
+        assigned.join(F.broadcast(q_buckets), "centroid_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_sim(F.col("_qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

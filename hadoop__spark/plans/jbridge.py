@@ -202,6 +202,21 @@ def convert_plan(jplan, sql: str) -> Node:
         return Node("AlterTable", {"table_parts": _ddl_target(jplan)})
     if cls in ("CreateTable", "CreateTableStatement"):
         return Node("CreateTable", {"table_parts": _ddl_target(jplan)})
+    if cls == "CreateView":
+        return Node(
+            "CreateView",
+            {"table_parts": _ddl_target(jplan)},
+            [convert_plan(jplan.children().apply(1), sql)],
+        )
+    if cls == "CreateViewCommand":  # CREATE [OR REPLACE] TEMP VIEW
+        ti = jplan.name()
+        db = _opt(ti.database())
+        parts = ([str(db)] if db else []) + [str(ti.table())]
+        return Node(
+            "CreateView",
+            {"table_parts": parts, "temp": True},
+            [convert_plan(jplan.plan(), sql)],
+        )
 
     # Unknown plan node: keep class name + children so the walker can
     # recurse (robustness over the full Spark SQL surface).

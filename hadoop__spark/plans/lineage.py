@@ -252,6 +252,7 @@ class LineageAnalyzer:
         self.current_db = current_db
         self._bindings: list[tuple[str, str]] = []
         self._ctes: dict[str, Scope] = {}  # per-statement WITH scopes
+        self._views: dict[str, Scope] = {}  # session-level CREATE VIEWs
         self._cur_res: LineageResult | None = None
 
     def fill_db(self, name: str) -> str:
@@ -324,6 +325,17 @@ class LineageAnalyzer:
             scope = self._walk_query(node.children[0], conditions, res)
             self._emit(dest, scope, conditions, res)
             res.statements.append("CREATETABLE")
+        elif node.cls == "CreateView":
+            # views become session-level virtual scopes: later
+            # statements in the same analyzer resolve through the
+            # view's own lineage (beyond the reference's surface)
+            dest = self._fill_parts(node["table_parts"])
+            res.output_tables.add(dest)
+            scope = self._walk_query(node.children[0], conditions, res)
+            self._emit(dest, scope, conditions, res)
+            self._views[dest] = scope
+            self._views[node["table_parts"][-1].lower()] = scope
+            res.statements.append("CREATEVIEW")
         elif node.cls == "CreateTable":
             if node.get("table_parts"):
                 res.output_tables.add(self._fill_parts(node["table_parts"]))
@@ -418,25 +430,12 @@ class LineageAnalyzer:
         self, node: Node, conditions: set[str], res: LineageResult
     ) -> FromCtx:
         if node.cls == "UnresolvedRelation":
-            parts = node["parts"]
-            if len(parts) == 1 and parts[0].lower() in self._ctes:
-                name = parts[0].lower()
-                return FromCtx([(name, SubScope(self._ctes[name]))])
-            qname = self._fill_parts(parts)
-            res.input_tables.add(qname)
-            return FromCtx([(None, BaseTable(qname, parts[-1].lower()))])
+            return self._relation_source(node["parts"], None, res)
         if node.cls == "SubqueryAlias":
             alias = node["alias"]
             child = node.children[0]
             if child.cls == "UnresolvedRelation":
-                parts = child["parts"]
-                if len(parts) == 1 and parts[0].lower() in self._ctes:
-                    return FromCtx(
-                        [(alias, SubScope(self._ctes[parts[0].lower()]))]
-                    )
-                qname = self._fill_parts(parts)
-                res.input_tables.add(qname)
-                return FromCtx([(alias, BaseTable(qname, parts[-1].lower()))])
+                return self._relation_source(child["parts"], alias, res)
             scope = self._walk_query(child, conditions, res)
             return FromCtx([(alias, SubScope(scope))])
         if node.cls == "Filter":
@@ -466,6 +465,24 @@ class LineageAnalyzer:
         return merged
 
     # -- select items -------------------------------------------------------
+
+    def _relation_source(
+        self, parts: list[str], alias: str | None, res: LineageResult
+    ) -> FromCtx:
+        """A FROM relation resolves to (in priority order): a CTE of
+        the current statement, a view created earlier in this session,
+        or a base table (recorded as an input)."""
+        simple = parts[-1].lower()
+        if len(parts) == 1 and simple in self._ctes:
+            return FromCtx([(alias or simple, SubScope(self._ctes[simple]))])
+        qname = self._fill_parts(parts)
+        view = self._views.get(qname) or (
+            self._views.get(simple) if len(parts) == 1 else None
+        )
+        if view is not None:
+            return FromCtx([(alias or simple, SubScope(view))])
+        res.input_tables.add(qname)
+        return FromCtx([(alias, BaseTable(qname, simple))])
 
     def _scan_subquery_exprs(self, expr: Node, res: LineageResult) -> None:
         """Register input tables of expression-level subqueries

@@ -407,3 +407,30 @@ def test_expression_subquery_inputs_registered(spark):
         "where exists (select 1 from u3 where u3.k = t.a)"
     )
     assert res.input_tables == {"default.t", "default.u2", "default.u3"}
+
+
+def test_create_view_lineage_and_resolution(spark):
+    """CREATE VIEW records edges like CTAS, and later statements in
+    the same session resolve through the view's lineage."""
+    an = LineageAnalyzer(spark, DictMetastore({}))
+    res = an.analyze(
+        "use app; create view v1 as select a as x, b from t where a > 0; "
+        "select v1.x from v1 join u on v1.b = u.k"
+    )
+    assert res.statements == ["USE", "CREATEVIEW", "SELECT"]
+    assert res.output_tables == {"app.v1"}
+    # inputs are base tables only — the view itself is not an input
+    assert res.input_tables == {"app.t", "app.u"}
+    by_name = {}
+    for line in res.col_lines:
+        by_name.setdefault(line.to_name_parse, []).append(line)
+    # the SELECT's x resolves through the view to app.t.a
+    select_x = [l for l in by_name["x"] if l.to_table == "TOK_TMP_FILE"]
+    assert select_x
+    # reference-faithful rename-prefix form: table prefix from the
+    # view's source, column name as seen through the view
+    assert select_x[0].from_names == ("app.t.x",)
+    # join condition resolves the view's b to the base table
+    assert any(
+        c == "JOIN:app.t.b = app.u.k" for c in select_x[0].conditions
+    ), select_x[0].conditions

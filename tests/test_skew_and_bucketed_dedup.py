@@ -76,3 +76,24 @@ def test_bucketed_embedding_dedup_recall(spark):
     assert bucketed <= brute, "bucketed result must be a subset (no FPs)"
     recall = len(bucketed & brute) / len(brute)
     assert recall >= 0.7, f"bucketed dedup recall {recall}"
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """Persisted IVF: query-time scan reads only the probed centroid
+    partitions (PartitionFilters in the plan), and recall vs brute
+    force holds."""
+    from pyspark.sql import functions as F
+
+    from hadoop__spark.operators import similarity
+
+    embs = load_tables(spark, SF_DIR)["embeddings"]
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(embs, path, nlist=8)
+    queries = embs.where(F.col("vec_id") < 10)
+    got = similarity.ivf_read_topk(spark, path, queries, k=10, nprobe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    brute = similarity.cosine_topk(embs, queries, k=10)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(a & b) / len(b) >= 0.5
