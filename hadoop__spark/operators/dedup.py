@@ -362,6 +362,74 @@ def embedding_dedup_pairs(
     return pairs
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id,
+    cluster_id) with cluster_id = the minimum doc id in the component —
+    the step that turns pair lists into keep/delete decisions (keep
+    ``doc_id == cluster_id``, drop the rest).
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until a fixpoint.
+    Each iteration is one shuffle (edge join + min-aggregate); the
+    driver only checks the converged-count, never the data.  Rounds
+    needed ≈ graph diameter — near-dup clusters are dense and shallow,
+    so 3-5 rounds in practice; ``max_iterations`` bounds pathological
+    chains (alternating star-contraction is the published fix if ever
+    needed at 100 TB).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("_n"), F.col("label").alias("_l")
+                ),
+                F.col("dst") == F.col("_n"),
+            )
+            .groupBy("src")
+            .agg(F.min("_l").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.select(
+                F.col("node").alias("_n2"), F.col("label").alias("_l2")
+            )
+            .join(labels, F.col("_n2") == F.col("node"))
+            .where(F.col("_l2") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_dedup_pairs_bucketed(
     df: DataFrame,
     vec_col: str = "embedding",

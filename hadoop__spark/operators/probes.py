@@ -239,6 +239,15 @@ def _tj04(spark, sf_dir):
     )
 
 
+def _dd08(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup.dedup_clusters(pairs)
+
+
+def _ts05(spark, sf_dir):
+    return text.top_vocabulary(_docs(spark, sf_dir), k=100)
+
+
 def _pp01(spark, sf_dir):
     """End-to-end corpus prep: quality-filter → exact-dedup →
     running token budget (the composed pipeline a training-data run
@@ -324,6 +333,39 @@ QUALIFY rank <= 10
     # IVF is approximate by construction (k-means bucketing) — no SQL
     # oracle; recall vs brute force is asserted in tests/test_operators.
     Probe(name="ann02_ivf_topk", fn=_ann02, oracle=None),
+    Probe(
+        name="dd08_dedup_clusters",
+        fn=_dd08,
+        oracle=f"""
+WITH RECURSIVE pairs AS ({_jaccard_oracle(0.8)}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+""",
+    ),
+    Probe(
+        name="ts05_top_vocabulary",
+        fn=_ts05,
+        oracle=f"""
+WITH w AS (
+  SELECT unnest({_WORDS}) AS token FROM documents
+), counted AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w GROUP BY token
+)
+SELECT token, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+FROM counted
+QUALIFY rank <= 100
+""",
+    ),
     Probe(
         name="pp01_corpus_prep_pipeline",
         fn=_pp01,

@@ -135,6 +135,26 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_vocabulary(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus top-k vocabulary: token → count → rank (ties broken by
+    token).  Explode + count is map-side combined; only the per-token
+    partials shuffle, and the final top-k is a single ordered limit.
+    """
+    from pyspark.sql import Window
+
+    counted = (
+        ensure_parallelism(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints.
 

@@ -108,3 +108,29 @@ def test_frame_sample_reassembles(spark, docs):
 def test_decode_image_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG")
+
+
+def test_dedup_clusters_match_union_find(spark, docs):
+    """DataFrame connected components vs a plain union-find on the
+    collected pair list."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    pair_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want and len(want) > 0
