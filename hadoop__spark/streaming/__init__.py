@@ -14,11 +14,17 @@ from hadoop__spark.streaming.rollup import (
     sessionize,
     sliding_rollup,
 )
+from hadoop__spark.streaming.continuous import (
+    read_rollup,
+    run_incremental_rollup,
+)
 from hadoop__spark.streaming.stateful import running_totals
 
 __all__ = [
     "hourly_rollup",
     "read_events_stream",
+    "read_rollup",
+    "run_incremental_rollup",
     "run_stream_to_memory",
     "running_totals",
     "sessionize",

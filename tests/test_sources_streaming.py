@@ -174,3 +174,54 @@ def test_stateful_running_totals(spark):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_rollup_exactly_once(spark, tmp_path):
+    """Continuous-aggregate table: finalized windows match batch, and a
+    second drain with no new input appends nothing (checkpoint gives
+    exactly-once across restarts)."""
+    from hadoop__spark.streaming.continuous import (
+        read_rollup,
+        run_incremental_rollup,
+    )
+
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    table = str(tmp_path / "rollup_table")
+    ckpt = str(tmp_path / "ckpt")
+    run_incremental_rollup(spark, events_path, table, ckpt)
+    got = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 4))
+        for r in read_rollup(spark, table).collect()
+    }
+    batch = load_tables(spark, SF_DIR)["events"]
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    want_all = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 4)): r.hour
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    # append emits only windows finalized past the watermark: every
+    # emitted window must match batch exactly...
+    assert got <= set(want_all)
+    # ...and everything older than the watermark horizon must be there
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=3, minutes=1)
+    missing = {
+        k for k, hour in want_all.items() if hour < horizon and k not in got
+    }
+    assert not missing, f"finalized windows missing: {sorted(missing)[:3]}"
+    assert len(got) > 0
+
+    # second drain: no new input -> no new rows
+    n_before = spark.read.parquet(table).count()
+    run_incremental_rollup(spark, events_path, table, ckpt)
+    assert spark.read.parquet(table).count() == n_before
