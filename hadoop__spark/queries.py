@@ -392,6 +392,16 @@ _probe(
 # both exact in DuckDB, so the check is still a hash-match on a
 # boolean + the exact anchor columns.
 _probe(
+    "a09_grouping_sets",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+    "CAST(GROUPING(l_returnflag) AS INT) AS g1, "
+    "CAST(GROUPING(l_linestatus) AS INT) AS g2 "
+    "FROM lineitem GROUP BY GROUPING SETS "
+    "((l_returnflag, l_linestatus), (l_returnflag), ())",
+    same=True,
+)
+
+_probe(
     "a07_approx_count_distinct",
     "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd, "
     "CAST(approx_count_distinct(l_partkey) BETWEEN "

@@ -60,6 +60,27 @@ def run_incremental_rollup(
     q.awaitTermination()
 
 
+def compact_rollup(spark: SparkSession, table_path: str) -> None:
+    """Collapse accumulated partials to one row per (hour, event_type).
+
+    Periodic maintenance: read cost degrades with partial count, and
+    compaction is a single aggregation OF THE PARTIALS — raw events
+    are never rescanned.  Safe to interleave with drains (the merged
+    rows are themselves valid partials)."""
+    merged = (
+        spark.read.parquet(table_path)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("p_count").cast("bigint").alias("p_count"),
+            F.sum("p_sum").alias("p_sum"),
+        )
+    )
+    # two-phase: write aside, then overwrite (parquet has no txn swap)
+    tmp = table_path.rstrip("/") + "__compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
+
+
 def read_rollup(spark: SparkSession, table_path: str) -> DataFrame:
     """Final rollup view over the partial table: merge partials per
     (hour, event_type)."""

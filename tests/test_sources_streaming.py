@@ -225,3 +225,27 @@ def test_incremental_rollup_exactly_once(spark, tmp_path):
     n_before = spark.read.parquet(table).count()
     run_incremental_rollup(spark, events_path, table, ckpt)
     assert spark.read.parquet(table).count() == n_before
+
+
+def test_rollup_compaction_preserves_answer(spark, tmp_path):
+    from hadoop__spark.streaming.continuous import (
+        compact_rollup,
+        read_rollup,
+        run_incremental_rollup,
+    )
+
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    table = str(tmp_path / "rt")
+    run_incremental_rollup(spark, events_path, table, str(tmp_path / "ck"))
+    before = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 4))
+        for r in read_rollup(spark, table).collect()
+    }
+    compact_rollup(spark, table)
+    after = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 4))
+        for r in read_rollup(spark, table).collect()
+    }
+    assert before == after
+    n_rows = spark.read.parquet(table).count()
+    assert n_rows == len(after), "compacted to one partial per key"
