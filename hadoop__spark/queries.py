@@ -391,6 +391,32 @@ _probe(
 # estimate must sit between the true 40th and 60th percentiles —
 # both exact in DuckDB, so the check is still a hash-match on a
 # boolean + the exact anchor columns.
+# JSON extraction from the events props column — the routine
+# semi-structured path of a log pipeline; Spark get_json_object vs
+# DuckDB's json extraction operator.
+_probe(
+    "f09_json_extract",
+    "SELECT event_id, "
+    "CAST(get_json_object(props, '$.k') AS BIGINT) AS k "
+    "FROM events WHERE props IS NOT NULL",
+    oracle=(
+        "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k "
+        "FROM events WHERE props IS NOT NULL"
+    ),
+)
+
+# explicit window frames (rows between) — running totals over a
+# deterministic order
+_probe(
+    "w03_window_frame",
+    "SELECT o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "AS running_spend FROM orders",
+    same=True,
+)
+
 _probe(
     "a09_grouping_sets",
     "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
