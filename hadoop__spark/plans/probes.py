@@ -74,7 +74,45 @@ def _lineage_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _TABLE_SCHEMA)
 
 
+#: Extended-surface script: CTE, CREATE VIEW with view-resolved later
+#: statement, and a Hive multi-insert — the beyond-reference analysis
+#: features, in one script.
+_SCRIPT_EXTENDED = (
+    "use default;"
+    "create view big_orders as "
+    "select o_orderkey, o_custkey, o_totalprice from orders "
+    "where o_totalprice > 100000.0;"
+    "with cust as (select c_custkey, c_name from customer) "
+    "select cust.c_name, b.o_totalprice "
+    "from big_orders b join cust on b.o_custkey = cust.c_custkey;"
+    "from lineitem "
+    "insert overwrite table t_big select l_orderkey where l_quantity > 45 "
+    "insert into table t_small select l_orderkey, l_quantity "
+    "where l_quantity <= 2"
+)
+
+
+def _lineage_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop__spark.plans.lineage import LineageAnalyzer
+
+    register_views(spark, sf_dir)
+    res = LineageAnalyzer(spark).analyze(_SCRIPT_EXTENDED)
+    rows = [
+        (
+            line.to_table,
+            line.to_name_parse,
+            sorted(line.from_names),
+            sorted(line.conditions),
+        )
+        for line in res.col_lines
+    ]
+    return spark.createDataFrame(rows, _EDGE_SCHEMA).orderBy(
+        "to_table", "to_name_parse"
+    )
+
+
 LINEAGE_PROBES: list[Probe] = [
     Probe(name="ln01_column_lineage", fn=_lineage_edges, oracle=None),
     Probe(name="ln02_inout_tables", fn=_lineage_tables, oracle=None),
+    Probe(name="ln03_extended_script", fn=_lineage_extended, oracle=None),
 ]
