@@ -64,6 +64,25 @@ class LineageResult:
     col_lines: list[ColLine] = field(default_factory=list)
     statements: list[str] = field(default_factory=list)  # statement kinds
 
+    def format(self) -> str:
+        """The reference's console dump format (``printRestult``,
+        README.md:1210-1217), for output parity with the upstream tool:
+        ``&``-joined multi-tables and ``,``-joined multi-columns appear
+        exactly as the reference serializes them."""
+        lines = [
+            "inputTable:" + str(sorted(self.input_tables)),
+            "outputTable:" + str(sorted(self.output_tables)),
+        ]
+        for line in self.col_lines:
+            lines.append(
+                f"ToTable:{line.to_table},"
+                f"ToNameParse:{line.to_name_parse},"
+                f"ToName:{line.to_name},"
+                f"FromName:{','.join(line.from_names)},"
+                f"Condition:{sorted(line.conditions)}"
+            )
+        return "\n".join(lines)
+
 
 class Metastore(Protocol):
     def columns(self, qualified_table: str) -> list[str] | None: ...

@@ -434,3 +434,19 @@ def test_create_view_lineage_and_resolution(spark):
     assert any(
         c == "JOIN:app.t.b = app.u.k" for c in select_x[0].conditions
     ), select_x[0].conditions
+
+
+def test_format_matches_reference_print_shape(spark):
+    """LineageResult.format() reproduces the reference's console dump
+    shape (printRestult, README.md:1210-1217)."""
+    res = LineageAnalyzer(spark, DictMetastore({})).analyze(
+        "use app; insert into table dest select nvl(a.name,0) as name "
+        "from test a"
+    )
+    out = res.format()
+    assert out.splitlines()[0] == "inputTable:['app.test']"
+    assert out.splitlines()[1] == "outputTable:['app.dest']"
+    assert (
+        "ToTable:app.dest,ToNameParse:name,ToName:None,"
+        "FromName:app.test.name,Condition:" in out
+    )

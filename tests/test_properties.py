@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from hadoop__spark.operators import dedup
@@ -136,4 +137,62 @@ def test_lineage_never_crashes_and_sources_are_sound(spark, e, pred_col, v):
     assert any(
         c.startswith(f"WHERE:default.t.{pred_col} > {v}")
         for c in line.conditions
+    )
+
+
+@given(
+    n_events=st.integers(5, 30),
+    n_updates=st.integers(1, 10),
+    seed=st.integers(0, 10_000),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_on_random_series(
+    spark, n_events, n_updates, seed
+):
+    """asof_join equals pandas merge_asof for arbitrary generated
+    per-key time series (unique right timestamps per key)."""
+    import random
+
+    import pandas as pd
+
+    from hadoop__spark.operators.temporal import asof_join
+
+    rng = random.Random(seed)
+    base = 1_700_000_000
+    left_rows = [
+        (i, rng.randint(0, 2), base + rng.randint(0, 10_000))
+        for i in range(n_events)
+    ]
+    right_ts = {}
+    for j in range(n_updates):
+        key = rng.randint(0, 2)
+        ts = base + rng.randint(0, 10_000)
+        right_ts[(key, ts)] = j * 10
+    right_rows = [(k, t, v) for (k, t), v in right_ts.items()]
+    left = spark.createDataFrame(
+        left_rows, "event_id LONG, k LONG, ts_s LONG"
+    ).select("event_id", "k", F.timestamp_seconds("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        right_rows, "k LONG, ts_s LONG, val LONG"
+    ).select("k", F.timestamp_seconds("ts_s").alias("ts"), "val")
+    got = (
+        asof_join(left, right, on="k")
+        .select("event_id", "asof_val")
+        .toPandas()
+        .set_index("event_id")["asof_val"]
+        .sort_index()
+    )
+    lp = left.toPandas().sort_values(["ts", "event_id"])
+    rp = right.toPandas().sort_values("ts")
+    want = (
+        pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        .set_index("event_id")["val"]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(
+        got, want, check_names=False, check_dtype=False
     )
