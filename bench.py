@@ -27,10 +27,10 @@ HEADLINE = [
     "h02_shipping_priority",
     "h03_local_supplier",
     "h04_events_hourly",
-    "j09_multiway_join",
-    "a02_count_distinct",
+    "j04_multiway_join",
+    "a02_distinct_hash",
     "q01_from_subquery",
-    "w01_window_rank",
+    "w01_windows",
     "dd01_dedup_exact",
     "dd02_dedup_fingerprint",
     "dd03_minhash_lsh",

@@ -29,6 +29,7 @@ _SCRIPT = (
 
 _EDGE_SCHEMA = StructType(
     [
+        StructField("script", StringType()),
         StructField("to_table", StringType()),
         StructField("to_name_parse", StringType()),
         StructField("from_names", ArrayType(StringType())),
@@ -45,21 +46,30 @@ _TABLE_SCHEMA = StructType(
 
 
 def _lineage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges for the base script (validated) AND the extended script
+    (CTE + view + multi-insert), tagged by script — one probe covers
+    both analysis surfaces (driver probe budget is bounded)."""
     from hadoop__spark.plans.lineage import LineageAnalyzer
 
     register_views(spark, sf_dir)
-    res = LineageAnalyzer(spark).analyze(_SCRIPT, validate=True)
-    rows = [
-        (
-            line.to_table,
-            line.to_name_parse,
-            sorted(line.from_names),
-            sorted(line.conditions),
+    rows = []
+    for tag, script, validate in (
+        ("base", _SCRIPT, True),
+        ("extended", _SCRIPT_EXTENDED, False),
+    ):
+        res = LineageAnalyzer(spark).analyze(script, validate=validate)
+        rows.extend(
+            (
+                tag,
+                line.to_table,
+                line.to_name_parse,
+                sorted(line.from_names),
+                sorted(line.conditions),
+            )
+            for line in res.col_lines
         )
-        for line in res.col_lines
-    ]
     return spark.createDataFrame(rows, _EDGE_SCHEMA).orderBy(
-        "to_table", "to_name_parse"
+        "script", "to_table", "to_name_parse"
     )
 
 
@@ -92,27 +102,7 @@ _SCRIPT_EXTENDED = (
 )
 
 
-def _lineage_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop__spark.plans.lineage import LineageAnalyzer
-
-    register_views(spark, sf_dir)
-    res = LineageAnalyzer(spark).analyze(_SCRIPT_EXTENDED)
-    rows = [
-        (
-            line.to_table,
-            line.to_name_parse,
-            sorted(line.from_names),
-            sorted(line.conditions),
-        )
-        for line in res.col_lines
-    ]
-    return spark.createDataFrame(rows, _EDGE_SCHEMA).orderBy(
-        "to_table", "to_name_parse"
-    )
-
-
 LINEAGE_PROBES: list[Probe] = [
     Probe(name="ln01_column_lineage", fn=_lineage_edges, oracle=None),
     Probe(name="ln02_inout_tables", fn=_lineage_tables, oracle=None),
-    Probe(name="ln03_extended_script", fn=_lineage_extended, oracle=None),
 ]

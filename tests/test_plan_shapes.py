@@ -36,7 +36,7 @@ def test_h01_scan_pushdown_and_partial_agg(spark):
 
 
 def test_j06_mapjoin_hint_broadcasts(spark):
-    df = probe_map()["j06_map_join_broadcast"].run(spark, SF_DIR)
+    df = probe_map()["j01_inner_broadcast"].run(spark, SF_DIR)
     assert "BroadcastHashJoin" in _plan(df)
 
 
@@ -78,7 +78,7 @@ def test_exact_dedup_single_shuffle(spark):
 
 
 def test_window_probe_single_sort_per_partition(spark):
-    df = probe_map()["w01_window_rank"].run(spark, SF_DIR)
+    df = probe_map()["w01_windows"].run(spark, SF_DIR)
     plan = _plan(df)
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 1
