@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hadoop__spark.operators.text import normalized, tokens
@@ -139,9 +140,20 @@ def minhash_lsh_pairs(
     the DuckDB oracle computes).
     """
     rows_per_band = num_perm // bands
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    # The shingle frame feeds three consumers (signatures + both sides
+    # of the exact-verify join); without persist() each one re-scans
+    # and re-normalizes the corpus.  MEMORY_AND_DISK: spills instead of
+    # recomputing, and the LRU evictor reclaims it after the query.
+    # At 100 TB, materialize signatures as a table instead (NOTES.md).
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), n).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     mh = _minhash_signatures(base, num_perm)
     # band hash = xxhash64 over the band's rows_per_band signature slots
     banded = mh.select(
@@ -405,25 +417,29 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("_l").alias("nmin"))
         )
+        # The changed-flag is computed inside the same projection and
+        # the frame is localCheckpoint-ed (eager): lineage is truncated
+        # every round (bounded plan depth — no quadratic recompute),
+        # and the convergence aggregate below reads the cached blocks
+        # instead of re-running the whole join chain.  Superseded
+        # checkpoint blocks are released by Spark's ContextCleaner once
+        # the previous generation is dereferenced.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
                 ).alias("label"),
             )
+            .withColumn("_chg", (F.col("label") != F.col("_old")).cast("long"))
+            .drop("_old")
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.select(
-                F.col("node").alias("_n2"), F.col("label").alias("_l2")
-            )
-            .join(labels, F.col("_n2") == F.col("node"))
-            .where(F.col("_l2") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("_chg").alias("c")).first()[0]
+        labels = new_labels.drop("_chg")
+        if not changed:
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -565,9 +565,13 @@ FROM s
         name="mm01_multimodal_features",
         fn=_mm01,
         oracle="""
+-- first_byte is the first UTF-8 *byte* (hex of the blob), not the
+-- first character's codepoint: ascii() would diverge on multibyte
+-- leading characters (e.g. zh documents)
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-       ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte,
+       ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT)
+       END AS BIGINT) AS first_byte,
   'text/plain' AS mime
 FROM documents
 """,

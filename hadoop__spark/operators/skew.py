@@ -37,7 +37,18 @@ def salted_join(
     pass a different column (e.g. a row id) when many probe rows share
     the key, which is the whole point: the default hashes *all* probe
     columns so identical-key rows still spread.
+
+    ``how``: ``'inner'`` or ``'left'`` (probe-outer) only.  The build
+    side is replicated ``salt``× before the join, so ``'right'`` /
+    ``'full'`` would emit every unmatched build row ``salt`` times —
+    rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "the build side is replicated salt x, so right/full outer "
+            "would duplicate unmatched build rows once per salt value"
+        )
     if probe_salt_col is None:
         probe_salt_col = F.abs(F.xxhash64(*probe.columns)) % salt
     elif isinstance(probe_salt_col, str):
@@ -55,12 +66,19 @@ def salted_join(
 
 def key_skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Diagnostic: per-key row counts and share of total, descending —
-    the 'should I salt this join' question answered from data."""
-    total = df.count()
+    the 'should I salt this join' question answered from data.
+
+    Single pass: the total comes from an unpartitioned window over the
+    (small, one-row-per-key) aggregate, not a second scan of ``df``.
+    """
+    from pyspark.sql import Window
+
+    agged = df.groupBy(key).agg(F.count("*").alias("n_rows"))
     return (
-        df.groupBy(key)
-        .agg(F.count("*").alias("n_rows"))
-        .withColumn("share", F.col("n_rows") / F.lit(total))
+        agged.withColumn(
+            "share",
+            F.col("n_rows") / F.sum("n_rows").over(Window.partitionBy()),
+        )
         .orderBy(F.col("n_rows").desc())
         .limit(top)
     )

@@ -101,13 +101,25 @@ def range_join(
     interval lands in ``len/bucket + 1`` buckets, each left row in
     exactly one, so result pairs are produced exactly once (no
     dedup needed) by an equi-join on the bucket id.
+
+    ``how``: ``'inner'`` or ``'left'``.  The exact range predicate is
+    part of the JOIN CONDITION (not a post-filter), so ``'left'``
+    keeps unmatched left rows null-extended.  ``'right'``/``'full'``
+    are rejected: intervals are replicated once per overlapped bucket,
+    so an unmatched interval would surface once per replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r}: "
+            "the build side is bucket-replicated, so right/full outer "
+            "would emit unmatched intervals once per bucket replica"
+        )
     b = F.lit(bucket_seconds)
     l_b = left.withColumn(
         "_bucket", (F.unix_timestamp(F.col(left_ts)) / b).cast("long")
     )
     i_b = intervals.withColumn(
-        "_bucket",
+        "_ibucket",
         F.explode(
             F.sequence(
                 (F.unix_timestamp(F.col(start)) / b).cast("long"),
@@ -117,13 +129,12 @@ def range_join(
             )
         ),
     )
-    return (
-        l_b.join(i_b, on="_bucket", how=how)
-        .where(
-            (F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end))
-        )
-        .drop("_bucket")
+    cond = (
+        (l_b["_bucket"] == i_b["_ibucket"])
+        & (l_b[left_ts] >= i_b[start])
+        & (l_b[left_ts] < i_b[end])
     )
+    return l_b.join(i_b, on=cond, how=how).drop("_bucket", "_ibucket")
 
 
 def sessionize_batch(

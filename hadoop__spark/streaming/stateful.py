@@ -64,10 +64,23 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         n, total, high = (
             state.get if state.exists else (0, 0.0, float("-inf"))
         )
-        for pdf in pdfs:
+        # Fold row-wise in EVENT-TIME order (stable sort, event_id
+        # tiebreak): the high-water mark is then a function of the
+        # data, not of Arrow chunk boundaries or micro-batch row order
+        # — identical across replays even when values decrease the
+        # running total.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            sort_keys = [
+                c for c in ("ts", "event_id") if c in pdf.columns
+            ]
+            if sort_keys:
+                pdf = pdf.sort_values(sort_keys, kind="mergesort")
+            cum = total + pdf["value"].astype(float).cumsum()
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            high = max(high, total)
+            total = float(cum.iloc[-1])
+            high = max(high, float(cum.max()))
         state.update((n, total, high))
         # evict when the event-time watermark passes the user's silence
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)

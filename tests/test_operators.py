@@ -134,3 +134,20 @@ def test_dedup_clusters_match_union_find(spark, docs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in parent}
     assert got == want and len(want) > 0
+
+
+def test_dedup_clusters_long_chain_bounded_plan(spark):
+    """A 24-node path graph forces ~12 label-propagation rounds; the
+    localCheckpoint every round must keep the physical plan bounded
+    (no per-iteration plan growth) and still converge to one cluster."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "id_a LONG, id_b LONG"
+    )
+    labels = dedup.dedup_clusters(pairs, max_iterations=30)
+    rows = labels.collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == 25
+    # lineage is truncated by localCheckpoint: the final plan reads a
+    # checkpointed scan, not a 12-deep join chain
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1, plan

@@ -3,6 +3,7 @@ embedding dedup scale path vs brute force."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop__spark.operators import dedup
@@ -97,3 +98,13 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
     a = {(r.query_id, r.neighbor_id) for r in got.collect()}
     assert len(a & b) / len(b) >= 0.5
+
+
+def test_salted_join_rejects_build_outer(spark):
+    """right/full would duplicate unmatched build rows salt times —
+    rejected, not silently wrong."""
+    probe = spark.range(10).withColumnRenamed("id", "k")
+    build = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "right_outer", "fullouter"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(probe, build, on="k", how=how)

@@ -249,3 +249,60 @@ def test_rollup_compaction_preserves_answer(spark, tmp_path):
     assert before == after
     n_rows = spark.read.parquet(table).count()
     assert n_rows == len(after), "compacted to one partial per key"
+
+
+def test_stateful_high_water_deterministic(spark, tmp_path):
+    """high_water must be a function of the data (event-time cumsum
+    max), independent of micro-batch / Arrow chunk boundaries: replay
+    the same negative-dip stream with different batch sizes."""
+    import pandas as pd
+
+    from hadoop__spark.streaming.stateful import running_totals
+
+    # one user, values that dip negative so chunk-boundary folding
+    # would move the high-water mark
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    vals = [5.0, -3.0, 10.0, -20.0, 4.0, 2.0, -1.0, 8.0]
+    for i, v in enumerate(vals):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (base + pd.Timedelta(minutes=i)).value,  # ns
+                "user_id": 1,
+                "event_type": "x",
+                "value": v,
+                "props": "{}",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    src = tmp_path / "hw_events"
+    src.mkdir()
+    # several single-row files so maxFilesPerTrigger actually varies
+    # the micro-batch boundaries
+    for i in range(len(pdf)):
+        pdf.iloc[[i]].to_parquet(src / f"part-{i:03d}.parquet")
+
+    cum = pdf["value"].cumsum()
+    want = (1, len(vals), round(float(cum.iloc[-1]), 6), round(float(cum.max()), 6))
+
+    for mfpt, sink in ((1, "hw_a"), (3, "hw_b"), (100, "hw_c")):
+        stream = streaming.read_events_stream(
+            spark, str(src), max_files_per_trigger=mfpt
+        )
+        streaming.run_stream_to_memory(
+            running_totals(stream), sink, output_mode="update"
+        )
+        out = spark.sql(
+            f"SELECT user_id, n_events, total_value, high_water FROM ("
+            f"  SELECT *, row_number() OVER ("
+            f"    PARTITION BY user_id ORDER BY n_events DESC) AS rn"
+            f"  FROM {sink}) WHERE rn = 1"
+        ).collect()
+        got = (
+            out[0].user_id,
+            out[0].n_events,
+            round(out[0].total_value, 6),
+            round(out[0].high_water, 6),
+        )
+        assert got == want, (mfpt, got, want)

@@ -107,3 +107,36 @@ def test_rollup_levels_consistent(spark, events):
     hours = out.where(F.col("level") == "1 hour").count()
     days = out.where(F.col("level") == "1 day").count()
     assert hours > days > 0
+
+
+def test_range_join_left_keeps_unmatched(spark, events):
+    """how='left': the range predicate is part of the join condition,
+    so left rows outside every interval survive null-extended."""
+    intervals = spark.createDataFrame(
+        [(0, "2024-01-02 00:00:00", "2024-01-02 07:30:00")],
+        "iid INT, start_s STRING, end_s STRING",
+    ).select(
+        "iid",
+        F.to_timestamp("start_s").alias("start"),
+        F.to_timestamp("end_s").alias("end"),
+    )
+    left = range_join(events, intervals, bucket_seconds=3600, how="left")
+    n_events = events.count()
+    inner_n = range_join(events, intervals, bucket_seconds=3600).count()
+    assert left.count() == n_events, "every left row exactly once"
+    matched = left.where(F.col("iid").isNotNull()).count()
+    assert matched == inner_n and 0 < matched < n_events
+
+
+def test_range_join_rejects_right_full(spark, events):
+    intervals = spark.createDataFrame(
+        [(0, "2024-01-02 00:00:00", "2024-01-02 07:30:00")],
+        "iid INT, start_s STRING, end_s STRING",
+    ).select(
+        "iid",
+        F.to_timestamp("start_s").alias("start"),
+        F.to_timestamp("end_s").alias("end"),
+    )
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="range_join supports"):
+            range_join(events, intervals, how=how)
