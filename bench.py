@@ -50,15 +50,22 @@ def main() -> None:
     register_views(spark, sf_dir)
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()  # warm-up
 
+    # Each query runs twice: the first (cold) pass carries plan
+    # compilation + codegen + first-touch page cache and is what the
+    # round-over-round gate compares ("queries"/"value", same contract
+    # as round 1); the second (warm) pass approximates steady-state
+    # cluster throughput (NOTES.md: cold start dominates ~6x at sf0.1).
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         probe = probes.get(name)
         if probe is None:
             continue
-        t0 = time.perf_counter()
-        df = probe.run(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        for store in (timings, warm):
+            t0 = time.perf_counter()
+            df = probe.run(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            store[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -68,6 +75,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 4),
                 "sf": sf,
             }
         )

@@ -275,6 +275,43 @@ def _pp01(spark, sf_dir):
     ).where(F.col("cum_tokens") <= 100_000)
 
 
+def _ann03(spark, sf_dir):
+    """Persisted-IVF path: write the centroid-partitioned index to a
+    scratch dir, then answer top-k through the partition-pruned scan —
+    the operator's actual 100 TB story (tests assert PartitionFilters
+    prune to the probe buckets)."""
+    import tempfile
+
+    embs = _embs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_probe_")
+    similarity.ivf_write_index(embs, path, nlist=8)
+    return similarity.ivf_read_topk(
+        spark, path, embs.where(F.col("vec_id") < 5), k=10, nprobe=4
+    )
+
+
+def _sj01(spark, sf_dir):
+    from hadoop__spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    sup = t["supplier"].select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return (
+        salted_join(li, sup, on="suppkey", salt=8)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
 OPERATOR_PROBES: list[Probe] = [
     Probe(
         name="dd01_dedup_exact",
@@ -333,6 +370,22 @@ QUALIFY rank <= 10
     # IVF is approximate by construction (k-means bucketing) — no SQL
     # oracle; recall vs brute force is asserted in tests/test_operators.
     Probe(name="ann02_ivf_topk", fn=_ann02, oracle=None),
+    # Same approximation caveat for the persisted-index path; the
+    # partition-pruning plan shape is asserted in
+    # tests/test_skew_and_bucketed_dedup.py.
+    Probe(name="ann03_ivf_persisted", fn=_ann03, oracle=None),
+    # Salting is physical-only: result must equal the plain equi-join.
+    Probe(
+        name="sj01_salted_join",
+        fn=_sj01,
+        oracle=(
+            "SELECT s_name, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_price "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_name"
+        ),
+    ),
     Probe(
         name="dd08_dedup_clusters",
         fn=_dd08,

@@ -62,12 +62,13 @@ def _src_of(jnode, sql: str) -> str | None:
 
 #: Plan wrappers that contribute nothing to lineage — unwrapped in place
 #: (the reference likewise has no ORDER BY / LIMIT handling,
-#: reference README.md §2.8).
+#: reference README.md §2.8).  Sort is NOT here: it converts to a node
+#: so the analyzer's extended-tags mode can emit ``ORDERBY:`` (default
+#: mode ignores it, matching the reference).
 _PASS_THROUGH = {
     "GlobalLimit",
     "LocalLimit",
     "Offset",
-    "Sort",
     "Distinct",
     "UnresolvedHint",
     "WithWindowDefinition",
@@ -126,11 +127,16 @@ def convert_plan(jplan, sql: str) -> Node:
             [convert_plan(jplan.child(), sql)],
         )
     if cls == "UnresolvedHaving":
+        # Distinct node so the analyzer can tag HAVING: (the reference
+        # predates HAVING and had only WHERE:/JOIN tags).
         return Node(
-            "Filter",  # rendered as WHERE:, same as the reference's only tag
+            "Having",
             {"cond": convert_expr(jplan.havingCondition(), sql)},
             [convert_plan(jplan.child(), sql)],
         )
+    if cls == "Sort":
+        keys = [convert_expr(so.child(), sql) for so in _seq(jplan.order())]
+        return Node("Sort", {"keys": keys}, [convert_plan(jplan.child(), sql)])
     if cls == "Join":
         jcond = _opt(jplan.condition())
         # Inner→JOIN, FullOuter→FULLOUTERJOIN … — the reference labels

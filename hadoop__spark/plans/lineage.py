@@ -10,8 +10,11 @@ Per statement the analyzer emits:
   tagged ``"table\\tALTER"`` (README.md:163-172, 259-263),
 * **column edges** (``ColLine``, README.md:802-804): target column,
   parsed alias, ordered source columns, and a condition set combining
-  the statement-wide ``WHERE:`` / ``<JOINKIND>:`` tags with per-column
-  ``COLFUN:`` expression tags (README.md:256-278, 290-297).
+  the statement-wide ``WHERE:`` / ``HAVING:`` / ``<JOINKIND>:`` tags
+  with per-column ``COLFUN:`` expression tags (README.md:256-278,
+  290-297).  With ``extended_tags=True`` the analyzer also captures
+  ``GROUPBY:`` / ``ORDERBY:`` keys (beyond the reference, which only
+  had WHERE/JOIN tags).
 
 Design differences from the reference (all deliberate):
 
@@ -265,10 +268,17 @@ class LineageAnalyzer:
         spark: SparkSession,
         metastore: Metastore | None = None,
         current_db: str = "default",
+        extended_tags: bool = False,
     ):
         self.spark = spark
         self.metastore = metastore or SparkCatalogMetastore(spark)
         self.current_db = current_db
+        #: Beyond-reference condition tags: GROUPBY:/ORDERBY: capture.
+        #: Off by default so reference-golden output stays byte-identical
+        #: (golden sql25 has a GROUP BY with no such tag upstream).
+        #: HAVING: is always distinct from WHERE: — the reference
+        #: predates HAVING, so no golden constrains it.
+        self.extended_tags = extended_tags
         self._bindings: list[tuple[str, str]] = []
         self._ctes: dict[str, Scope] = {}  # per-statement WITH scopes
         self._views: dict[str, Scope] = {}  # session-level CREATE VIEWs
@@ -428,16 +438,34 @@ class LineageAnalyzer:
             cols: list[OutCol] = []
             for item in node["exprs"]:
                 cols.extend(self._select_item(item, ctx, qualify))
+            if (
+                node.cls == "Aggregate"
+                and self.extended_tags
+                and node.get("keys")
+            ):
+                keys = ",".join(render(k, qualify) for k in node["keys"])
+                conditions.add(f"GROUPBY:{keys}")
             return Scope(ctx.all_tables(), cols)
 
-        if node.cls == "Filter":
-            # A Filter *above* the select block is HAVING (the reference
-            # predates HAVING; we tag it WHERE: like any filter).
+        if node.cls in ("Filter", "Having"):
+            # A plain Filter above the select block and UnresolvedHaving
+            # both filter the block's output; HAVING gets its own tag
+            # (the reference predates HAVING and knew only WHERE:).
             inner = self._walk_query(node.children[0], conditions, res)
             ctx = FromCtx([(None, SubScope(inner))])
+            tag = "HAVING" if node.cls == "Having" else "WHERE"
             conditions.add(
-                f"WHERE:{render(node['cond'], ctx.make_qualify(self))}"
+                f"{tag}:{render(node['cond'], ctx.make_qualify(self))}"
             )
+            return inner
+
+        if node.cls == "Sort":
+            inner = self._walk_query(node.children[0], conditions, res)
+            if self.extended_tags:
+                ctx = FromCtx([(None, SubScope(inner))])
+                qualify = ctx.make_qualify(self)
+                keys = ",".join(render(k, qualify) for k in node["keys"])
+                conditions.add(f"ORDERBY:{keys}")
             return inner
 
         # Anything else used as a query block (rare): expose its FROM
@@ -472,7 +500,7 @@ class LineageAnalyzer:
                 rendered = render(node["cond"], ctx.make_qualify(self))
                 conditions.add(f"{node['label']}:{rendered}")  # README.md:265-278
             return ctx
-        if node.cls in ("Project", "Aggregate", "Union"):
+        if node.cls in ("Project", "Aggregate", "Union", "Having", "Sort"):
             scope = self._walk_query(node, conditions, res)
             return FromCtx([(None, SubScope(scope))])
         # unknown plan node: merge children contexts (robustness)

@@ -53,11 +53,14 @@ def _lineage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     rows = []
-    for tag, script, validate in (
-        ("base", _SCRIPT, True),
-        ("extended", _SCRIPT_EXTENDED, False),
+    for tag, script, validate, ext in (
+        ("base", _SCRIPT, True, False),
+        ("extended", _SCRIPT_EXTENDED, False, False),
+        ("tags", _SCRIPT_TAGS, True, True),
     ):
-        res = LineageAnalyzer(spark).analyze(script, validate=validate)
+        res = LineageAnalyzer(spark, extended_tags=ext).analyze(
+            script, validate=validate
+        )
         rows.extend(
             (
                 tag,
@@ -99,6 +102,16 @@ _SCRIPT_EXTENDED = (
     "insert overwrite table t_big select l_orderkey where l_quantity > 45 "
     "insert into table t_small select l_orderkey, l_quantity "
     "where l_quantity <= 2"
+)
+
+
+#: Extended-tags surface (beyond the reference): HAVING: always gets
+#: its own tag; GROUPBY:/ORDERBY: capture under extended_tags=True.
+_SCRIPT_TAGS = (
+    "select o_custkey, count(*) as n_orders, sum(o_totalprice) as spend "
+    "from orders where o_orderstatus = 'F' "
+    "group by o_custkey having count(*) > 1 "
+    "order by spend desc limit 100"
 )
 
 

@@ -50,9 +50,18 @@ def not_normal_col(name: str | None) -> bool:
 
 
 def _lit(node: Node) -> str:
-    """Literal text exactly as written; fall back to the parsed value."""
-    if node.src is not None:
-        return node.src
+    """Literal text exactly as written; fall back to the parsed value.
+
+    Catalyst sometimes synthesizes literals whose Origin spans the
+    enclosing call — ``count(*)`` parses as ``count(Literal(1))`` with
+    the literal's src slice being ``count(*)`` — so a slice containing
+    ``(``/``*`` that is not a quoted string is rejected.
+    """
+    src = node.src
+    if src is not None and (
+        src[0] in ("'", '"') or ("(" not in src and "*" not in src)
+    ):
+        return src
     v = node.get("value")
     return "null" if v is None else str(v)
 
@@ -69,6 +78,11 @@ def render(node: Node, qualify: Qualify, simple: bool = False) -> str:
         return parts[-1] if simple else qualify(parts)
     if cls == "Literal":
         return _lit(node)
+    if cls == "Star":
+        # Catalyst's Origin for UnresolvedStar spans the enclosing call
+        # (`count(*)`), so the src-slice fallback would double-render.
+        parts = node.get("parts")
+        return f"{'.'.join(p.lower() for p in parts)}.*" if parts else "*"
     if cls in ("And", "Or"):
         kw = "and" if cls == "And" else "or"
         l, r = node.children
@@ -106,6 +120,15 @@ def render(node: Node, qualify: Qualify, simple: bool = False) -> str:
         return f"{render(col, qualify)}[{render(key, qualify)}]"
     if cls == "Function":
         args = ",".join(render(a, qualify) for a in node.children)
+        # Spark's parser rewrites count(*) to count(1) (the literal's
+        # src slice spans the call) — render the star as written.
+        if (
+            args == "1"
+            and node.children[0].cls == "Literal"
+            and node.children[0].src is not None
+            and "*" in node.children[0].src
+        ):
+            args = "*"
         if node["distinct"]:
             return f"{node['name']}(distinct ({args}))"
         return f"{node['name']}({args})"

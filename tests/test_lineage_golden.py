@@ -450,3 +450,53 @@ def test_format_matches_reference_print_shape(spark):
         "ToTable:app.dest,ToNameParse:name,ToName:None,"
         "FromName:app.test.name,Condition:" in out
     )
+
+
+# -- HAVING / GROUPBY / ORDERBY tags (beyond the reference) -----------------
+
+
+def test_having_tag_distinct_from_where(spark):
+    """HAVING gets its own tag (the reference predates HAVING and knew
+    only WHERE:); default mode, so no GROUPBY/ORDERBY capture."""
+    ms = DictMetastore({"default.t": ["k", "v"]})
+    sql = (
+        "select k, sum(v) total from t where v > 0 "
+        "group by k having sum(v) > 100"
+    )
+    res = LineageAnalyzer(spark, ms).analyze(sql)
+    lines = lines_by_name(res)
+    conds = lines["total"].conditions
+    assert "WHERE:default.t.v > 0" in conds
+    assert "HAVING:sum(default.t.v) > 100" in conds
+    assert not any(c.startswith(("GROUPBY:", "ORDERBY:")) for c in conds)
+
+
+def test_extended_tags_groupby_orderby(spark):
+    ms = DictMetastore({"default.t": ["k", "g", "v"]})
+    sql = (
+        "select k, g, sum(v) total from t group by k, g "
+        "having count(*) > 1 order by total desc, k limit 5"
+    )
+    res = LineageAnalyzer(spark, ms, extended_tags=True).analyze(sql)
+    lines = lines_by_name(res)
+    conds = lines["total"].conditions
+    assert "GROUPBY:default.t.k,default.t.g" in conds
+    assert "HAVING:count(*) > 1" in conds
+    assert any(c.startswith("ORDERBY:") and "default.t.k" in c for c in conds)
+
+
+def test_extended_tags_in_from_subquery(spark):
+    """GROUP BY inside a FROM-subquery is captured in extended mode and
+    silent in default mode (golden sql25 parity)."""
+    ms = DictMetastore({"default.t": ["k", "v"], "default.dst": ["k", "n"]})
+    sql = (
+        "insert into table dst select k, n from "
+        "(select k, count(v) n from t group by k order by k) s"
+    )
+    default_res = LineageAnalyzer(spark, ms).analyze(sql)
+    ext_res = LineageAnalyzer(spark, ms, extended_tags=True).analyze(sql)
+    d_conds = set().union(*(l.conditions for l in default_res.col_lines))
+    e_conds = set().union(*(l.conditions for l in ext_res.col_lines))
+    assert not any(c.startswith(("GROUPBY:", "ORDERBY:")) for c in d_conds)
+    assert "GROUPBY:default.t.k" in e_conds
+    assert "ORDERBY:default.t.k" in e_conds
