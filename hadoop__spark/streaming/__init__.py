@@ -9,6 +9,7 @@ Kafka/queue source on a cluster (swap ``readStream`` options only).
 
 from hadoop__spark.streaming.rollup import (
     hourly_rollup,
+    parse_kafka_events,
     read_events_stream,
     run_stream_to_memory,
     sessionize,
@@ -22,6 +23,7 @@ from hadoop__spark.streaming.stateful import running_totals
 
 __all__ = [
     "hourly_rollup",
+    "parse_kafka_events",
     "read_events_stream",
     "read_rollup",
     "run_incremental_rollup",

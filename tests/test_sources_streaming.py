@@ -306,3 +306,87 @@ def test_stateful_high_water_deterministic(spark, tmp_path):
             round(out[0].high_water, 6),
         )
         assert got == want, (mfpt, got, want)
+
+
+def test_parse_kafka_events_payload(spark):
+    """Kafka-shaped frame (binary value + broker timestamp) parses to
+    the events schema; malformed payloads fall back to the broker
+    timestamp so late-data accounting still works."""
+    import datetime as dt
+    import json
+
+    broker_ts = dt.datetime(2024, 3, 1, 12, 0, 5)
+    good = json.dumps(
+        {
+            "event_id": 7,
+            "ts": "2024-03-01T11:59:58",
+            "user_id": 42,
+            "event_type": "click",
+            "value": 1.5,
+            "props": "{}",
+        }
+    )
+    rows = [
+        (b"k1", good.encode(), "events", 0, 100, broker_ts),
+        (b"k2", b"not json", "events", 0, 101, broker_ts),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "key BINARY, value BINARY, topic STRING, partition INT, "
+        "offset BIGINT, timestamp TIMESTAMP",
+    )
+    out = streaming.parse_kafka_events(raw).orderBy("event_id").collect()
+    assert [r.event_id for r in out] == [None, 7]
+    parsed = out[1]
+    assert parsed.user_id == 42 and parsed.event_type == "click"
+    assert parsed.ts == dt.datetime(2024, 3, 1, 11, 59, 58)
+    assert out[0].ts == broker_ts  # malformed → broker timestamp
+    assert streaming.parse_kafka_events(raw).columns == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+
+
+def test_kafka_rollup_on_parsed_frame(spark):
+    """The windowed rollup runs unchanged on the Kafka-parse output —
+    the format swap is pure configuration."""
+    import datetime as dt
+    import json
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = []
+    for i in range(20):
+        payload = json.dumps(
+            {
+                "event_id": i,
+                "ts": (base + dt.timedelta(minutes=7 * i)).isoformat(),
+                "user_id": i % 3,
+                "event_type": "a" if i % 2 else "b",
+                "value": float(i),
+                "props": "{}",
+            }
+        )
+        rows.append((None, payload.encode(), "events", 0, i, base))
+    raw = spark.createDataFrame(
+        rows,
+        "key BINARY, value BINARY, topic STRING, partition INT, "
+        "offset BIGINT, timestamp TIMESTAMP",
+    )
+    events = streaming.parse_kafka_events(raw)
+    got = streaming.hourly_rollup(events).orderBy("hour", "event_type")
+    expect = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in expect.collect()
+    ]
+
+
+def test_read_events_stream_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="source_format"):
+        streaming.read_events_stream(
+            spark, "/tmp/x", source_format="socketx"
+        )
