@@ -102,8 +102,12 @@ def _dd06(spark, sf_dir):
 
 
 def _dd07(spark, sf_dir):
+    # nlist=8 was so coarse at sf0.1 (2000 vectors) that the
+    # bucket-local join did nearly brute-force work; 16 buckets with
+    # 3-way multi-assign measures 87% pair recall at this (loose) 0.4
+    # threshold in ~1/4 the time.
     return dedup.embedding_dedup_pairs_bucketed(
-        _embs(spark, sf_dir), threshold=0.4, nlist=8, n_assign=2
+        _embs(spark, sf_dir), threshold=0.4, nlist=16, n_assign=3
     )
 
 
