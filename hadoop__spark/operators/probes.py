@@ -255,8 +255,10 @@ def _ts05(spark, sf_dir):
 def _pp01(spark, sf_dir):
     """End-to-end corpus prep: quality-filter → exact-dedup →
     running token budget (the composed pipeline a training-data run
-    executes, as one declarative plan)."""
-    from pyspark.sql import Window
+    executes, as one declarative plan).  The running total is the
+    distributed prefix-sum (`util.global_running_sum`) — a bare
+    ``Window.orderBy`` would funnel the corpus through one task."""
+    from hadoop__spark.operators.util import global_running_sum
 
     docs = _docs(spark, sf_dir)
     scored = text.quality_score(docs).select(
@@ -269,13 +271,12 @@ def _pp01(spark, sf_dir):
         scored.join(keepers, "doc_id")
         .where(F.col("quality_score") >= 0.5)
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return surviving.select(
+    return global_running_sum(
+        surviving, "doc_id", "n_tokens", out_col="_cum"
+    ).select(
         "doc_id",
         "n_tokens",
-        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.col("_cum").cast("bigint").alias("cum_tokens"),
     ).where(F.col("cum_tokens") <= 100_000)
 
 

@@ -148,11 +148,14 @@ def top_vocabulary(df: DataFrame, text_col: str = "text", k: int = 100) -> DataF
         .groupBy("token")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: each
+    # partition keeps its own top-k and only those merge — ranking the
+    # FULL vocabulary with an unpartitioned window would funnel every
+    # distinct token through one task.  The window below only ever
+    # sees the k surviving rows.
+    topk = counted.orderBy(F.col("n").desc(), "token").limit(k)
     w = Window.orderBy(F.col("n").desc(), "token")
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -21,3 +21,59 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running sum without a single-partition window.
+
+    ``Window.orderBy(...)`` with no partition key funnels the whole
+    dataset through ONE task — the classic scale killer.  This is the
+    distributed prefix-sum instead:
+
+    1. range-partition by ``order_col`` (partition ids follow key
+       ranges, so pid order == global order),
+    2. partition-local cumulative sums (parallel, one window per
+       partition),
+    3. per-partition totals — a ``num_partitions``-row frame — get
+       exclusive-prefix offsets on the driver-sized side and broadcast
+       back.
+
+    The only single-partition step operates on one row per partition,
+    bounded regardless of data volume.
+    """
+    from pyspark.sql import Window, functions as F
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_ptotal"))
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0))
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum", "_offset")
+    )

@@ -151,3 +151,26 @@ def test_dedup_clusters_long_chain_bounded_plan(spark):
     # checkpointed scan, not a 12-deep join chain
     plan = labels._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1, plan
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """Distributed prefix-sum == naive global window, with the data
+    range-partitioned (no single-partition exchange on the big side)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop__spark.operators.util import global_running_sum
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    got = global_running_sum(df, "k", "v", out_col="cum", num_partitions=8)
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert [tuple(r) for r in got.orderBy("k").collect()] == [
+        tuple(r) for r in want.orderBy("k").collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in plan
