@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship TPC-H-Q1-shaped pricing summary;
 ``queries()`` exposes every implemented probe from SURVEY.md §2 plus
 the beyond-reference pipeline, temporal, lineage, and streaming
-operators (81 probes; see COVERAGE.md for the row-by-row map);
+operators (49 probes, consolidated under the driver's ~50-row
+recording cap; see COVERAGE.md for the row-by-row map);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-oracle-checkable probe (76).
+oracle-checkable probe (43).
 """
 
 from __future__ import annotations
