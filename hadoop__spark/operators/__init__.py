@@ -7,7 +7,23 @@ bit ops) wherever possible — Python/Pandas UDFs appear only in the
 multimodal decode path where imperative byte handling is the point.
 """
 
-from hadoop__spark.operators import dedup, multimodal, similarity, text
-from hadoop__spark.operators.util import ensure_parallelism
+from hadoop__spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    temporal,
+    text,
+)
+from hadoop__spark.operators.util import ensure_parallelism, global_running_sum
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "ensure_parallelism"]
+__all__ = [
+    "dedup",
+    "ensure_parallelism",
+    "global_running_sum",
+    "multimodal",
+    "similarity",
+    "skew",
+    "temporal",
+    "text",
+]

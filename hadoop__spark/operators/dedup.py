@@ -128,6 +128,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -178,10 +179,21 @@ def minhash_lsh_pairs(
     # i<j combinations with higher-order array functions: ONE shuffle
     # of the bucket table (vs a self-join shuffling it twice), same
     # output.  Measured ~3 s faster cold at sf0.1.  Pair count per
-    # bucket is quadratic either way (inherent to LSH banding); a
-    # pathological hot bucket should be capped upstream at 100 TB.
+    # bucket is quadratic (inherent to LSH banding), so hot buckets
+    # are capped at ``max_bucket`` members BEFORE collect_list ever
+    # materializes them (row_number over the same key — the window's
+    # hash partitioning is reused by the groupBy, so the cap adds no
+    # extra shuffle).  A bucket that large means the band hash is
+    # degenerate for those docs (boilerplate/empty shingles), and its
+    # real near-dup pairs almost surely co-occur in a healthier band —
+    # the standard datasketch/Spark-LSH mitigation.
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
     grouped = (
-        buckets.groupBy("band_idx", "band_hash")
+        buckets.withColumn("_rn", F.row_number().over(w_bucket))
+        .where(F.col("_rn") <= max_bucket)
+        .groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )

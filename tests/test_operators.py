@@ -174,3 +174,20 @@ def test_global_running_sum_matches_single_window(spark):
     ]
     plan = got._jdf.queryExecution().executedPlan().toString().lower()
     assert "rangepartitioning" in plan
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A degenerate corpus (every doc identical -> every band bucket
+    hot) stays bounded: only max_bucket members per bucket generate
+    pairs, deterministically the smallest ids."""
+    from hadoop__spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated for every document") for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    got = minhash_lsh_pairs(docs, max_bucket=10).collect()
+    # C(10,2) pairs among the 10 smallest ids, nothing touching id >= 10
+    assert len(got) == 45
+    assert all(r.id_a < 10 and r.id_b < 10 for r in got)
+    assert all(r.jaccard == 1.0 for r in got)
