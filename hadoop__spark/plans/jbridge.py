@@ -178,6 +178,19 @@ def convert_plan(jplan, sql: str) -> Node:
             },
             [convert_plan(jplan.query(), sql)],
         )
+    if cls == "InsertIntoDir":
+        # INSERT OVERWRITE [LOCAL] DIRECTORY '/path' — the reference's
+        # TOK_DIR destination (README.md:211-225); the path is the sink.
+        try:
+            uri = _opt(jplan.storage().locationUri())
+            path = str(uri) if uri is not None else None
+        except Exception:
+            path = None
+        return Node(
+            "InsertIntoDir",
+            {"path": path},
+            [convert_plan(jplan.child(), sql)],
+        )
     if cls == "SetCatalogAndNamespace":
         return Node("Use", {"parts": _ddl_target(jplan) or []})
     if cls in ("CreateTableAsSelect", "ReplaceTableAsSelect"):

@@ -380,6 +380,15 @@ class LineageAnalyzer:
                     f"{self._fill_parts(node['table_parts'])}\tALTER"
                 )
             res.statements.append("ALTER")
+        elif node.cls == "InsertIntoDir":
+            # Directory sink (reference TOK_DIR, README.md:211-225):
+            # the path is the destination; no catalog columns, so sink
+            # alignment keeps the parsed output names.
+            dest = node.get("path") or "TOK_DIR"
+            res.output_tables.add(dest)
+            scope = self._walk_query(node.children[0], conditions, res)
+            self._emit(dest, scope, conditions, res)
+            res.statements.append("INSERT")
         elif node.cls == "DropTable":
             res.statements.append("DROP")
         elif node.cls == "TruncateTable":

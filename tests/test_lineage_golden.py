@@ -500,3 +500,21 @@ def test_extended_tags_in_from_subquery(spark):
     assert not any(c.startswith(("GROUPBY:", "ORDERBY:")) for c in d_conds)
     assert "GROUPBY:default.t.k" in e_conds
     assert "ORDERBY:default.t.k" in e_conds
+
+
+def test_insert_overwrite_directory(spark):
+    """Directory sinks (reference TOK_DIR, README.md:211-225): the
+    path is the output, column edges keep parsed names."""
+    ms = DictMetastore({"default.t": ["a", "b"]})
+    res = LineageAnalyzer(spark, ms).analyze(
+        "insert overwrite directory '/tmp/out' select a, b from t "
+        "where a > 1"
+    )
+    assert res.input_tables == {"default.t"}
+    assert res.output_tables == {"/tmp/out"}
+    assert res.statements == ["INSERT"]
+    lines = lines_by_name(res)
+    assert set(lines) == {"a", "b"}
+    assert lines["a"].to_table == "/tmp/out"
+    assert lines["a"].from_names == ("default.t.a",)
+    assert "WHERE:default.t.a > 1" in lines["a"].conditions
