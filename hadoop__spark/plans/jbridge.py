@@ -72,6 +72,9 @@ _PASS_THROUGH = {
     "Distinct",
     "UnresolvedHint",
     "WithWindowDefinition",
+    # DISTRIBUTE BY / CLUSTER BY: physical placement only, no lineage
+    "RepartitionByExpression",
+    "Repartition",
 }
 
 _DDL_TARGET_CLASSES = {
@@ -177,6 +180,35 @@ def convert_plan(jplan, sql: str) -> Node:
                 "cols": [str(ucols.apply(i)) for i in range(ucols.size())],
             },
             [convert_plan(jplan.query(), sql)],
+        )
+    if cls == "Generate":
+        # LATERAL VIEW (beyond the reference): generator output columns
+        # carry the generator expression's sources.
+        alias = _opt(jplan.qualifier())
+        outs = [convert_expr(a, sql) for a in _seq(jplan.generatorOutput())]
+        out_names = [
+            o["parts"][-1].lower() for o in outs if o.cls == "Attr"
+        ]
+        return Node(
+            "Generate",
+            {
+                "alias": str(alias) if alias is not None else None,
+                "out_names": out_names,
+                "gen": convert_expr(jplan.generator(), sql),
+            },
+            [convert_plan(jplan.child(), sql)],
+        )
+    if cls == "CreateTableLikeCommand":
+        def _ti_parts(ti) -> list[str]:
+            db = _opt(ti.database())
+            return ([str(db)] if db is not None else []) + [str(ti.table())]
+
+        return Node(
+            "CreateTableLike",
+            {
+                "table_parts": _ti_parts(jplan.targetTable()),
+                "source_parts": _ti_parts(jplan.sourceTable()),
+            },
         )
     if cls == "InsertIntoDir":
         # INSERT OVERWRITE [LOCAL] DIRECTORY '/path' — the reference's

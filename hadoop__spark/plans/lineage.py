@@ -126,6 +126,9 @@ class OutCol:
     name: str  # '' when the item is an unaliased literal/expression
     sources: list[str]
     colfun: set[str]
+    #: True for generator outputs (LATERAL VIEW): resolving this column
+    #: yields its underlying source columns, not a pseudo column.
+    expand: bool = False
 
 
 @dataclass
@@ -172,14 +175,25 @@ class FromCtx:
         # `app.action_video&fact.action_comment.uid` for a column coming
         # through a UNION subquery (reference README.md:596-611).
         prefixes: list[str] = []
+        expanded: list[str] = []
         matched = False
         for c in source.scope.cols:
             if c.name.lower() == col:
                 matched = True
+                if c.expand:
+                    for s in c.sources:
+                        if s not in expanded:
+                            expanded.append(s)
+                    continue
                 for s in c.sources:
                     p = s.rsplit(".", 1)[0]
                     if p not in prefixes:
                         prefixes.append(p)
+        if expanded:
+            # generator output (LATERAL VIEW): the honest provenance is
+            # the generator's own source columns, &-merged like the
+            # reference's multi-source pseudo columns
+            return "&".join(expanded)
         if not prefixes:
             if not matched and source.scope.tables:
                 prefixes = list(source.scope.tables)
@@ -365,6 +379,13 @@ class LineageAnalyzer:
             self._views[dest] = scope
             self._views[node["table_parts"][-1].lower()] = scope
             res.statements.append("CREATEVIEW")
+        elif node.cls == "CreateTableLike":
+            # CREATE TABLE t LIKE s: schema copy — target is an output,
+            # the template table an input; no column edges (no data
+            # moves).
+            res.output_tables.add(self._fill_parts(node["table_parts"]))
+            res.input_tables.add(self._fill_parts(node["source_parts"]))
+            res.statements.append("CREATETABLE")
         elif node.cls == "CreateTable":
             if node.get("table_parts"):
                 res.output_tables.add(self._fill_parts(node["table_parts"]))
@@ -500,6 +521,20 @@ class LineageAnalyzer:
             rendered = render(node["cond"], ctx.make_qualify(self))
             conditions.add(f"WHERE:{rendered}")  # README.md:256-258
             return ctx
+        if node.cls == "Generate":
+            # LATERAL VIEW: the child's sources stay visible, plus a
+            # scope claiming the generator's output columns, each
+            # expanding to the generator expression's source columns.
+            ctx = self._walk_from(node.children[0], conditions, res)
+            srcs = extract_sources(node["gen"], ctx.make_qualify(self))
+            gen_cols = [
+                OutCol(name, list(srcs), set(), expand=True)
+                for name in node["out_names"]
+            ]
+            scope = Scope(ctx.all_tables(), gen_cols)
+            return FromCtx(
+                ctx.sources + [(node["alias"], SubScope(scope))]
+            )
         if node.cls == "Join":
             left = self._walk_from(node.children[0], conditions, res)
             right = self._walk_from(node.children[1], conditions, res)

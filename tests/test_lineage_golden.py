@@ -518,3 +518,41 @@ def test_insert_overwrite_directory(spark):
     assert lines["a"].to_table == "/tmp/out"
     assert lines["a"].from_names == ("default.t.a",)
     assert "WHERE:default.t.a > 1" in lines["a"].conditions
+
+
+def test_distribute_cluster_by_keep_edges(spark):
+    """DISTRIBUTE BY / CLUSTER BY are physical placement — lineage
+    passes through unchanged (they used to swallow all column edges)."""
+    ms = DictMetastore({"default.t": ["a", "b"], "default.d": ["a", "b"]})
+    for clause in ("distribute by a", "cluster by a", "sort by a"):
+        res = LineageAnalyzer(spark, ms).analyze(
+            f"insert into table d select a, b from t {clause}"
+        )
+        lines = lines_by_name(res)
+        assert set(lines) == {"a", "b"}, clause
+        assert lines["a"].from_names == ("default.t.a",), clause
+
+
+def test_lateral_view_generator_provenance(spark):
+    """LATERAL VIEW output columns expand to the generator expression's
+    source columns (&-merged), instead of fabricating table.col."""
+    ms = DictMetastore({"default.t": ["a", "b"]})
+    res = LineageAnalyzer(spark, ms).analyze(
+        "select t.a, x from t lateral view explode(array(a, b)) ex as x"
+    )
+    lines = lines_by_name(res)
+    assert lines["x"].from_names == ("default.t.a&default.t.b",)
+    res2 = LineageAnalyzer(spark, ms).analyze(
+        "select ex.x from t lateral view explode(array(b)) ex as x"
+    )
+    assert lines_by_name(res2)["x"].from_names == ("default.t.b",)
+
+
+def test_create_table_like(spark):
+    res = LineageAnalyzer(spark, DictMetastore({})).analyze(
+        "create table db1.d2 like t"
+    )
+    assert res.input_tables == {"default.t"}
+    assert res.output_tables == {"db1.d2"}
+    assert res.statements == ["CREATETABLE"]
+    assert res.col_lines == []
