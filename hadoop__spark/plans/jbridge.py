@@ -181,6 +181,20 @@ def convert_plan(jplan, sql: str) -> Node:
             },
             [convert_plan(jplan.query(), sql)],
         )
+    if cls == "ScriptTransformation":
+        # Hive TRANSFORM ... USING 'script' (beyond the reference): an
+        # opaque row transform — every output column derives from every
+        # input expression of the child projection.
+        return Node(
+            "ScriptTransformation",
+            {
+                "script": str(jplan.script()),
+                "out_names": [
+                    str(a.name()).lower() for a in _seq(jplan.output())
+                ],
+            },
+            [convert_plan(jplan.child(), sql)],
+        )
     if cls == "Generate":
         # LATERAL VIEW (beyond the reference): generator output columns
         # carry the generator expression's sources.

@@ -489,6 +489,23 @@ class LineageAnalyzer:
             )
             return inner
 
+        if node.cls == "ScriptTransformation":
+            # TRANSFORM ... USING: the script is opaque, so every
+            # output column derives from every input column of the
+            # child projection, tagged with the script.
+            inner = self._walk_query(node.children[0], conditions, res)
+            srcs: list[str] = []
+            for c in inner.cols:
+                for s in c.sources:
+                    if s not in srcs:
+                        srcs.append(s)
+            tag = {f"COLFUN:transform using '{node['script']}'"}
+            cols = [
+                OutCol(name, list(srcs), set(tag))
+                for name in node["out_names"]
+            ]
+            return Scope(inner.tables, cols)
+
         if node.cls == "Sort":
             inner = self._walk_query(node.children[0], conditions, res)
             if self.extended_tags:

@@ -556,3 +556,19 @@ def test_create_table_like(spark):
     assert res.output_tables == {"db1.d2"}
     assert res.statements == ["CREATETABLE"]
     assert res.col_lines == []
+
+
+def test_transform_using_script(spark):
+    """Hive TRANSFORM ... USING: opaque script — every output column
+    derives from every input column, tagged with the script."""
+    ms = DictMetastore({"default.t": ["a", "b"]})
+    res = LineageAnalyzer(spark, ms).analyze(
+        "select transform(a, b) using 'cat' as (x, y) from t"
+    )
+    lines = lines_by_name(res)
+    assert set(lines) == {"x", "y"}
+    for name in ("x", "y"):
+        assert sorted(lines[name].from_names) == [
+            "default.t.a", "default.t.b",
+        ]
+        assert "COLFUN:transform using 'cat'" in lines[name].conditions
