@@ -8,6 +8,7 @@ Kafka/queue source on a cluster (swap ``readStream`` options only).
 """
 
 from hadoop__spark.streaming.rollup import (
+    dedup_events_stream,
     hourly_rollup,
     parse_kafka_events,
     read_events_stream,
@@ -22,6 +23,7 @@ from hadoop__spark.streaming.continuous import (
 from hadoop__spark.streaming.stateful import running_totals
 
 __all__ = [
+    "dedup_events_stream",
     "hourly_rollup",
     "parse_kafka_events",
     "read_events_stream",

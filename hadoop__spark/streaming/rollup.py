@@ -108,6 +108,29 @@ def read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup on a stream: duplicate deliveries
+    (at-least-once sources like Kafka retries) are dropped by key
+    within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes — bounded state, unlike a plain
+    ``dropDuplicates`` whose state grows forever on an unbounded
+    stream.  Works identically on a batch frame (full dedup) so
+    backfills share the code path.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def hourly_rollup(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -390,3 +390,28 @@ def test_read_events_stream_rejects_unknown_format(spark):
         streaming.read_events_stream(
             spark, "/tmp/x", source_format="socketx"
         )
+
+
+def test_dedup_events_stream_exactly_once(spark, tmp_path):
+    """Duplicate deliveries (the same events file replayed twice) come
+    out exactly once; batch frames share the code path."""
+    import shutil
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+
+    events = streaming.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    deduped = streaming.dedup_events_stream(events, watermark="10 days")
+    streaming.run_stream_to_memory(deduped, "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream").count()
+
+    batch = load_tables(spark, SF_DIR)["events"]
+    expect = batch.select("event_id").distinct().count()
+    assert got == expect
+
+    # batch path: same function, plain dropDuplicates
+    doubled = batch.unionAll(batch)
+    assert streaming.dedup_events_stream(doubled).count() == expect
