@@ -181,6 +181,39 @@ def convert_plan(jplan, sql: str) -> Node:
             },
             [convert_plan(jplan.query(), sql)],
         )
+    if cls == "MergeIntoTable":
+        # MERGE INTO (beyond the reference): target + source relations,
+        # the ON condition, and per-action SET/INSERT assignments.
+        def _assignments(action) -> list[tuple[Node, Node]]:
+            try:
+                return [
+                    (convert_expr(a.key(), sql), convert_expr(a.value(), sql))
+                    for a in _seq(action.assignments())
+                ]
+            except Exception:
+                return []  # DeleteAction / star actions carry none
+
+        actions = []
+        for seq in (
+            jplan.matchedActions(),
+            jplan.notMatchedActions(),
+            jplan.notMatchedBySourceActions(),
+        ):
+            for a in _seq(seq):
+                actions.append(
+                    {"kind": _name(a), "assignments": _assignments(a)}
+                )
+        return Node(
+            "MergeIntoTable",
+            {
+                "cond": convert_expr(jplan.mergeCondition(), sql),
+                "actions": actions,
+            },
+            [
+                convert_plan(jplan.targetTable(), sql),
+                convert_plan(jplan.sourceTable(), sql),
+            ],
+        )
     if cls == "ScriptTransformation":
         # Hive TRANSFORM ... USING 'script' (beyond the reference): an
         # opaque row transform — every output column derives from every

@@ -401,6 +401,39 @@ class LineageAnalyzer:
                     f"{self._fill_parts(node['table_parts'])}\tALTER"
                 )
             res.statements.append("ALTER")
+        elif node.cls == "MergeIntoTable":
+            # MERGE INTO (beyond the reference): the target is an
+            # output AND an input (matched rows are read), the source a
+            # plain input; each UPDATE SET / INSERT assignment becomes
+            # a column edge tagged MERGE:<on-condition>.  Star actions
+            # (SET *) carry no parse-time assignments — in/out capture
+            # only.
+            tgt_ctx = self._walk_from(node.children[0], conditions, res)
+            src_ctx = self._walk_from(node.children[1], conditions, res)
+            dest = next(iter(tgt_ctx.all_tables()), "TOK_MERGE_TARGET")
+            res.output_tables.add(dest)
+            ctx = FromCtx(tgt_ctx.sources + src_ctx.sources)
+            qualify = ctx.make_qualify(self)
+            conditions.add(f"MERGE:{render(node['cond'], qualify)}")
+            merged: dict[str, list[str]] = {}
+            for action in node["actions"]:
+                for key, value in action["assignments"]:
+                    col = key["parts"][-1].lower() if key.cls == "Attr" else render(key, qualify)
+                    srcs = merged.setdefault(col, [])
+                    for s in extract_sources(value, qualify):
+                        if s not in srcs:
+                            srcs.append(s)
+            for col, srcs in merged.items():
+                res.col_lines.append(
+                    ColLine(
+                        to_table=dest,
+                        to_name=f"{dest}.{col}",
+                        to_name_parse=col,
+                        from_names=tuple(srcs),
+                        conditions=frozenset(conditions),
+                    )
+                )
+            res.statements.append("MERGE")
         elif node.cls == "InsertIntoDir":
             # Directory sink (reference TOK_DIR, README.md:211-225):
             # the path is the destination; no catalog columns, so sink

@@ -572,3 +572,22 @@ def test_transform_using_script(spark):
             "default.t.a", "default.t.b",
         ]
         assert "COLFUN:transform using 'cat'" in lines[name].conditions
+
+
+def test_merge_into_lineage(spark):
+    """MERGE INTO: target is output and input, source an input; SET /
+    INSERT assignments become edges tagged MERGE:<on-condition>."""
+    ms = DictMetastore({"default.dst": ["id", "v"], "default.src": ["id", "v"]})
+    res = LineageAnalyzer(spark, ms).analyze(
+        "merge into dst using src on dst.id = src.id "
+        "when matched then update set dst.v = src.v "
+        "when not matched then insert (id, v) values (src.id, src.v)"
+    )
+    assert res.input_tables == {"default.dst", "default.src"}
+    assert res.output_tables == {"default.dst"}
+    assert res.statements == ["MERGE"]
+    lines = lines_by_name(res)
+    assert set(lines) == {"id", "v"}
+    assert lines["v"].from_names == ("default.src.v",)
+    assert lines["id"].from_names == ("default.src.id",)
+    assert "MERGE:default.dst.id = default.src.id" in lines["v"].conditions
