@@ -181,6 +181,23 @@ def convert_plan(jplan, sql: str) -> Node:
             },
             [convert_plan(jplan.query(), sql)],
         )
+    if cls in ("UpdateTable", "DeleteFromTable"):
+        # condition() is Option[Expression] on UpdateTable but a plain
+        # Expression on DeleteFromTable — normalize both.
+        cond = jplan.condition()
+        try:
+            cond = _opt(cond)
+        except Exception:
+            pass
+        fields = {
+            "cond": convert_expr(cond, sql) if cond is not None else None
+        }
+        if cls == "UpdateTable":
+            fields["assignments"] = [
+                (convert_expr(a.key(), sql), convert_expr(a.value(), sql))
+                for a in _seq(jplan.assignments())
+            ]
+        return Node(cls, fields, [convert_plan(jplan.table(), sql)])
     if cls == "MergeIntoTable":
         # MERGE INTO (beyond the reference): target + source relations,
         # the ON condition, and per-action SET/INSERT assignments.

@@ -401,6 +401,35 @@ class LineageAnalyzer:
                     f"{self._fill_parts(node['table_parts'])}\tALTER"
                 )
             res.statements.append("ALTER")
+        elif node.cls in ("UpdateTable", "DeleteFromTable"):
+            # UPDATE/DELETE (beyond the reference): the table is both
+            # read and modified; UPDATE assignments become self-edges
+            # tagged with the WHERE condition.
+            ctx = self._walk_from(node.children[0], conditions, res)
+            dest = next(iter(ctx.all_tables()), None)
+            if dest is not None:
+                res.output_tables.add(dest)
+            qualify = ctx.make_qualify(self)
+            if node.get("cond") is not None:
+                conditions.add(f"WHERE:{render(node['cond'], qualify)}")
+            for key, value in node.get("assignments") or []:
+                col = (
+                    key["parts"][-1].lower()
+                    if key.cls == "Attr"
+                    else render(key, qualify)
+                )
+                res.col_lines.append(
+                    ColLine(
+                        to_table=dest,
+                        to_name=f"{dest}.{col}" if dest else col,
+                        to_name_parse=col,
+                        from_names=tuple(extract_sources(value, qualify)),
+                        conditions=frozenset(conditions),
+                    )
+                )
+            res.statements.append(
+                "UPDATE" if node.cls == "UpdateTable" else "DELETE"
+            )
         elif node.cls == "MergeIntoTable":
             # MERGE INTO (beyond the reference): the target is an
             # output AND an input (matched rows are read), the source a

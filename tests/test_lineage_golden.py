@@ -591,3 +591,21 @@ def test_merge_into_lineage(spark):
     assert lines["v"].from_names == ("default.src.v",)
     assert lines["id"].from_names == ("default.src.id",)
     assert "MERGE:default.dst.id = default.src.id" in lines["v"].conditions
+
+
+def test_update_delete_lineage(spark):
+    ms = DictMetastore({"default.t": ["id", "v", "a"]})
+    res = LineageAnalyzer(spark, ms).analyze(
+        "update t set v = a + 1 where id = 2"
+    )
+    assert res.input_tables == {"default.t"}
+    assert res.output_tables == {"default.t"}
+    assert res.statements == ["UPDATE"]
+    lines = lines_by_name(res)
+    assert lines["v"].from_names == ("default.t.a",)
+    assert "WHERE:default.t.id = 2" in lines["v"].conditions
+
+    res2 = LineageAnalyzer(spark, ms).analyze("delete from t where id = 2")
+    assert res2.statements == ["DELETE"]
+    assert res2.output_tables == {"default.t"}
+    assert res2.col_lines == []
