@@ -88,6 +88,80 @@ REFERENCE_FUNCTIONS: list[FunctionSpec] = [
         "(1 < 2 AND 2 <> 3) OR 3 >= 4",
         "README.md:1120",
     ),
+    # -- beyond the reference: the common HiveQL scalar set a script
+    # -- migrating to this engine would actually use
+    FunctionSpec(
+        "substr",
+        "substr('hadoop', 2, 3)",
+        "substr('hadoop', 2, 3)",
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "instr",
+        "instr('hadoop', 'do')",
+        "instr('hadoop', 'do')",
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "split_index",
+        "split('a,b,c', ',')[1]",
+        "string_split('a,b,c', ',')[2]",  # DuckDB lists are 1-indexed
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "regexp_extract",
+        "regexp_extract('foo123bar', '([0-9]+)', 1)",
+        "regexp_extract('foo123bar', '([0-9]+)', 1)",
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "lpad",
+        "lpad('7', 3, '0')",
+        "lpad('7', 3, '0')",
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "if_cond",
+        "if(2 > 1, 'y', 'n')",
+        "CASE WHEN 2 > 1 THEN 'y' ELSE 'n' END",  # DuckDB if() arity differs
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "from_unixtime",
+        "from_unixtime(86400)",  # session is UTC
+        "strftime(to_timestamp(86400), '%Y-%m-%d %H:%M:%S')",
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "datediff",
+        "datediff('2020-01-10', '2020-01-01')",
+        "date_diff('day', DATE '2020-01-01', DATE '2020-01-10')",
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "get_json_object",
+        "get_json_object('{\"k\": 1}', '$.k')",
+        "json_extract_string('{\"k\": 1}', '$.k')",
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "pmod",
+        "pmod(-7, 3)",
+        "((-7 % 3) + 3) % 3",  # DuckDB % keeps the dividend's sign
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "greatest_least",
+        "greatest(1, 5, 3) + least(4, 2, 6)",
+        "greatest(1, 5, 3) + least(4, 2, 6)",
+        "beyond-reference (common HiveQL)",
+    ),
+    FunctionSpec(
+        "round_floor_ceil",
+        "round(2.567, 2) + floor(1.9) + ceil(0.1)",
+        "round(2.567, 2) + floor(1.9) + ceil(0.1)",
+        "beyond-reference (common HiveQL)",
+    ),
     FunctionSpec(
         "agg_distinct",
         "(SELECT count(DISTINCT n_regionkey) FROM nation)",
