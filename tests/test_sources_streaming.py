@@ -415,3 +415,32 @@ def test_dedup_events_stream_exactly_once(spark, tmp_path):
     # batch path: same function, plain dropDuplicates
     doubled = batch.unionAll(batch)
     assert streaming.dedup_events_stream(doubled).count() == expect
+
+
+def test_streaming_sliding_matches_batch(spark):
+    """Sliding windows: streaming replay equals the batch window()
+    aggregation (each event lands in window/slide overlapping
+    windows)."""
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    stream = streaming.read_events_stream(spark, events_path)
+    streaming.run_stream_to_memory(
+        streaming.sliding_rollup(stream, window="1 hour", slide="15 minutes"),
+        "sliding_stream",
+        output_mode="complete",
+    )
+    got = {
+        (str(r.win_start), str(r.win_end), r.event_type, r.n_events)
+        for r in spark.table("sliding_stream").collect()
+    }
+    batch = load_tables(spark, SF_DIR)["events"]
+    want = {
+        (str(r.w.start), str(r.w.end), r.event_type, r.n_events)
+        for r in (
+            batch.groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .collect()
+        )
+    }
+    assert got == want
