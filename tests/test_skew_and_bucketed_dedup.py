@@ -108,3 +108,23 @@ def test_salted_join_rejects_build_outer(spark):
     for how in ("right", "full", "right_outer", "fullouter"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(probe, build, on="k", how=how)
+
+
+def test_bucketed_dedup_plan_is_bucket_local(spark):
+    """The pair join must be an equi-join on centroid_id — a cartesian
+    product would mean the bucketing silently degraded to brute force
+    (only the centroid assignment cross-joins, against the broadcast
+    nlist-row centroid table)."""
+    embs = load_tables(spark, SF_DIR)["embeddings"]
+    out = dedup.embedding_dedup_pairs_bucketed(
+        embs, threshold=0.4, nlist=8, n_assign=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan
+    joins = [
+        ln for ln in plan.splitlines()
+        if "CartesianProduct" in ln or "BroadcastNestedLoopJoin" in ln
+    ]
+    # the only allowed non-equi join is the broadcast against the tiny
+    # centroid table (BroadcastNestedLoopJoin over nlist rows)
+    assert all("BroadcastNestedLoop" in ln for ln in joins), joins
