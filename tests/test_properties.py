@@ -196,3 +196,29 @@ def test_asof_join_matches_pandas_on_random_series(
     pd.testing.assert_series_equal(
         got, want, check_names=False, check_dtype=False
     )
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=200,
+    )
+)
+@_SETTINGS
+def test_global_running_sum_equals_pandas_cumsum(spark, vals):
+    """Distributed prefix-sum == pandas cumsum for any values
+    (negatives, duplicates) under any partition count."""
+    from hadoop__spark.operators.util import global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k LONG, v LONG"
+    )
+    got = (
+        global_running_sum(df, "k", "v", out_col="cum", num_partitions=5)
+        .orderBy("k")
+        .toPandas()["cum"]
+        .tolist()
+    )
+    want = pd.Series(vals).cumsum().tolist()
+    assert got == want
