@@ -476,6 +476,17 @@ class LineageAnalyzer:
             res.statements.append("DROP")
         elif node.cls == "TruncateTable":
             res.statements.append("TRUNCATE")
+        elif node.cls.startswith(
+            (
+                "Show", "Describe", "Desc", "Explain", "Set", "Refresh",
+                "Cache", "Uncache", "Analyze", "Comment", "Msck", "Repair",
+            )
+        ):
+            # metadata/utility commands: no lineage, but record the
+            # statement kind instead of a phantom SELECT
+            res.statements.append(
+                node.cls.removesuffix("Command").removesuffix("Statement").upper()
+            )
         else:
             # bare SELECT: pseudo-destination, reference README.md:211-225
             scope = self._walk_query(node, conditions, res)

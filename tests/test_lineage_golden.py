@@ -609,3 +609,17 @@ def test_update_delete_lineage(spark):
     assert res2.statements == ["DELETE"]
     assert res2.output_tables == {"default.t"}
     assert res2.col_lines == []
+
+
+def test_metadata_commands_record_kind(spark):
+    """SHOW/DESCRIBE/EXPLAIN are utility commands — statement kind
+    recorded, no phantom SELECT edge."""
+    an = LineageAnalyzer(spark, DictMetastore({"default.t": ["a"]}))
+    for sql, kind in (
+        ("show tables", "SHOWTABLES"),
+        ("describe table t", "DESCRIBERELATION"),
+        ("explain select 1", "EXPLAIN"),
+    ):
+        res = an.analyze(sql)
+        assert res.statements == [kind], sql
+        assert res.col_lines == [] and res.output_tables == set(), sql
