@@ -340,22 +340,33 @@ def simhash_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+    # Group each chunk bucket and expand its i<j combinations — ONE
+    # shuffle of the chunk table instead of a self-join shuffling it
+    # twice (same rewrite as minhash_lsh_pairs).  Members carry their
+    # signature so the Hamming verify needs no further join; no
+    # bucket cap here — the pigeonhole recall guarantee requires
+    # checking every pair that agrees on a chunk.
+    grouped = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_id", "simhash"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
     cand = (
-        chunks.alias("a")
-        .join(
-            chunks.alias("b"),
-            on=[
-                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
-                F.col("a.chunk_val") == F.col("b.chunk_val"),
-                F.col("a._id") < F.col("b._id"),
-            ],
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x._id AS id_a, y._id AS id_b, "
+                    "x.simhash AS sig_a, y.simhash AS sig_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
+        .select("p.*")
         .distinct()
     )
     return (
