@@ -244,6 +244,12 @@ def ngram_jaccard_pairs(
     ).where(F.size("_sh") > 0)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_s"))
+    # Deliberately a streaming self-join, NOT the grouped collect_list
+    # pair expansion used by minhash/simhash: this operator is exact,
+    # so hot postings (stopword shingles shared by most of the corpus)
+    # cannot be capped, and buffering an unbounded posting list in one
+    # aggregation buffer is an OOM at scale — the sort-merge join
+    # streams those pairs instead.
     common = (
         inv.alias("a")
         .join(
