@@ -349,9 +349,12 @@ def simhash_pairs(
     # Group each chunk bucket and expand its i<j combinations — ONE
     # shuffle of the chunk table instead of a self-join shuffling it
     # twice (same rewrite as minhash_lsh_pairs).  Members carry their
-    # signature so the Hamming verify needs no further join; no
-    # bucket cap here — the pigeonhole recall guarantee requires
-    # checking every pair that agrees on a chunk.
+    # signature so the Hamming verify needs no further join.  No
+    # bucket cap (the pigeonhole recall guarantee requires every pair
+    # agreeing on a chunk), but unlike Zipfian text postings (see
+    # ngram_jaccard_pairs) chunk values are hash-uniform, so a
+    # bucket's collect_list buffer is bounded by ~N/2^chunk_bits
+    # members — megabytes even at billions of docs.
     grouped = (
         chunks.groupBy("chunk_idx", "chunk_val")
         .agg(
