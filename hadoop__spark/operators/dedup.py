@@ -233,39 +233,108 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs via an inverted index.
+    """Exact n-gram Jaccard similarity pairs via a prefix-filtered
+    inverted index.
 
-    explode(shingle) → self-join on shingle (the inverted index — the
-    scalable alternative to a cross join) → common counts → Jaccard.
+    With ``prefix_filter=True`` (the default, and the 100 TB path),
+    candidate generation uses prefix filtering (Bayardo/Ma/Srikant,
+    "Scaling Up All Pairs Similarity Search", WWW'07): order every
+    document's shingle set by ascending global document frequency
+    (ties broken by the shingle string — any consistent total order
+    works), and index only the first ``|d| - ceil(t*|d|) + 1``
+    shingles of each document.  A pair with Jaccard >= t has
+    ``|A∩B| >= ceil(t*max(|A|,|B|))`` common shingles, and the
+    smallest-in-order common shingle provably lies inside BOTH
+    prefixes — so the prefix-index self-join loses no qualifying
+    pair, while stopword shingles (high df, ordered last) fall
+    outside most prefixes and never k²-explode the join.  Every
+    candidate is then verified EXACTLY against the full shingle sets
+    with ``array_intersect``/``array_union``, so the operator's
+    output is identical to the unfiltered inverted-index join
+    (property-tested in tests/test_properties.py).
+
+    ``prefix_filter=False`` keeps the plain inverted-index streaming
+    self-join: no df aggregation, but every hot posting of k docs
+    emits k² join rows — only sensible for small corpora or as the
+    invariance oracle.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     ).where(F.size("_sh") > 0)
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("_s"))
-    # Deliberately a streaming self-join, NOT the grouped collect_list
-    # pair expansion used by minhash/simhash: this operator is exact,
-    # so hot postings (stopword shingles shared by most of the corpus)
-    # cannot be capped, and buffering an unbounded posting list in one
-    # aggregation buffer is an OOM at scale — the sort-merge join
-    # streams those pairs instead.
-    common = (
-        inv.alias("a")
+    if not prefix_filter:
+        sizes = sh.select("_id", F.size("_sh").alias("_n"))
+        inv = sh.select("_id", F.explode("_sh").alias("_s"))
+        # Streaming self-join, NOT a grouped collect_list pair
+        # expansion: this path is exact, so hot postings cannot be
+        # capped, and buffering an unbounded posting list in one
+        # aggregation buffer is an OOM at scale — the sort-merge
+        # join streams those pairs instead.
+        common = (
+            inv.alias("a")
+            .join(
+                inv.alias("b"),
+                on=[F.col("a._s") == F.col("b._s"), F.col("a._id") < F.col("b._id")],
+            )
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count("*").alias("_c"))
+        )
+        return (
+            common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "na"), "id_a")
+            .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "nb"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("_c").cast("double") / (F.col("na") + F.col("nb") - F.col("_c"))).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    from pyspark.sql.window import Window
+
+    # _n rides along from before the explode, so no extra sizes join.
+    inv = sh.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+    )
+    doc_freq = inv.groupBy("_s").agg(F.count("*").alias("_df"))
+    # Per-document rank under the global (df asc, shingle asc) order.
+    # The window partitions by document, so its buffer is bounded by
+    # document length, never by corpus size.
+    ranked = inv.join(doc_freq, "_s").withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_s")),
+    )
+    prefix = ranked.where(
+        F.col("_rk")
+        <= F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+    )
+    cand = (
+        prefix.alias("a")
         .join(
-            inv.alias("b"),
+            prefix.alias("b"),
             on=[F.col("a._s") == F.col("b._s"), F.col("a._id") < F.col("b._id")],
         )
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("_c"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
+    sh_sets = sh.select("_id", "_sh")
     return (
-        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "nb"), "id_b")
+        cand.join(
+            sh_sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh_sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            (F.col("_c").cast("double") / (F.col("na") + F.col("nb") - F.col("_c"))).alias("jaccard"),
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -67,6 +67,32 @@ def test_lsh_equals_exact_jaccard_on_random_docs(spark, texts, threshold):
     assert lsh == exact
 
 
+@given(texts=doc_strategy, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+@_SETTINGS
+def test_prefix_filter_preserves_exact_pair_set(spark, texts, threshold):
+    """Prefix filtering is an exactness-preserving optimization: the
+    df-ordered prefix index must emit the IDENTICAL pair set as the
+    unfiltered inverted-index join at any threshold (the Bayardo
+    prefix-filter lemma).  The tiny 7-word vocabulary makes almost
+    every shingle a hot posting, which is the adversarial case."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    pruned = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=threshold, prefix_filter=True
+        ).collect()
+    }
+    plain = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=threshold, prefix_filter=False
+        ).collect()
+    }
+    assert pruned == plain
+
+
 @given(texts=doc_strategy)
 @_SETTINGS
 def test_simhash_identical_texts_collide(spark, texts):
