@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hadoop__spark.operators.text import normalized, tokens
@@ -142,9 +141,16 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     # The shingle frame feeds three consumers (signatures + both sides
-    # of the exact-verify join); without persist() each one re-scans
-    # and re-normalizes the corpus.  MEMORY_AND_DISK: spills instead of
-    # recomputing, and the LRU evictor reclaims it after the query.
+    # of the exact-verify join); without materialization each one
+    # re-scans and re-normalizes the corpus.  Lazy localCheckpoint
+    # instead of persist(): blocks are MEMORY_AND_DISK either way, but
+    # checkpoint blocks are released by the ContextCleaner as soon as
+    # the caller drops the result frame, whereas persist() entries sit
+    # in the CacheManager until an explicit unpersist — which a
+    # function returning a lazy plan has no safe place to call, and a
+    # long-lived driver session running many operators would otherwise
+    # accumulate cached frames ('Asked to cache already cached data'
+    # warnings under LRU pressure).
     # At 100 TB, materialize signatures as a table instead (NOTES.md).
     base = (
         ensure_parallelism(df)
@@ -153,7 +159,7 @@ def minhash_lsh_pairs(
             shingles(F.col(text_col), n).alias("_sh"),
         )
         .where(F.size("_sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     mh = _minhash_signatures(base, num_perm)
     # band hash = xxhash64 over the band's rows_per_band signature slots

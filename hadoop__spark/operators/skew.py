@@ -68,17 +68,20 @@ def key_skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Diagnostic: per-key row counts and share of total, descending —
     the 'should I salt this join' question answered from data.
 
-    Single pass: the total comes from an unpartitioned window over the
-    (small, one-row-per-key) aggregate, not a second scan of ``df``.
+    The grand total is a scalar aggregate broadcast back onto the
+    per-key frame: an unpartitioned window here would funnel every
+    distinct key through a single task, which for a high-cardinality
+    key column is itself the skew this report exists to diagnose.
+    Both join branches share the identical per-key aggregate subplan,
+    so Catalyst's ReuseExchange collapses them into one scan of ``df``
+    (asserted in tests/test_plan_shapes.py).
     """
-    from pyspark.sql import Window
-
     agged = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    total = agged.agg(F.sum("n_rows").alias("_total"))
     return (
-        agged.withColumn(
-            "share",
-            F.col("n_rows") / F.sum("n_rows").over(Window.partitionBy()),
-        )
+        agged.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_rows") / F.col("_total"))
+        .drop("_total")
         .orderBy(F.col("n_rows").desc())
         .limit(top)
     )

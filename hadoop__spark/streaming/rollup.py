@@ -122,13 +122,31 @@ def dedup_events_stream(
     ``dropDuplicates`` whose state grows forever on an unbounded
     stream.  Works identically on a batch frame (full dedup) so
     backfills share the code path.
+
+    Rows with a NULL dedup key bypass the dedup entirely: both
+    ``dropDuplicates`` variants treat NULL keys as equal, which would
+    silently collapse every malformed payload (``parse_kafka_events``
+    leaves ``event_id`` NULL on parse failure) into one surviving row —
+    contradicting the parse contract that malformed rows are preserved
+    for late-data accounting.  A NULL key identifies nothing, so
+    nothing can be a duplicate of it.
     """
+    import functools
+    import operator
+
     keys = keys or ["event_id"]
+    has_null_key = functools.reduce(
+        operator.or_, (F.col(k).isNull() for k in keys)
+    )
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-            keys
-        )
-    return events.dropDuplicates(keys)
+        marked = events.withWatermark("ts", watermark)
+        deduped = marked.filter(~has_null_key).dropDuplicatesWithinWatermark(keys)
+        return deduped.unionByName(marked.filter(has_null_key))
+    return (
+        events.filter(~has_null_key)
+        .dropDuplicates(keys)
+        .unionByName(events.filter(has_null_key))
+    )
 
 
 def hourly_rollup(
