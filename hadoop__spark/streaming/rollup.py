@@ -19,12 +19,57 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-#: Schema of the events fixture (TESTDATA.md); ts arrives as
-#: TIMESTAMP(NANOS) parquet which streaming reads need pre-declared.
+#: Schema of the events fixture (TESTDATA.md).  The physical parquet
+#: type of ``ts`` is NOT fixed by contract — fixture regenerations have
+#: shipped timestamp[us] and int64-nanos variants — so the stream
+#: reader sniffs the footer (:func:`_sniff_ts_physical_type`) instead
+#: of hardcoding one decode.
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
+
+
+def _sniff_ts_physical_type(path: str) -> str:
+    """Classify the physical parquet type of the ``ts`` column.
+
+    Returns one of:
+
+    * ``"native"`` — timestamp[s|ms|us]: Spark reads it directly as a
+      timestamp, no decode needed.
+    * ``"nanos_ts"`` — timestamp[ns]: Spark (≤4.x) has microsecond
+      timestamp precision, so nanos must be read as BIGINT via
+      ``spark.sql.legacy.parquet.nanosAsLong`` and decoded.
+    * ``"nanos_int"`` — plain int64: by this module's convention the
+      value is a nanosecond epoch (pandas ``Timestamp.value``).
+
+    The footer read is a driver-side metadata operation (no data I/O) —
+    this is the moral equivalent of schema inference, done once at plan
+    time.  Round 3 shipped a hardcoded nanos decode against a fixture
+    that had become timestamp[us]; the 1000× time compression collapsed
+    30 days of events into 43 minutes of January 1970.  Never again:
+    decode what the footer says is there.
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    try:
+        field = ds.dataset(path, format="parquet").schema.field("ts")
+    except (FileNotFoundError, pa.ArrowInvalid, KeyError):
+        # no files yet (stream source on an empty directory) — assume
+        # the current fixture convention; the first micro-batch with
+        # actual files would have been sniffable, but a streaming
+        # schema must be fixed up front.
+        return "native"
+    t = field.type
+    if pa.types.is_timestamp(t):
+        return "nanos_ts" if t.unit == "ns" else "native"
+    if pa.types.is_integer(t):
+        return "nanos_int"
+    raise ValueError(
+        f"events 'ts' column has unsupported parquet type {t!r}; "
+        "expected a timestamp or an int64 nanosecond epoch"
+    )
 
 
 #: JSON payload schema of one Kafka event record (``value`` bytes).
@@ -89,11 +134,22 @@ def read_events_stream(
             f"source_format must be 'parquet' or 'kafka', got {source_format!r}"
         )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_kind = _sniff_ts_physical_type(path)
+    if ts_kind == "native":
+        # TIMESTAMP (not NTZ): watermarks require the instant-typed
+        # timestamp, and the session runs in UTC so the tz-naive
+        # fixture values keep their wall-clock reading.
+        ts_decl = "ts TIMESTAMP"
+    else:
+        ts_decl = "ts BIGINT"
+        if ts_kind == "nanos_ts":
+            # Spark's timestamp precision is micros; nanos parquet is
+            # only readable as a long under this legacy flag.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
         spark.readStream.format("parquet")
         .schema(
-            "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+            f"event_id BIGINT, {ts_decl}, user_id BIGINT, "
             "event_type STRING, value DOUBLE, props STRING"
         )
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -105,6 +161,8 @@ def read_events_stream(
         path = os.path.join(d, f"[{name[0]}]{name[1:]}")
         reader = reader.option("basePath", d)
     raw = reader.load(path)
+    if ts_kind == "native":
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -113,9 +171,12 @@ def dedup_events_stream(
     keys: list[str] | None = None,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Exactly-once event dedup on a stream: duplicate deliveries
-    (at-least-once sources like Kafka retries) are dropped by key
-    within the watermark horizon.
+    """Event dedup on a stream: duplicate deliveries (at-least-once
+    sources like Kafka retries) are dropped by key within the
+    watermark horizon, giving exactly-once emission for rows with a
+    non-null key.  NULL-key rows bypass the dedup (see below), so a
+    retried delivery of a malformed payload is emitted once per
+    delivery — the caller owns dedup of unidentifiable rows.
 
     ``dropDuplicatesWithinWatermark`` keeps per-key state only until
     the watermark passes — bounded state, unlike a plain
@@ -129,7 +190,10 @@ def dedup_events_stream(
     leaves ``event_id`` NULL on parse failure) into one surviving row —
     contradicting the parse contract that malformed rows are preserved
     for late-data accounting.  A NULL key identifies nothing, so
-    nothing can be a duplicate of it.
+    nothing can be a duplicate of it.  Cost of the branch-and-union:
+    the source is scanned (and for Kafka, parsed) twice per
+    micro-batch; acceptable because malformed rows are rare and the
+    scan is the cheap part of a dedup micro-batch.
     """
     import functools
     import operator

@@ -308,6 +308,46 @@ def test_stateful_high_water_deterministic(spark, tmp_path):
         assert got == want, (mfpt, got, want)
 
 
+def _drain_event_ids_ts(spark, path: str, sink: str) -> set:
+    stream = streaming.read_events_stream(spark, path)
+    streaming.run_stream_to_memory(
+        stream.select("event_id", "ts"), sink, output_mode="append"
+    )
+    return {(r.event_id, str(r.ts)) for r in spark.table(sink).collect()}
+
+
+def test_ts_unit_drift_canary(spark, tmp_path):
+    """Unit-drift canary: the stream reader must decode whatever
+    physical ts type the fixture file actually carries.  Round 3's only
+    wrong answer came from a hardcoded nanos decode applied to a
+    regenerated timestamp[us] fixture (a 1000x time compression), so
+    this test drains the same rows through the stream reader for all
+    three supported physical shapes — the real fixture (timestamp[us]),
+    a synthesized timestamp[ns] file, and a synthesized int64-nanos
+    file — and requires each to equal the native batch read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    want = {
+        (r.event_id, str(r.ts))
+        for r in spark.read.parquet(src).select("event_id", "ts").collect()
+    }
+    assert _drain_event_ids_ts(spark, src, "canary_native") == want
+
+    table = pq.read_table(src)
+    idx = table.schema.get_field_index("ts")
+    ns_col = table.column("ts").cast(pa.timestamp("ns"))
+    for variant, col in (("ns", ns_col), ("int64", ns_col.cast(pa.int64()))):
+        d = tmp_path / f"events_{variant}"
+        d.mkdir()
+        pq.write_table(
+            table.set_column(idx, "ts", col), d / "part-0.parquet"
+        )
+        got = _drain_event_ids_ts(spark, str(d), f"canary_{variant}")
+        assert got == want, f"ts decode drifted for {variant} files"
+
+
 def test_parse_kafka_events_payload(spark):
     """Kafka-shaped frame (binary value + broker timestamp) parses to
     the events schema; malformed payloads fall back to the broker
