@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hadoop__spark.operators.text import normalized, tokens
@@ -128,6 +129,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    cache: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -138,20 +140,35 @@ def minhash_lsh_pairs(
     step then removes all false positives, making the operator's output
     equal to exact all-pairs Jaccard at the threshold (which is what
     the DuckDB oracle computes).
+
+    ``cache`` picks how the shared shingle frame is materialized:
+    ``"persist"``, ``"local_checkpoint"``, or ``"auto"`` (persist
+    unless dynamic allocation is on — see below).
     """
     rows_per_band = num_perm // bands
     # The shingle frame feeds three consumers (signatures + both sides
     # of the exact-verify join); without materialization each one
-    # re-scans and re-normalizes the corpus.  Lazy localCheckpoint
-    # instead of persist(): blocks are MEMORY_AND_DISK either way, but
-    # checkpoint blocks are released by the ContextCleaner as soon as
-    # the caller drops the result frame, whereas persist() entries sit
-    # in the CacheManager until an explicit unpersist — which a
-    # function returning a lazy plan has no safe place to call, and a
-    # long-lived driver session running many operators would otherwise
-    # accumulate cached frames ('Asked to cache already cached data'
-    # warnings under LRU pressure).
-    # At 100 TB, materialize signatures as a table instead (NOTES.md).
+    # re-scans and re-normalizes the corpus.  Strategy tradeoff,
+    # measured at sf0.1 (NOTES.md round-4 entry):
+    #
+    # * persist(MEMORY_AND_DISK): keeps lineage, so executor loss
+    #   recomputes blocks transparently, and the CacheManager's
+    #   plan-matching lets repeated calls reuse the cache (warm runs
+    #   ~25% faster than checkpointing).  Cost: entries live in the
+    #   CacheManager until unpersist, and a function returning a lazy
+    #   plan has no safe unpersist point — long-lived sessions rely on
+    #   LRU eviction.
+    # * localCheckpoint(eager=False): blocks are released by the
+    #   ContextCleaner when the caller drops the frame, but lineage is
+    #   TRUNCATED and blocks are unreplicated executor-local — any
+    #   executor loss (routine at 100 TB, near-certain under dynamic
+    #   allocation) fails the query with a missing-checkpoint-block
+    #   error instead of recomputing.
+    #
+    # "auto" resolves to persist: recomputability + cache reuse beat
+    # automatic cleanup, and under dynamic allocation localCheckpoint
+    # is outright unsafe (Spark's own docs flag it).  At 100 TB,
+    # materialize signatures as a table instead (NOTES.md).
     base = (
         ensure_parallelism(df)
         .select(
@@ -159,8 +176,17 @@ def minhash_lsh_pairs(
             shingles(F.col(text_col), n).alias("_sh"),
         )
         .where(F.size("_sh") > 0)
-        .localCheckpoint(eager=False)
     )
+    if cache == "auto":
+        cache = "persist"
+    if cache == "persist":
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    elif cache == "local_checkpoint":
+        base = base.localCheckpoint(eager=False)
+    else:
+        raise ValueError(
+            f"cache must be 'auto', 'persist', or 'local_checkpoint', got {cache!r}"
+        )
     mh = _minhash_signatures(base, num_perm)
     # band hash = xxhash64 over the band's rows_per_band signature slots
     banded = mh.select(
@@ -468,6 +494,7 @@ def embedding_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_rows: int | None = 50_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -475,10 +502,29 @@ def embedding_dedup_pairs(
     100 TB this must be preceded by an LSH/IVF bucketing stage (see
     ``similarity.ivf_assign``) so the self-join is bucket-local — the
     composition is ``ivf_assign → embedding_dedup_pairs(per bucket)``.
+
+    The docstring contract above is enforced, not advisory: the input
+    is counted (one cheap aggregate job) and anything above
+    ``max_rows`` raises, pointing at
+    :func:`embedding_dedup_pairs_bucketed` — because an unguarded
+    O(n²) self-join one call away from a 100 TB corpus is a silent
+    cluster-killer, and the count is noise next to n²/2 cosine
+    evaluations.  Pass ``max_rows=None`` only when the caller has
+    already bucketed the input.
     """
     from hadoop__spark.operators.similarity import cosine_sim
 
     e = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if max_rows is not None:
+        n = e.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_dedup_pairs got {n} rows (> max_rows={max_rows}): "
+                "an all-pairs self-join at this size is a scale hazard. Use "
+                "embedding_dedup_pairs_bucketed (IVF-bucketed, the scale "
+                "path), or pass max_rows=None if the input is already "
+                "bucket-local."
+            )
     pairs = (
         e.alias("a")
         .join(e.alias("b"), F.col("a._id") < F.col("b._id"))

@@ -50,6 +50,21 @@ def test_h03_dimension_joins_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_key_skew_report_single_scan_reused_exchange(spark):
+    """key_skew_report's total-row aggregate shares the per-key
+    aggregate subplan: the finalized AQE plan must read the input ONCE
+    and serve the grand-total branch from a ReusedExchange — the
+    property the operator's docstring promises."""
+    from hadoop__spark.operators.skew import key_skew_report
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    rep = key_skew_report(li, "l_returnflag", top=3)
+    rep.collect()  # finalize the adaptive plan
+    plan = _plan(rep).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_minhash_no_cartesian(spark):
     docs = load_tables(spark, SF_DIR)["documents"]
     plan = _plan(dedup.minhash_lsh_pairs(docs, threshold=0.8))

@@ -79,6 +79,24 @@ def test_bucketed_embedding_dedup_recall(spark):
     assert recall >= 0.7, f"bucketed dedup recall {recall}"
 
 
+def test_embedding_dedup_size_guard_fires(spark):
+    """The brute-force entry point enforces its 'must be bucketed
+    first' contract: above max_rows it raises and points at the
+    bucketed sibling instead of silently launching an O(n²) join."""
+    import pytest
+
+    embs = load_tables(spark, SF_DIR)["embeddings"]
+    with pytest.raises(ValueError, match="embedding_dedup_pairs_bucketed"):
+        dedup.embedding_dedup_pairs(embs, threshold=0.4, max_rows=10)
+    # max_rows=None disables the guard for bucket-local callers
+    assert (
+        dedup.embedding_dedup_pairs(
+            embs.limit(20), threshold=0.0, max_rows=None
+        ).count()
+        > 0
+    )
+
+
 def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     """Persisted IVF: query-time scan reads only the probed centroid
     partitions (PartitionFilters in the plan), and recall vs brute
