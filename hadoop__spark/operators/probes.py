@@ -317,6 +317,26 @@ def _sj01(spark, sf_dir):
     )
 
 
+#: dd05's expected (id_a, id_b, hamming) pairs on the sf0.01 fixture —
+#: the driver's correctness gate runs at sf0.01 only, and the fixture
+#: plus xxhash64 make the output fully deterministic.  Regenerate by
+#: running the probe if the fixture is ever regenerated.
+_SIMHASH_PAIRS_SF001 = [
+    (8, 245, 1), (31, 383, 4), (44, 446, 4), (45, 267, 0), (45, 413, 1),
+    (58, 293, 4), (61, 185, 2), (70, 447, 2), (72, 377, 3), (87, 134, 5),
+    (92, 450, 1), (98, 290, 6), (120, 332, 4), (166, 323, 2),
+    (267, 413, 1), (285, 301, 1), (295, 374, 6), (310, 389, 5),
+    (393, 420, 1), (435, 486, 6), (458, 462, 2),
+]
+
+_SIMHASH_VALUES_ORACLE = (
+    "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+    "CAST(hamming AS INT) AS hamming FROM (VALUES "
+    + ", ".join(f"({a}, {b}, {h})" for a, b, h in _SIMHASH_PAIRS_SF001)
+    + ") AS t(id_a, id_b, hamming) ORDER BY id_a, id_b"
+)
+
+
 OPERATOR_PROBES: list[Probe] = [
     Probe(
         name="dd01_dedup_exact",
@@ -338,10 +358,14 @@ OPERATOR_PROBES: list[Probe] = [
     Probe(name="dd03_minhash_lsh", fn=_dd03, oracle=_jaccard_oracle(0.8)),
     Probe(name="dd04_ngram_jaccard", fn=_dd04, oracle=_jaccard_oracle(0.8)),
     # SimHash signatures are xxhash64-specific and the Hamming-ball pair
-    # set is not a SQL-expressible function of the text — rows-only
-    # check here; recall vs exact Jaccard is asserted in
-    # tests/test_operators.py.
-    Probe(name="dd05_simhash", fn=_dd05, oracle=None),
+    # set is not a SQL-expressible function of the text, so no
+    # independent oracle exists.  The fixture is fixed, though, and
+    # xxhash64 is deterministic — the expected pair set at sf0.01 is
+    # static, so it is pinned as a VALUES regression oracle (same move
+    # as the ln01/ln02 lineage probes).  Semantic correctness (recall
+    # vs exact Jaccard) is carried by tests/test_operators.py; this
+    # oracle catches drift in the signature/banding pipeline.
+    Probe(name="dd05_simhash", fn=_dd05, oracle=_SIMHASH_VALUES_ORACLE),
     Probe(
         name="dd06_embedding_dedup",
         fn=_dd06,
