@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hadoop__spark.operators import dedup, multimodal, similarity, text
+from hadoop__spark.operators import (
+    dedup,
+    multimodal,
+    pinned_oracles,
+    similarity,
+    text,
+)
 from hadoop__spark.queries import Probe
 from hadoop__spark.session import load_tables
 
@@ -377,8 +383,16 @@ WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
 """,
     ),
     # IVF-bucketed dedup is approximate (recall vs brute force asserted
-    # in tests/test_skew_and_bucketed_dedup.py) — rows-only here.
-    Probe(name="dd07_embedding_dedup_bucketed", fn=_dd07, oracle=None),
+    # in tests/test_skew_and_bucketed_dedup.py); the output is
+    # nonetheless deterministic (seeded k-means, sequential double
+    # folds — measured bit-identical across session configs), so the
+    # sf0.01 result is pinned as a VALUES regression oracle
+    # (pinned_oracles.py).
+    Probe(
+        name="dd07_embedding_dedup_bucketed",
+        fn=_dd07,
+        oracle=pinned_oracles.DD07_ORACLE,
+    ),
     Probe(
         name="ann01_cosine_topk",
         fn=_ann01,
@@ -396,13 +410,20 @@ FROM s
 QUALIFY rank <= 10
 """,
     ),
-    # IVF is approximate by construction (k-means bucketing) — no SQL
-    # oracle; recall vs brute force is asserted in tests/test_operators.
-    Probe(name="ann02_ivf_topk", fn=_ann02, oracle=None),
-    # Same approximation caveat for the persisted-index path; the
-    # partition-pruning plan shape is asserted in
-    # tests/test_skew_and_bucketed_dedup.py.
-    Probe(name="ann03_ivf_persisted", fn=_ann03, oracle=None),
+    # IVF is approximate by construction (k-means bucketing), so no
+    # independent SQL oracle exists; recall vs brute force is asserted
+    # in tests/test_operators.  The deterministic sf0.01 output is
+    # pinned as a VALUES regression oracle (pinned_oracles.py).
+    Probe(
+        name="ann02_ivf_topk", fn=_ann02, oracle=pinned_oracles.ANN02_ORACLE
+    ),
+    # Same caveats for the persisted-index path; the partition-pruning
+    # plan shape is asserted in tests/test_skew_and_bucketed_dedup.py.
+    Probe(
+        name="ann03_ivf_persisted",
+        fn=_ann03,
+        oracle=pinned_oracles.ANN03_ORACLE,
+    ),
     # Salting is physical-only: result must equal the plain equi-join.
     Probe(
         name="sj01_salted_join",
