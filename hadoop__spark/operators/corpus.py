@@ -1,0 +1,208 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+repetition filters, deterministic splits/samples, and sequence packing.
+
+These are the steps between "deduped documents" and "training batches":
+
+* :func:`repetition_stats` — Gopher-style repetition signals
+  (duplicate-line / duplicate-n-gram fractions) used to drop
+  boilerplate and degenerate generations.
+* :func:`deterministic_split` / :func:`deterministic_sample` —
+  hash-based train/val/test assignment.  ``rand()`` is banned here: a
+  seeded ``rand`` changes with partitioning and Spark version, while
+  ``md5(key)`` gives the same assignment on any engine, any cluster
+  shape, forever — which is what makes held-out sets trustworthy.
+* :func:`pack_sequences` — contiguous sequence packing: lay the token
+  stream end-to-end and cut fixed-length windows, the standard
+  GPT-style pretraining layout.  The cumulative offset comes from the
+  distributed prefix-sum (``util.global_running_sum``), NOT a global
+  window — a bare ``Window.orderBy`` funnels the corpus through one
+  task.
+
+Scale notes: repetition stats are per-row projections (no shuffle,
+pipelined with the scan); splits/samples are stateless filters;
+packing costs one range-repartition (the prefix-sum) — all safe at
+100 TB.  Everything is Spark built-ins; no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hadoop__spark.operators.text import tokens
+from hadoop__spark.operators.util import ensure_parallelism, global_running_sum
+
+
+def _raw_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of the normalized text WITH multiplicity (the
+    dedup sibling ``dedup.shingles`` deduplicates; repetition metrics
+    need the duplicates — they're the signal).  Same zip_with-over-
+    shifted-arrays construction, for the same reason: every argument
+    evaluates once per row, not once per element."""
+    w = tokens(col)
+    if n == 1:
+        return w
+    sh = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0)))
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat(a, F.lit(" "), b)),
+        )
+    return F.filter(sh, lambda x: x.isNotNull())
+
+
+def _dup_frac(arr: Column) -> Column:
+    """Fraction of elements that are repeats of an earlier element:
+    ``1 - distinct/total`` (0 for empty arrays)."""
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        1.0 - F.size(F.array_distinct(arr)).cast("double") / n.cast("double"),
+    ).otherwise(0.0)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition filters).
+
+    * ``dup_line_frac`` — fraction of non-empty lines that repeat an
+      earlier line (catches boilerplate / navigation chrome).
+    * ``dup_token_frac`` / ``dup_2gram_frac`` / ``dup_3gram_frac`` —
+      fraction of word n-grams that are repeats (catches degenerate
+      repetition; thresholds around 0.2-0.6 in the Gopher rules).
+
+    All fractions are deterministic double math over integer counts —
+    oracle-checkable bit-for-bit.
+    """
+    df = ensure_parallelism(df)
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        _dup_frac(lines).alias("dup_line_frac"),
+        F.size(tokens(c)).cast("bigint").alias("n_tokens"),
+        _dup_frac(_raw_ngrams(c, 1)).alias("dup_token_frac"),
+        _dup_frac(_raw_ngrams(c, 2)).alias("dup_2gram_frac"),
+        _dup_frac(_raw_ngrams(c, 3)).alias("dup_3gram_frac"),
+    )
+
+
+def _hex_threshold(frac: float) -> str:
+    """32-hex-digit threshold such that md5(key) < threshold selects a
+    ``frac`` share of a uniform hash space.  String comparison on the
+    fixed-width lowercase hex IS numeric comparison — and it works
+    identically in every engine, which is the whole trick: no
+    hex-to-int conversion dialect to get wrong."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {frac}")
+    return format(int(frac * (1 << 128)), "033x")[-32:] if frac < 1.0 else "g" * 32
+
+
+def _key_hash(key_col: str, salt: str) -> Column:
+    return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashing its key.
+
+    ``splits`` maps name → fraction (must sum to 1).  Assignment is a
+    pure function of (key, salt): stable across runs, engines, cluster
+    shapes, and row order — re-running the pipeline never moves a
+    document across the train/validation boundary (``rand(seed)``
+    does, whenever partitioning changes).  Bump ``salt`` to derive a
+    fresh independent split.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = _key_hash(key_col, salt)
+    cum = 0.0
+    expr = None
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` share of rows by key hash.
+
+    Unlike ``df.sample``, membership is a pure function of (key, salt):
+    the same document is kept in every run and on every engine, and
+    samples at different fractions are NESTED (a 1% sample is a subset
+    of the 10% sample with the same salt) — the property that makes
+    scaling-law subsets comparable.
+    """
+    return df.where(_key_hash(key_col, salt) < F.lit(_hex_threshold(fraction)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    count_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous sequence packing: documents are laid end-to-end in
+    ``order_col`` order into one global token stream, and each document
+    is tagged with the fixed-length training window its FIRST token
+    lands in.
+
+    Output columns (input columns preserved):
+
+    * ``offset`` — the document's start position in the global stream,
+    * ``pack_id`` — ``offset div seq_len`` (the window index),
+    * ``pack_pos`` — ``offset mod seq_len`` (position inside it),
+    * ``n_packs`` — how many windows the document spans.
+
+    The offset is an exclusive prefix-sum over token counts, computed
+    with the distributed prefix-sum (range-partition → local cumsum →
+    broadcast per-partition offsets) — one range shuffle total, no
+    single-task global window, so the layout step scales to any corpus
+    the shuffle can hold.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    cum = global_running_sum(df, order_col, count_col, out_col="_cum")
+    offset = (F.col("_cum") - F.col(count_col)).cast("bigint")
+    # integer `div`, not floor(double /): a 100 TB corpus is a
+    # multi-trillion-token stream, and double division loses exactness
+    # past 2^53
+    return (
+        cum.withColumn("offset", offset)
+        .withColumn("pack_id", F.expr(f"offset div {seq_len}"))
+        .withColumn("pack_pos", (F.col("offset") % seq_len).cast("bigint"))
+        .withColumn(
+            "n_packs",
+            F.when(
+                F.col(count_col) > 0,
+                F.expr(f"(_cum - 1) div {seq_len}") + 1
+                - F.expr(f"offset div {seq_len}"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .drop("_cum")
+    )

@@ -20,6 +20,7 @@ from hadoop__spark.operators import (
     similarity,
     text,
 )
+from hadoop__spark.operators.corpus import _hex_threshold as _corpus_hex_threshold
 from hadoop__spark.queries import Probe
 from hadoop__spark.session import load_tables
 
@@ -286,6 +287,28 @@ def _pp01(spark, sf_dir):
     ).where(F.col("cum_tokens") <= 100_000)
 
 
+def _pp02(spark, sf_dir):
+    """Training-data prep: repetition-filter → deterministic train
+    split → contiguous sequence packing.  The three corpus operators
+    composed as one declarative plan: a narrow per-row projection
+    (repetition stats), a stateless hash filter (split), and ONE range
+    shuffle (the distributed prefix-sum inside pack_sequences) — no
+    global window, no driver loop, 100 TB-shaped end to end."""
+    from hadoop__spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    stats = corpus.repetition_stats(docs).select(
+        "doc_id", "n_tokens", "dup_token_frac"
+    )
+    kept = stats.where(F.col("dup_token_frac") <= 0.6)
+    train = corpus.deterministic_split(kept).where(
+        F.col("split") == "train"
+    )
+    return corpus.pack_sequences(train, seq_len=512).select(
+        "doc_id", "n_tokens", "offset", "pack_id", "pack_pos"
+    )
+
+
 def _ann03(spark, sf_dir):
     """Persisted-IVF path: write the centroid-partitioned index to a
     scratch dir, then answer top-k through the partition-pruned scan —
@@ -371,7 +394,12 @@ OPERATOR_PROBES: list[Probe] = [
     # as the ln01/ln02 lineage probes).  Semantic correctness (recall
     # vs exact Jaccard) is carried by tests/test_operators.py; this
     # oracle catches drift in the signature/banding pipeline.
-    Probe(name="dd05_simhash", fn=_dd05, oracle=_SIMHASH_VALUES_ORACLE),
+    Probe(
+        name="dd05_simhash",
+        fn=_dd05,
+        oracle=_SIMHASH_VALUES_ORACLE,
+        pinned_sf_dir=pinned_oracles.PINNED_SF_DIR,
+    ),
     Probe(
         name="dd06_embedding_dedup",
         fn=_dd06,
@@ -392,6 +420,7 @@ WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
         name="dd07_embedding_dedup_bucketed",
         fn=_dd07,
         oracle=pinned_oracles.DD07_ORACLE,
+        pinned_sf_dir=pinned_oracles.PINNED_SF_DIR,
     ),
     Probe(
         name="ann01_cosine_topk",
@@ -415,7 +444,10 @@ QUALIFY rank <= 10
     # in tests/test_operators.  The deterministic sf0.01 output is
     # pinned as a VALUES regression oracle (pinned_oracles.py).
     Probe(
-        name="ann02_ivf_topk", fn=_ann02, oracle=pinned_oracles.ANN02_ORACLE
+        name="ann02_ivf_topk",
+        fn=_ann02,
+        oracle=pinned_oracles.ANN02_ORACLE,
+        pinned_sf_dir=pinned_oracles.PINNED_SF_DIR,
     ),
     # Same caveats for the persisted-index path; the partition-pruning
     # plan shape is asserted in tests/test_skew_and_bucketed_dedup.py.
@@ -423,6 +455,7 @@ QUALIFY rank <= 10
         name="ann03_ivf_persisted",
         fn=_ann03,
         oracle=pinned_oracles.ANN03_ORACLE,
+        pinned_sf_dir=pinned_oracles.PINNED_SF_DIR,
     ),
     # Salting is physical-only: result must equal the plain equi-join.
     Probe(
@@ -505,6 +538,41 @@ SELECT doc_id, n_tokens,
             AS BIGINT) AS cum_tokens
 FROM s QUALIFY cum_tokens <= 100000
 """,
+    ),
+    # oracle recomputes the whole chain live: repetition fraction with
+    # list functions, split membership via the identical md5-threshold
+    # trick (string compare on fixed-width hex IS numeric compare),
+    # packing via a window prefix-sum (fine at oracle scale; the
+    # operator avoids the single-task window).
+    Probe(
+        name="pp02_training_prep",
+        fn=_pp02,
+        oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), st AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+    CASE WHEN len(w) > 0
+         THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS dup_token_frac
+  FROM t
+), kept AS (
+  SELECT doc_id, n_tokens FROM st
+  WHERE dup_token_frac <= 0.6
+    AND md5(CAST(doc_id AS VARCHAR) || 'split-v1')
+        < '{{train_threshold}}'
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS off
+  FROM kept
+)
+SELECT doc_id, n_tokens, off AS "offset",
+       CAST(floor(off / 512) AS BIGINT) AS pack_id,
+       CAST(off % 512 AS BIGINT) AS pack_pos
+FROM c
+""".replace("{train_threshold}", _corpus_hex_threshold(0.9)),
     ),
     Probe(
         name="tj01_asof_join",

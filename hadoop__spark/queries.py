@@ -45,6 +45,12 @@ class Probe:
     ``fn`` is used instead for DataFrame-API / operator-backed probes.
     ``oracle`` is DuckDB SQL, or ``None`` for engine-only capabilities
     (the driver then records a weaker rows-only check).
+
+    ``pinned_sf_dir``: set when the oracle is a pinned VALUES
+    regression oracle whose expected rows were captured at one
+    specific fixture scale — the driver's gate SF.  The local parity
+    mirror must run such probes at that SF (the driver always does);
+    live oracles recompute from the data and run at any SF.
     """
 
     name: str
@@ -52,6 +58,7 @@ class Probe:
     oracle: Optional[str] = None
     fn: Optional[Callable[[SparkSession, str], DataFrame]] = None
     tags: tuple = field(default=())
+    pinned_sf_dir: Optional[str] = None
 
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)

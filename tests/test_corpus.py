@@ -1,0 +1,202 @@
+"""Corpus-prep operators: repetition filters, deterministic
+splits/samples, sequence packing — hand-built cases plus DuckDB parity
+on the documents fixture (same oracle style as the driver gate)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop__spark.operators import corpus
+from hadoop__spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return load_tables(spark, SF_DIR)["documents"]
+
+
+def test_repetition_stats_hand_cases(spark):
+    rows = [
+        # lines: "a b","a b","x","y" -> 1/4 dup; tokens a b a b x y ->
+        # 2/6 dup; 2-grams a_b b_a a_b b_x x_y -> 1/5 dup
+        (1, "a b\na b\nx\ny"),
+        (2, ""),  # empty: all fractions 0, no NaN/null
+        (3, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in corpus.repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1.n_lines == 4 and r1.dup_line_frac == pytest.approx(0.25)
+    assert r1.n_tokens == 6 and r1.dup_token_frac == pytest.approx(1.0 / 3.0)
+    assert r1.dup_2gram_frac == pytest.approx(0.2)
+    r2 = got[2]
+    assert r2.n_lines == 0 and r2.n_tokens == 0
+    assert r2.dup_line_frac == 0.0 and r2.dup_3gram_frac == 0.0
+    r3 = got[3]
+    assert r3.dup_token_frac == 0.0 and r3.dup_2gram_frac == 0.0
+
+
+def test_repetition_stats_duckdb_parity(spark):
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_token_frac, r.dup_2gram_frac)
+        for r in corpus.repetition_stats(_docs(spark)).collect()
+    }
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', "
+        "'g'), ' +', ' ', 'g'))"
+    )
+    words = f"list_filter(string_split({norm}, ' '), x -> x <> '')"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = {
+        doc_id: (n, dt, d2)
+        for doc_id, n, dt, d2 in con.execute(
+            f"""
+WITH t AS (SELECT doc_id, {words} AS w FROM documents),
+g AS (SELECT doc_id, w,
+        CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+          i -> array_to_string(list_slice(w, i, i + 1), ' '))
+        ELSE [] END AS g2 FROM t)
+SELECT doc_id, len(w),
+  CASE WHEN len(w) > 0
+       THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+       ELSE 0.0 END,
+  CASE WHEN len(g2) > 0
+       THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+       ELSE 0.0 END
+FROM g
+"""
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for doc_id in got:
+        gn, gdt, gd2 = got[doc_id]
+        wn, wdt, wd2 = want[doc_id]
+        assert gn == wn, doc_id
+        assert math.isclose(gdt, wdt, rel_tol=0, abs_tol=0), doc_id
+        assert math.isclose(gd2, wd2, rel_tol=0, abs_tol=0), doc_id
+
+
+def test_deterministic_split_stable_and_proportional(spark):
+    docs = _docs(spark)
+    a = {
+        (r.doc_id, r.split)
+        for r in corpus.deterministic_split(docs).select("doc_id", "split").collect()
+    }
+    # invariant under physical layout: repartition must not move a row
+    b = {
+        (r.doc_id, r.split)
+        for r in corpus.deterministic_split(docs.repartition(7))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    by_split = {}
+    for _, s in a:
+        by_split[s] = by_split.get(s, 0) + 1
+    n = sum(by_split.values())
+    assert 0.8 <= by_split["train"] / n <= 0.97
+    assert by_split.get("val", 0) > 0 and by_split.get("test", 0) > 0
+    # a different salt derives an independent split (some rows move)
+    c = {
+        (r.doc_id, r.split)
+        for r in corpus.deterministic_split(docs, salt="split-v2")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert c != a
+
+
+def test_deterministic_split_validates_fractions(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="sum to 1"):
+        corpus.deterministic_split(docs, splits={"a": 0.5, "b": 0.1})
+
+
+def test_deterministic_sample_nested_and_duckdb_parity(spark):
+    docs = _docs(spark)
+    s10 = {r.doc_id for r in corpus.deterministic_sample(docs, 0.10).collect()}
+    s50 = {r.doc_id for r in corpus.deterministic_sample(docs, 0.50).collect()}
+    assert s10 <= s50, "samples at one salt must be nested"
+    n = docs.count()
+    assert 0.02 * n <= len(s10) <= 0.2 * n
+    # cross-engine: DuckDB computes the identical membership
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    threshold = corpus._hex_threshold(0.10)
+    want = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents "
+            f"WHERE md5(CAST(doc_id AS VARCHAR) || 'sample-v1') < '{threshold}'"
+        ).fetchall()
+    }
+    assert s10 == want
+
+
+def test_pack_sequences_hand_case(spark):
+    rows = [(1, 3), (2, 5), (3, 4), (4, 0), (5, 2)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, n_tokens BIGINT")
+    got = {
+        r.doc_id: (r.offset, r.pack_id, r.pack_pos, r.n_packs)
+        for r in corpus.pack_sequences(df, seq_len=4).collect()
+    }
+    # stream: d1 [0,3) d2 [3,8) d3 [8,12) d4 [12,12) d5 [12,14)
+    assert got[1] == (0, 0, 0, 1)
+    assert got[2] == (3, 0, 3, 2)  # straddles windows 0 and 1
+    assert got[3] == (8, 2, 0, 1)
+    assert got[4] == (12, 3, 0, 0)  # empty doc spans no window
+    assert got[5] == (12, 3, 0, 1)
+
+
+def test_pack_sequences_invariants_and_duckdb_parity(spark):
+    from hadoop__spark.operators import text
+
+    counts = text.token_stats(_docs(spark)).select("doc_id", "n_tokens")
+    packed = corpus.pack_sequences(counts, seq_len=256)
+    rows = sorted(packed.collect(), key=lambda r: r.doc_id)
+    # offsets are the exclusive prefix sum in doc_id order
+    run = 0
+    for r in rows:
+        assert r.offset == run, f"offset drift at doc {r.doc_id}"
+        assert 0 <= r.pack_pos < 256
+        assert r.pack_id == r.offset // 256
+        run += r.n_tokens
+    # window-function oracle (fine at oracle scale; the operator itself
+    # avoids the single-task global window)
+    con = duckdb.connect()
+    pdf = counts.toPandas()
+    con.register("counts", pdf)
+    want = {
+        (doc_id, off, pack_id)
+        for doc_id, off, pack_id in con.execute(
+            """
+WITH c AS (
+  SELECT doc_id,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM counts)
+SELECT doc_id, CAST(off AS BIGINT) AS off,
+       CAST(floor(off / 256) AS BIGINT) AS pack_id
+FROM c
+"""
+        ).fetchall()
+    }
+    got = {(r.doc_id, r.offset, r.pack_id) for r in rows}
+    assert got == want
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    df = spark.createDataFrame([(1, 3)], "doc_id BIGINT, n_tokens BIGINT")
+    with pytest.raises(ValueError, match="seq_len"):
+        corpus.pack_sequences(df, seq_len=0)

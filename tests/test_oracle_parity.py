@@ -40,7 +40,11 @@ ORACLE_PROBES = [p for p in PROBES if p.oracle is not None]
 
 @pytest.mark.parametrize("probe", ORACLE_PROBES, ids=[p.name for p in ORACLE_PROBES])
 def test_probe_matches_duckdb(spark, duck, probe):
-    spark_pdf = probe.run(spark, SF_DIR).toPandas()
+    # pinned VALUES oracles were captured at the driver's gate SF —
+    # run those probes at that SF (the driver always does); their
+    # oracles read no tables, so the duck fixture's views are moot
+    sf_dir = probe.pinned_sf_dir or SF_DIR
+    spark_pdf = probe.run(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(probe.oracle).fetchdf()
 
     assert len(spark_pdf) == len(duck_pdf), (
