@@ -65,6 +65,29 @@ def test_key_skew_report_single_scan_reused_exchange(spark):
     assert "ReusedExchange" in plan, plan
 
 
+def test_pp02_packing_plan_is_range_partitioned(spark):
+    """pack_sequences must lay out the stream via the distributed
+    prefix-sum: a rangepartitioning exchange (pid order == global
+    order), partition-LOCAL windows, and no cartesian product.  The
+    only unpartitioned window allowed is the per-partition-totals
+    offset frame — bounded at one row per partition."""
+    import re
+
+    df = probe_map()["pp02_training_prep"].run(spark, SF_DIR)
+    plan = _plan(df)
+    assert "rangepartitioning" in plan, plan
+    assert "CartesianProduct" not in plan
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    for line in win_lines:
+        if "sum(n_tokens" in line:
+            # corpus-sized cumsum: must be partition-local (keyed _pid)
+            assert re.search(r"\], \[_pid#\d+\], \[doc_id", line), line
+        else:
+            # the only unpartitioned window aggregates the one-row-per-
+            # partition totals frame
+            assert "sum(_ptotal" in line, line
+
+
 def test_minhash_no_cartesian(spark):
     docs = load_tables(spark, SF_DIR)["documents"]
     plan = _plan(dedup.minhash_lsh_pairs(docs, threshold=0.8))
