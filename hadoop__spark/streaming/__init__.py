@@ -16,6 +16,7 @@ from hadoop__spark.streaming.rollup import (
     sessionize,
     sliding_rollup,
 )
+from hadoop__spark.streaming.joins import attribute_conversions
 from hadoop__spark.streaming.continuous import (
     read_rollup,
     run_incremental_rollup,
@@ -23,6 +24,7 @@ from hadoop__spark.streaming.continuous import (
 from hadoop__spark.streaming.stateful import running_totals
 
 __all__ = [
+    "attribute_conversions",
     "dedup_events_stream",
     "hourly_rollup",
     "parse_kafka_events",

@@ -348,7 +348,34 @@ def test_ts_unit_drift_canary(spark, tmp_path):
         assert got == want, f"ts decode drifted for {variant} files"
 
 
-def test_parse_kafka_events_payload(spark):
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Watermarked stream-stream interval join (click→purchase
+    attribution): the full replay must produce exactly the batch
+    interval-join pairs, and the batch path shares the function."""
+    from hadoop__spark.streaming.joins import attribute_conversions
+
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    stream = streaming.read_events_stream(spark, events_path)
+    clicks = stream.where(F.col("event_type") == "click")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    streaming.run_stream_to_memory(
+        attribute_conversions(clicks, purchases, max_delay="1 hour"),
+        "attrib_stream",
+        output_mode="append",
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("attrib_stream").collect()
+    }
+    batch = load_tables(spark, SF_DIR)["events"]
+    bc = batch.where(F.col("event_type") == "click")
+    bp = batch.where(F.col("event_type") == "purchase")
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in attribute_conversions(bc, bp, max_delay="1 hour").collect()
+    }
+    assert want, "fixture must contain attributable pairs"
+    assert got == want
     """Kafka-shaped frame (binary value + broker timestamp) parses to
     the events schema; malformed payloads fall back to the broker
     timestamp so late-data accounting still works."""
