@@ -248,3 +248,70 @@ def test_global_running_sum_equals_pandas_cumsum(spark, vals):
     )
     want = pd.Series(vals).cumsum().tolist()
     assert got == want
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=2000), min_size=1, max_size=120
+    ),
+    seq_len=st.integers(min_value=1, max_value=512),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+@_SETTINGS
+def test_pack_sequences_properties(spark, counts, seq_len, n_parts):
+    """Packing invariants for ANY token-count multiset and any physical
+    layout: offsets are the exclusive prefix sum in key order (total is
+    conserved), windows are tiled without gaps, and the result is
+    independent of the input partitioning."""
+    from hadoop__spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id LONG, n_tokens LONG"
+    ).repartition(n_parts)
+    rows = sorted(
+        corpus.pack_sequences(df, seq_len=seq_len).collect(),
+        key=lambda r: r.doc_id,
+    )
+    run = 0
+    for r in rows:
+        assert r.offset == run
+        assert r.pack_id * seq_len + r.pack_pos == r.offset
+        if r.n_tokens > 0:
+            last = r.offset + r.n_tokens - 1
+            assert r.n_packs == last // seq_len - r.pack_id + 1
+        else:
+            assert r.n_packs == 0
+        run += r.n_tokens
+    assert run == sum(counts)
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=150,
+        unique=True,
+    ),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+@_SETTINGS
+def test_deterministic_split_partitions_rows_exactly_once(
+    spark, keys, n_parts
+):
+    """Split assignment is a total function of the key: every row gets
+    exactly one split, the assignment ignores physical layout, and
+    sample membership is consistent with the split hash (same md5
+    space)."""
+    from hadoop__spark.operators import corpus
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id LONG")
+    a = {
+        r.doc_id: r.split
+        for r in corpus.deterministic_split(df).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in corpus.deterministic_split(df.repartition(n_parts)).collect()
+    }
+    assert a == b and set(a) == set(keys)
+    assert set(a.values()) <= {"train", "val", "test"}
