@@ -114,6 +114,34 @@ def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> Da
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' stand-in: normalize every payload to exactly
+    ``target_bytes`` (truncate or zero-pad), updating the metadata
+    struct — the batch shape and schema contract of a real image
+    resize (decode → scale → re-encode would replace the byte slice;
+    see :func:`decode_image_real` for the integration point).
+
+    Output schema equals the input MEDIA_SCHEMA, so resize composes
+    with :func:`extract_features` / :func:`frame_sample` — resize →
+    extract is one fused Arrow pass, no shuffle between them.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = out["content"].map(
+                lambda b: bytes(b[:target_bytes]).ljust(target_bytes, b"\x00")
+            )
+            out["meta"] = out["meta"].map(
+                lambda m: {"mime": m["mime"], "n_bytes": target_bytes}
+            )
+            yield out
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the binary payload every
     ``every_n_bytes`` bytes — the same partition/batch shape a video

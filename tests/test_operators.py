@@ -110,6 +110,26 @@ def test_decode_image_real_is_stubbed():
         multimodal.decode_image_real(b"\x89PNG")
 
 
+def test_resize_media_normalizes_and_composes(spark, docs):
+    """resize_media emits exactly target_bytes per payload (truncate or
+    zero-pad), keeps MEDIA_SCHEMA, and composes with extract_features
+    in one Arrow pass."""
+    media = multimodal.to_media(docs.where(F.col("doc_id") < 30))
+    resized = multimodal.resize_media(media, target_bytes=128)
+    assert resized.schema.simpleString() == media.schema.simpleString()
+    feats = multimodal.extract_features(resized)
+    rows = feats.collect()
+    assert rows and all(r.n_bytes == 128 for r in rows)
+    # truncation preserves the leading bytes; padding is zeros
+    src = {r.doc_id: r for r in media.collect()}
+    for r in resized.collect():
+        orig = bytes(src[r.doc_id].content)
+        assert bytes(r.content[: min(len(orig), 128)]) == orig[:128]
+        assert r.meta.n_bytes == 128
+    with pytest.raises(ValueError, match="target_bytes"):
+        multimodal.resize_media(media, target_bytes=0)
+
+
 def test_dedup_clusters_match_union_find(spark, docs):
     """DataFrame connected components vs a plain union-find on the
     collected pair list."""
