@@ -3,10 +3,13 @@
 ``entry(spark)`` runs the flagship TPC-H-Q1-shaped pricing summary;
 ``queries()`` exposes every implemented probe from SURVEY.md §2 plus
 the beyond-reference pipeline, temporal, lineage, and streaming
-operators (49 probes, consolidated under the driver's ~50-row
+operators (50 probes, consolidated under the driver's ~50-row
 recording cap; see COVERAGE.md for the row-by-row map);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-oracle-checkable probe (43).
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each probe — as
+of round 4 every probe carries one: live recomputing oracles where the
+semantics are SQL-expressible, pinned VALUES regression oracles
+(captured at the sf0.01 gate fixture, bit-deterministic by
+construction) for the xxhash/IVF-specific outputs.
 """
 
 from __future__ import annotations

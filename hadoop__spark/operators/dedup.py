@@ -587,7 +587,14 @@ def dedup_clusters(
         # and the convergence aggregate below reads the cached blocks
         # instead of re-running the whole join chain.  Superseded
         # checkpoint blocks are released by Spark's ContextCleaner once
-        # the previous generation is dereferenced.
+        # the previous generation is dereferenced.  Durability note
+        # (cf. the minhash persist-vs-checkpoint decision): for an
+        # ITERATIVE algorithm lineage truncation is the point — persist
+        # would stack a growing join chain behind every round — so
+        # executor loss here restarts the (cheap, few-round)
+        # computation; at 100 TB swap in reliable checkpointing
+        # (sc.setCheckpointDir on HDFS/S3 + .checkpoint()) for
+        # per-round durability at the cost of a distributed write.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
