@@ -71,10 +71,16 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     Missing files are skipped so older fixture dirs (without
     documents/embeddings) still work.
     """
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects by default; read nanos as long, then rebuild a (microsecond)
-    # timestamp column.  Set here (not only in get_spark) so the driver's
-    # own vanilla session works too.
+    # events.parquet's ts physical type is not fixed by contract —
+    # fixture regenerations have shipped timestamp[us] (read natively
+    # below) and timestamp[ns] variants.  The conf lets a nanos file
+    # load as BIGINT instead of erroring; the conditional decode below
+    # only fires when the read actually produced a long (ns-annotated
+    # or plain-int64 file, both ns-epoch by convention).  Set here (not
+    # only in get_spark) so the driver's vanilla session works too.
+    # The streaming reader (streaming/rollup.py) sniffs the footer for
+    # the same reason; tests/test_sources_streaming.py pins both paths
+    # with a unit-drift canary.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in TABLES:
