@@ -32,13 +32,13 @@ from hadoop__spark.operators.text import tokens
 from hadoop__spark.operators.util import ensure_parallelism, global_running_sum
 
 
-def _raw_ngrams(col: Column, n: int) -> Column:
-    """Word n-grams of the normalized text WITH multiplicity (the
-    dedup sibling ``dedup.shingles`` deduplicates; repetition metrics
-    need the duplicates — they're the signal).  Same zip_with-over-
-    shifted-arrays construction, for the same reason: every argument
-    evaluates once per row, not once per element."""
-    w = tokens(col)
+def _raw_ngrams(w: Column, n: int) -> Column:
+    """Word n-grams from a materialized token-array column WITH
+    multiplicity (the dedup sibling ``dedup.shingles_of_tokens``
+    deduplicates; repetition metrics need the duplicates — they're the
+    signal).  Same zip_with-over-shifted-arrays construction, for the
+    same reason: every argument evaluates once per row, not once per
+    element."""
     if n == 1:
         return w
     sh = w
@@ -76,20 +76,27 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     All fractions are deterministic double math over integer counts —
     oracle-checkable bit-for-bit.
     """
-    df = ensure_parallelism(df)
+    # materialize lines and tokens once, fractions from the arrays —
+    # inlining tokens() at each n-gram site compiles a huge expression
+    # tree (see dedup.shingle_frame for the measurement)
     c = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
+    base = ensure_parallelism(df).select(
+        "doc_id",
+        F.filter(
+            F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        ).alias("_lines"),
+        tokens(c).alias("_w"),
     )
-    return df.select(
+    lines, w = F.col("_lines"), F.col("_w")
+    return base.select(
         "doc_id",
         F.size(lines).cast("bigint").alias("n_lines"),
         _dup_frac(lines).alias("dup_line_frac"),
-        F.size(tokens(c)).cast("bigint").alias("n_tokens"),
-        _dup_frac(_raw_ngrams(c, 1)).alias("dup_token_frac"),
-        _dup_frac(_raw_ngrams(c, 2)).alias("dup_2gram_frac"),
-        _dup_frac(_raw_ngrams(c, 3)).alias("dup_3gram_frac"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        _dup_frac(_raw_ngrams(w, 1)).alias("dup_token_frac"),
+        _dup_frac(_raw_ngrams(w, 2)).alias("dup_2gram_frac"),
+        _dup_frac(_raw_ngrams(w, 3)).alias("dup_3gram_frac"),
     )
 
 

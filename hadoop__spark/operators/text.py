@@ -46,14 +46,24 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     The subword estimate counts alternating letter/digit runs — a cheap
     deterministic proxy for BPE token counts (~chars/4 for English).
+
+    Two-step projection (tokens materialized, then stats from the
+    array): referencing ``tokens(col)`` several times in one projection
+    inlines normalize+split at every site, and compiling the inlined
+    tree is the measured cold-pass cost (see ``dedup.shingle_frame``).
     """
-    df = ensure_parallelism(df)
-    t = tokens(F.col(text_col))
-    return df.select(
+    base = ensure_parallelism(df).select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        normalized(F.col(text_col)).alias("_norm"),
+        tokens(F.col(text_col)).alias("_w"),
+    )
+    t = F.col("_w")
+    return base.select(
         "doc_id",
         F.size(t).cast("bigint").alias("n_tokens"),
-        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
-        (F.length(normalized(F.col(text_col))) / 4.0).alias("subword_est"),
+        "n_chars",
+        (F.length(F.col("_norm")) / 4.0).alias("subword_est"),
         F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
     )
 
@@ -66,14 +76,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     arithmetic is deterministic double math on integer counts, so the
     operator is oracle-checkable bit-for-bit.
     """
-    df = ensure_parallelism(df)
-    t = tokens(F.col(text_col))
+    # tokens materialized once, stats from the array — see token_stats
+    base = ensure_parallelism(df).select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        tokens(F.col(text_col)).alias("_w"),
+    )
+    t = F.col("_w")
     n_tok = F.size(t).cast("double")
-    n_chars = F.length(F.col(text_col)).cast("double")
+    n_chars = F.length(F.col("_text")).cast("double")
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
     n_stop = F.size(F.array_intersect(F.array_distinct(t), stop)).cast("double")
     n_punct = (
-        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.!?,;:]", ""))
+        n_chars - F.length(F.regexp_replace(F.col("_text"), r"[.!?,;:]", ""))
     )
     mean_word_len = F.when(n_tok > 0, (F.length(F.concat_ws("", t)) / n_tok)).otherwise(0.0)
     ttr = F.when(
@@ -87,7 +102,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + stop_ratio * 0.2
         + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1
     )
-    return df.select(
+    return base.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
