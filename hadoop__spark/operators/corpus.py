@@ -100,6 +100,47 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: PII patterns, deliberately restricted to the regex subset shared by
+#: Java regex (Spark) and RE2 (DuckDB, Go scanners): no lookaround, no
+#: backreferences — so the exact same pattern redacts identically in
+#: every engine a corpus passes through.  Order matters: emails before
+#: phone-ish digit runs, URLs before bare IPv4s, so the more specific
+#: pattern wins on overlapping spans.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\-\s()]{7,}\d",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes (emails, URLs, IPv4s, phone-like digit
+    runs) from a text column, JVM-side regexp only.
+
+    Adds ``<text_col>_redacted`` plus per-category match counts
+    (``n_email`` …, counted on the ORIGINAL text) and ``n_pii`` — the
+    counts feed the usual corpus-prep decision: redact-and-keep
+    vs drop-document-entirely above a threshold.  Patterns apply in
+    declaration order to the progressively redacted text, so an email
+    never double-counts as a phone run.  A per-row projection — no
+    shuffle, pipelines with the scan, Python never touches the data.
+    """
+    c = F.col(text_col)
+    out = df
+    redacted = c
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(c, F.lit(pat)).cast("bigint")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"[{kind.upper()}]")
+    out = out.withColumn(f"{text_col}_redacted", redacted)
+    return out.withColumn(
+        "n_pii",
+        sum(F.col(f"n_{k}") for k in PII_PATTERNS).cast("bigint"),
+    )
+
+
 def _hex_threshold(frac: float) -> str:
     """32-hex-digit threshold such that md5(key) < threshold selects a
     ``frac`` share of a uniform hash space.  String comparison on the

@@ -200,3 +200,58 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 3)], "doc_id BIGINT, n_tokens BIGINT")
     with pytest.raises(ValueError, match="seq_len"):
         corpus.pack_sequences(df, seq_len=0)
+
+
+def test_redact_pii_hand_cases(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp-site.co.uk or visit https://ex.io/a?b=1"),
+        (2, "server 10.0.255.3 answered; call +1 (555) 123-4567 now"),
+        (3, "clean text with no pii at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in corpus.redact_pii(df).collect()}
+    r1 = got[1]
+    assert r1.n_email == 1 and r1.n_url == 1 and r1.n_pii == 2
+    assert "[EMAIL]" in r1.text_redacted and "[URL]" in r1.text_redacted
+    assert "jane.doe" not in r1.text_redacted and "ex.io" not in r1.text_redacted
+    r2 = got[2]
+    assert r2.n_ipv4 == 1 and r2.n_phone >= 1
+    assert "[IPV4]" in r2.text_redacted and "[PHONE]" in r2.text_redacted
+    assert "555" not in r2.text_redacted
+    r3 = got[3]
+    assert r3.n_pii == 0 and r3.text_redacted == r3.text
+    assert got[4].n_pii == 0
+
+
+def test_redact_pii_duckdb_parity(spark):
+    """The patterns live in the Java-regex ∩ RE2 subset: DuckDB must
+    count and redact identically on the same rows."""
+    rows = [
+        (1, "a@b.io and c.d@e-f.org wrote https://x.y/z"),
+        (2, "ping 192.168.0.1 then 8.8.8.8, fax +44 20 7946 0958"),
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: (r.n_email, r.n_url, r.n_ipv4, r.n_phone, r.text_redacted)
+        for r in corpus.redact_pii(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql_redacted = "text"
+    selects = []
+    for kind, pat in corpus.PII_PATTERNS.items():
+        selects.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        )
+        sql_redacted = (
+            f"regexp_replace({sql_redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+        )
+    want = {
+        row[0]: tuple(row[1:])
+        for row in con.execute(
+            f"SELECT doc_id, {', '.join(selects)}, {sql_redacted} FROM t"
+        ).fetchall()
+    }
+    assert got == want
