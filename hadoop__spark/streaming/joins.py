@@ -20,6 +20,7 @@ def attribute_conversions(
     purchases: DataFrame,
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Click→purchase attribution: join each purchase to every click by
     the same user within ``max_delay`` BEFORE it (inclusive on both
@@ -29,10 +30,25 @@ def attribute_conversions(
     so backfills share the code path — the same contract as the other
     streaming operators in this package.
 
+    ``how='left_outer'`` additionally emits unconverted clicks with
+    NULL purchase columns — on a stream these surface only once the
+    watermark proves no matching purchase can still arrive, so a
+    finite replay withholds a tail of at LEAST ``watermark +
+    max_delay`` (Spark's derived state watermark for outer emission is
+    more conservative than that bound; the test asserts the emitted
+    set is a gap-free watermark-ordered prefix of the batch answer
+    rather than a specific horizon).  Only 'inner' and 'left_outer'
+    are supported: a purchase-outer variant is the same function with
+    the sides' roles swapped.
+
     Output: one row per (click, purchase) pair — attribution policy
     (first-touch, last-touch, split) is a downstream groupBy on
     ``purchase_id``, deliberately not baked in here.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
+        )
     c = clicks.select(
         F.col("user_id").alias("click_user"),
         F.col("ts").alias("click_ts"),
@@ -56,7 +72,7 @@ def attribute_conversions(
             <= F.col("click_ts") + F.expr(f"INTERVAL '{max_delay}'")
         )
     )
-    return c.join(p, cond, "inner").select(
+    return c.join(p, cond, how).select(
         F.col("click_user").alias("user_id"),
         "click_id",
         "click_ts",

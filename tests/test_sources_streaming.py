@@ -413,6 +413,64 @@ def test_stream_stream_interval_join_matches_batch(spark):
     ]
 
 
+def test_stream_stream_left_outer_join(spark):
+    """left_outer additionally emits unconverted clicks, but only once
+    the watermark proves no purchase can still arrive — so the streamed
+    result is the matched pairs (exactly) plus a watermark-bounded
+    prefix of the batch unmatched set."""
+    from hadoop__spark.streaming.joins import attribute_conversions
+
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    stream = streaming.read_events_stream(spark, events_path)
+    streaming.run_stream_to_memory(
+        attribute_conversions(
+            stream.where(F.col("event_type") == "click"),
+            stream.where(F.col("event_type") == "purchase"),
+            max_delay="1 hour",
+            how="left_outer",
+        ),
+        "attrib_outer",
+        output_mode="append",
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("attrib_outer").collect()
+    }
+    batch = load_tables(spark, SF_DIR)["events"]
+    want_all = {
+        (r.click_id, r.purchase_id): r.click_ts
+        for r in attribute_conversions(
+            batch.where(F.col("event_type") == "click"),
+            batch.where(F.col("event_type") == "purchase"),
+            max_delay="1 hour",
+            how="left_outer",
+        ).collect()
+    }
+    assert got <= set(want_all), "stream must never invent rows"
+    # matched pairs are complete
+    matched_want = {k for k in want_all if k[1] is not None}
+    assert {k for k in got if k[1] is not None} == matched_want
+    # unmatched clicks are exactly a gap-free watermark-ordered PREFIX
+    # of the batch unmatched set: Spark's derived state watermark for
+    # the outer side is more conservative than watermark + max_delay,
+    # so the exact horizon is an implementation detail — but emissions
+    # can never skip an older unmatched click while emitting a newer
+    # one, and a finite replay must finalize a nontrivial prefix.
+    emitted_un = {k for k in got if k[1] is None}
+    assert emitted_un, "some unconverted clicks must emit"
+    newest_emitted = max(want_all[k] for k in emitted_un)
+    missing = {
+        k
+        for k, ts in want_all.items()
+        if k[1] is None and ts <= newest_emitted and k not in got
+    }
+    assert not missing, f"gap in unmatched-click prefix: {sorted(missing)[:3]}"
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    assert newest_emitted < max_ts, "tail cannot be finalized"
+    with pytest.raises(ValueError, match="how"):
+        attribute_conversions(batch, batch, how="full")
+
+
 def test_kafka_rollup_on_parsed_frame(spark):
     """The windowed rollup runs unchanged on the Kafka-parse output —
     the format swap is pure configuration."""
