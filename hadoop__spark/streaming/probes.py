@@ -42,8 +42,21 @@ def _hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # complete mode: a finite replay never advances the watermark past
-    # the tail, so append would withhold the trailing windows
-    run_stream_to_memory(rollup, "st01_hourly", output_mode="complete")
+    # the tail, so append would withhold the trailing windows.
+    # Scope the drain to a sane shuffle-partition count: a vanilla
+    # (driver) session defaults to 200, and the per-micro-batch state
+    # shuffle at 200 near-empty partitions is pure task overhead at
+    # probe scale — partition count does not affect the aggregated
+    # result, and the caller's setting is restored afterwards.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        run_stream_to_memory(rollup, "st01_hourly", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("st01_hourly")
 
 
