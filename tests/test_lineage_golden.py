@@ -623,3 +623,47 @@ def test_metadata_commands_record_kind(spark):
         res = an.analyze(sql)
         assert res.statements == [kind], sql
         assert res.col_lines == [] and res.output_tables == set(), sql
+
+
+def test_hiveql_surface_beyond_reference(spark):
+    """Constructs real migrating Hive scripts contain but the reference
+    never handled: the lineage walker must produce sensible edges, not
+    crash.  LATERAL VIEW explode attributes the generated column to
+    every array source; DISTRIBUTE/CLUSTER BY and TABLESAMPLE are
+    layout/sampling-only (no lineage effect); window functions source
+    from their partition/order columns."""
+    ms = DictMetastore({"default.nation": ["n_nationkey", "n_name", "n_regionkey", "n_comment"]})
+    an = LineageAnalyzer(spark, ms)
+
+    res = an.analyze(
+        "select n_name, x from nation lateral view "
+        "explode(array(n_nationkey, n_regionkey)) t as x"
+    )
+    assert res.input_tables == {"default.nation"}
+    lines = lines_by_name(res)
+    assert lines["n_name"].from_names == ("default.nation.n_name",)
+    assert sorted(lines["x"].from_names) == [
+        "default.nation.n_nationkey&default.nation.n_regionkey"
+    ] or sorted(lines["x"].from_names) == [
+        "default.nation.n_nationkey",
+        "default.nation.n_regionkey",
+    ]
+
+    for sql in (
+        "select n_name from nation distribute by n_regionkey",
+        "select n_name from nation cluster by n_name",
+        "select n_name from nation tablesample (50 percent)",
+    ):
+        res = an.analyze(sql)
+        lines = lines_by_name(res)
+        assert lines["n_name"].from_names == ("default.nation.n_name",), sql
+
+    res = an.analyze(
+        "select n_name, row_number() over "
+        "(partition by n_regionkey order by n_name) rn from nation"
+    )
+    lines = lines_by_name(res)
+    assert set(lines["rn"].from_names) == {
+        "default.nation.n_name",
+        "default.nation.n_regionkey",
+    }
