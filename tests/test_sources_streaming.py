@@ -569,3 +569,24 @@ def test_streaming_sliding_matches_batch(spark):
         )
     }
     assert got == want
+
+
+def test_register_views_cache_switches_sf(spark):
+    """The per-session registration cache must be a no-op only for the
+    SAME fixture dir: switching dirs re-points the views, switching
+    back restores them (the cross-SF semantics the oracle-parity suite
+    relies on when pinned sf0.01 probes interleave with live sf0.001
+    ones)."""
+    from hadoop__spark.session import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    n_small = spark.table("lineitem").count()
+    register_views(spark, "/root/testdata/sf0.01")
+    n_big = spark.table("lineitem").count()
+    assert n_big > n_small
+    register_views(spark, "/root/testdata/sf0.001")
+    assert spark.table("lineitem").count() == n_small
+    # idempotent repeat is a no-op but keeps the same answer
+    register_views(spark, "/root/testdata/sf0.001")
+    assert spark.table("lineitem").count() == n_small
+    register_views(spark, SF_DIR)  # restore module default for peers
