@@ -315,3 +315,30 @@ def test_deterministic_split_partitions_rows_exactly_once(
     }
     assert a == b and set(a) == set(keys)
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=1000),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_redact_pii_total_and_no_change_iff_clean(spark, texts):
+    """redact_pii never crashes on arbitrary text; n_pii == 0 iff the
+    text is unchanged, and counts are always non-negative."""
+    from hadoop__spark.operators import corpus
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    for r in corpus.redact_pii(df).collect():
+        assert r.n_pii >= 0
+        if r.n_pii == 0:
+            assert r.text_redacted == r.text
+        else:
+            assert r.text_redacted != r.text
