@@ -655,12 +655,12 @@ def embedding_dedup_pairs_bucketed(
     per-bucket: cost drops from O(N²) to O(Σ bucket²), and the buckets
     are the shuffle partitions.
     """
-    from pyspark.sql import Window
-
     from hadoop__spark.operators.similarity import (
         _dot,
         _norm,
+        collect_centroid_array,
         ivf_fit_centroids,
+        nearest_centroids,
     )
 
     cents = ivf_fit_centroids(df, nlist, vec_col, seed)
@@ -668,15 +668,17 @@ def embedding_dedup_pairs_bucketed(
     # similarity is then a single zip_with+aggregate fold instead of
     # dot + two norms — 3x less interpreted HOF work per candidate
     # pair, which dominates this operator's cost (pair count x dim).
-    ncents = F.broadcast(
-        cents.withColumn("_cn", _norm(F.col("centroid")))
-        .select(
-            "centroid_id",
-            F.transform(
-                "centroid", lambda x: x / F.col("_cn")
-            ).alias("_cvn"),
-        )
+    # The normalized centroids are collected (nlist rows; normalization
+    # runs Spark-side so the arithmetic is unchanged) and inlined as a
+    # literal array: assignment is then a pure per-row top-n projection
+    # — no crossJoin ×nlist expansion, no Window Exchange of the corpus
+    # (see similarity.collect_centroid_array; asserted shuffle-free in
+    # tests/test_plan_shapes.py).
+    ncents = cents.withColumn("_cn", _norm(F.col("centroid"))).select(
+        "centroid_id",
+        F.transform("centroid", lambda x: x / F.col("_cn")).alias("_cvn"),
     )
+    cent_arr = collect_centroid_array(ncents, vec_field="_cvn")
     e = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_nrm", _norm(F.col("_v")))
@@ -687,18 +689,15 @@ def embedding_dedup_pairs_bucketed(
             ).alias("_vn"),
         )
     )
-    w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), "centroid_id")
-    assigned = (
-        e.crossJoin(ncents)
-        .select(
-            "_id",
-            "_vn",
-            "centroid_id",
-            _dot(F.col("_vn"), F.col("_cvn")).alias("_sim"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_assign)
-        .select("_id", "_vn", "centroid_id")
+    assigned = e.select(
+        "_id",
+        "_vn",
+        F.explode(
+            F.transform(
+                nearest_centroids(F.col("_vn"), cent_arr, n_assign, _dot),
+                lambda s: s["cid"],
+            )
+        ).alias("centroid_id"),
     )
     return (
         assigned.alias("a")

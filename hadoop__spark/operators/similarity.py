@@ -155,28 +155,83 @@ def ivf_fit_centroids(
     )
 
 
+def collect_centroid_array(
+    centroids: DataFrame,
+    id_field: str = "centroid_id",
+    vec_field: str = "centroid",
+) -> Column:
+    """Collect the (tiny, nlist-row) centroid table and inline it as a
+    literal ``array<struct<cid,cv>>`` column.
+
+    This is the zero-shuffle assignment primitive: the centroid list is
+    driver-built to begin with (``ivf_fit_centroids``), so folding it
+    into the expression tree ships it inside the serialized plan to
+    every task — same distribution cost as a broadcast, but the nearest-
+    centroid computation becomes a per-row projection instead of a
+    crossJoin ×nlist row expansion followed by a ``Window.partitionBy``
+    Exchange of the expanded corpus.  At 100 TB that Exchange was a
+    full-corpus shuffle; this removes it entirely.
+    """
+    rows = centroids.select(id_field, vec_field).collect()
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r[id_field])).alias("cid"),
+                F.lit([float(x) for x in r[vec_field]]).alias("cv"),
+            )
+            for r in sorted(rows, key=lambda r: r[id_field])
+        ]
+    )
+
+
+def _cmp_sim_desc_cid_asc(left: Column, right: Column) -> Column:
+    """``array_sort`` comparator equal to ``ORDER BY sim DESC, cid ASC``
+    under Spark's *total* ordering (NaN greatest, so NaN sorts first on
+    the descending key — matching ``row_number().over(orderBy(desc))``).
+    Binary ``>`` alone would treat NaN as incomparable, so NaN is
+    ordered explicitly."""
+    l_nan, r_nan = F.isnan(left["sim"]), F.isnan(right["sim"])
+    return (
+        F.when(l_nan & ~r_nan, F.lit(-1))
+        .when(r_nan & ~l_nan, F.lit(1))
+        .when(left["sim"] > right["sim"], F.lit(-1))
+        .when(left["sim"] < right["sim"], F.lit(1))
+        .when(left["cid"] < right["cid"], F.lit(-1))
+        .when(left["cid"] > right["cid"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def nearest_centroids(vec: Column, cent_arr: Column, n: int, sim_fn) -> Column:
+    """Top-``n`` nearest centroids of one vector as
+    ``array<struct<sim,cid>>`` — a pure per-row expression (transform →
+    array_sort → slice), zero shuffle, zero row expansion."""
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            sim_fn(vec, c["cv"]).alias("sim"), c["cid"].alias("cid")
+        ),
+    )
+    return F.slice(F.array_sort(scored, _cmp_sim_desc_cid_asc), 1, n)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Assign each corpus vector to its nearest centroid (one broadcast
-    join + argmin, no shuffle of the corpus)."""
-    c = F.broadcast(centroids)
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), "centroid_id")
-    return (
-        corpus.crossJoin(c)
-        .select(
-            id_col,
-            vec_col,
-            "centroid_id",
-            cosine_sim(F.col(vec_col), F.col("centroid")).alias("_sim"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_sim")
+    """Assign each corpus vector to its nearest centroid — a pure
+    projection over the literal centroid array (zero shuffle; see
+    :func:`collect_centroid_array`).  Output is bit-identical to the
+    former crossJoin+window argmin (same fold-order cosine, same
+    ``sim desc, cid asc`` tie-break), pinned by the dd07/ann02/ann03
+    oracles and asserted shuffle-free in tests/test_plan_shapes.py."""
+    cent_arr = collect_centroid_array(centroids)
+    best = F.element_at(
+        nearest_centroids(F.col(vec_col), cent_arr, 1, cosine_sim), 1
     )
+    return corpus.select(id_col, vec_col, best["cid"].alias("centroid_id"))
 
 
 def ivf_write_index(
@@ -223,23 +278,19 @@ def ivf_read_topk(
     ``centroid_id IN (...)`` partition filter on the assigned scan.
     """
     cents = spark.read.parquet(f"{path}/centroids")
+    cent_arr = collect_centroid_array(cents)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    qw = Window.partitionBy("query_id").orderBy(
-        F.col("_sim").desc(), "centroid_id"
-    )
-    q_buckets = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "_qv",
-            "centroid_id",
-            cosine_sim(F.col("_qv"), F.col("centroid")).alias("_sim"),
-        )
-        .withColumn("_rn", F.row_number().over(qw))
-        .where(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "centroid_id")
+    q_buckets = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.transform(
+                nearest_centroids(F.col("_qv"), cent_arr, nprobe, cosine_sim),
+                lambda s: s["cid"],
+            )
+        ).alias("centroid_id"),
     )
     probe_ids = sorted(
         {r.centroid_id for r in q_buckets.select("centroid_id").collect()}
@@ -288,19 +339,17 @@ def ivf_topk(
     """
     cents = ivf_fit_centroids(corpus, nlist, vec_col, seed)
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    cent_arr = collect_centroid_array(cents)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    qw = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "centroid_id")
-    q_buckets = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "_qv",
-            "centroid_id",
-            cosine_sim(F.col("_qv"), F.col("centroid")).alias("_sim"),
-        )
-        .withColumn("_rn", F.row_number().over(qw))
-        .where(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "centroid_id")
+    q_buckets = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.transform(
+                nearest_centroids(F.col("_qv"), cent_arr, nprobe, cosine_sim),
+                lambda s: s["cid"],
+            )
+        ).alias("centroid_id"),
     )
     sims = (
         assigned.join(F.broadcast(q_buckets), "centroid_id")

@@ -106,6 +106,30 @@ def test_cosine_topk_broadcasts_queries_not_corpus(spark):
     assert "Exchange hashpartitioning" not in join_part[1].split("Window")[0]
 
 
+def test_ivf_assign_zero_shuffle(spark):
+    """Nearest-centroid assignment must be a pure projection: no
+    Exchange, no Window, no join — the literal-centroid-array rewrite
+    (similarity.collect_centroid_array) removed the crossJoin×nlist +
+    Window.partitionBy argmin that used to shuffle the expanded corpus."""
+    embs = load_tables(spark, SF_DIR)["embeddings"]
+    cents = similarity.ivf_fit_centroids(embs, nlist=8)
+    plan = _plan(similarity.ivf_assign(embs, cents))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_bucketed_embedding_dedup_single_join_shuffle(spark):
+    """The bucketed dedup's only shuffles are the bucket-local self-join
+    on centroid_id and the final dropDuplicates — the assignment stage
+    contributes none (no Window, no nested-loop expansion)."""
+    embs = load_tables(spark, SF_DIR)["embeddings"]
+    plan = _plan(dedup.embedding_dedup_pairs_bucketed(embs, nlist=4))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     docs = load_tables(spark, SF_DIR)["documents"]
     plan = _plan(dedup.fingerprint_dedup(docs))
