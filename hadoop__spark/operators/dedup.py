@@ -174,7 +174,6 @@ def minhash_lsh_pairs(
     ``"persist"``, ``"local_checkpoint"``, or ``"auto"`` (persist
     unless dynamic allocation is on — see below).
     """
-    rows_per_band = num_perm // bands
     # The shingle frame feeds three consumers (signatures + both sides
     # of the exact-verify join); without materialization each one
     # re-scans and re-normalizes the corpus.  Strategy tradeoff,
@@ -210,6 +209,26 @@ def minhash_lsh_pairs(
             f"cache must be 'auto', 'persist', or 'local_checkpoint', got {cache!r}"
         )
     mh = _minhash_signatures(base, num_perm)
+    return _lsh_pairs_from_frames(
+        mh, base.select("_id", "_sh"), num_perm, bands, threshold, max_bucket
+    )
+
+
+def _lsh_pairs_from_frames(
+    mh: DataFrame,
+    sh_sets: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Banding + bucket candidate generation + exact-Jaccard verify,
+    from an (_id, mh_0..mh_{num_perm-1}) signature frame and an
+    (_id, _sh) shingle frame.  Shared by the in-memory
+    :func:`minhash_lsh_pairs` and the materialized
+    :func:`minhash_lsh_pairs_from` paths — identical plan, different
+    provenance of the two frames."""
+    rows_per_band = num_perm // bands
     # band hash = xxhash64 over the band's rows_per_band signature slots
     banded = mh.select(
         "_id",
@@ -264,7 +283,6 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    sh_sets = base.select("_id", "_sh")
     verified = (
         cand.join(sh_sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh_sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -279,6 +297,65 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def minhash_write_signatures(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+) -> None:
+    """Materialize the MinHash state as tables: ``{path}/shingles``
+    (_id, _sh) and ``{path}/signatures`` (_id, mh_0..mh_{num_perm-1}).
+
+    This is the 100 TB lifecycle answer to the persist-vs-checkpoint
+    tradeoff documented in :func:`minhash_lsh_pairs` (and the path
+    NOTES.md names): signatures computed once, stored columnar, shared
+    by every later pairing run — no CacheManager entry to leak in a
+    long-lived session, no executor-loss recompute risk, and banding
+    reads ONLY the mh_* columns (column pruning) while the verify join
+    reads only (_id, _sh).  Mirrors the persisted-IVF-index pattern
+    (``similarity.ivf_write_index``).
+    """
+    base = shingle_frame(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        base.write.mode("overwrite").parquet(f"{path}/shingles")
+        _minhash_signatures(base, num_perm).write.mode("overwrite").parquet(
+            f"{path}/signatures"
+        )
+    finally:
+        # both consumers are eager write jobs, so this unpersist point
+        # is safe — unlike the lazy-return in minhash_lsh_pairs
+        base.unpersist()
+
+
+def minhash_lsh_pairs_from(
+    spark,
+    path: str,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs from signatures materialized by
+    :func:`minhash_write_signatures` — same banding/verify plan as
+    :func:`minhash_lsh_pairs`, but each consumer re-reads the parquet
+    tables instead of sharing an in-memory persist.  ``bands`` may
+    differ from the write-time default as long as it divides the stored
+    ``num_perm`` (the banding S-curve is a query-time choice)."""
+    sh_sets = spark.read.parquet(f"{path}/shingles")
+    mh = spark.read.parquet(f"{path}/signatures")
+    num_perm = sum(c.startswith("mh_") for c in mh.columns)
+    if num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide the stored num_perm={num_perm}"
+        )
+    return _lsh_pairs_from_frames(
+        mh, sh_sets, num_perm, bands, threshold, max_bucket
+    )
 
 
 def ngram_jaccard_pairs(
@@ -431,6 +508,7 @@ def simhash_pairs(
     n: int = 3,
     max_hamming: int = 6,
     n_chunks: int = 4,
+    max_expected_pairs_per_bucket: int | None = 10_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
@@ -446,8 +524,38 @@ def simhash_pairs(
     self-join cost.  At billions of docs keep 16-bit chunks
     (n_chunks=4, recall 1 up to distance 3); small corpora can afford
     n_chunks=8 for guaranteed recall up to distance 7.
+
+    Buckets cannot be capped (the recall guarantee needs every pair
+    agreeing on a chunk), but the candidate count per bucket is
+    quadratic in the bucket bound ~N/2^chunk_bits: hash-uniform chunk
+    values keep buckets to megabytes even at billions of docs, yet at
+    ~10⁹ docs with 16-bit chunks that is ~15k members → ~10⁸ candidate
+    pairs *per bucket*.  The guard below makes that cliff an explicit
+    error instead of a silent cluster-killer (same contract as
+    :func:`embedding_dedup_pairs`'s ``max_rows``): the expected
+    per-bucket pair count (N²/2^(chunk_bits+1)) is checked against
+    ``max_expected_pairs_per_bucket`` with one cheap count job; pass
+    ``None`` to disable when the cost is understood.
     """
     chunk_bits = 64 // n_chunks
+    if max_expected_pairs_per_bucket is not None:
+        n_docs = df.count()
+        exp_bucket = n_docs / float(2**chunk_bits)
+        exp_pairs = exp_bucket * exp_bucket / 2.0
+        if exp_pairs > max_expected_pairs_per_bucket:
+            raise ValueError(
+                f"simhash_pairs: ~{n_docs} docs over 2^{chunk_bits} "
+                f"chunk buckets gives an expected {exp_bucket:.0f} "
+                f"members and ~{exp_pairs:.2g} candidate pairs per "
+                f"bucket (> max_expected_pairs_per_bucket="
+                f"{max_expected_pairs_per_bucket}). Escalate to fewer, "
+                "wider chunks (smaller n_chunks raises chunk_bits — at "
+                "the cost of the guaranteed-recall distance n_chunks-1), "
+                "remove exact duplicates first (fingerprint_dedup — "
+                "identical texts share all chunks and dominate hot "
+                "buckets), or pass max_expected_pairs_per_bucket=None "
+                "to accept the quadratic expansion."
+            )
     mask = (1 << chunk_bits) - 1
     sigs = simhash(df, text_col, id_col, n).select(
         F.col(id_col).alias("_id"), "simhash"
@@ -562,6 +670,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id,
     cluster_id) with cluster_id = the minimum doc id in the component —
@@ -576,6 +685,14 @@ def dedup_clusters(
     so 3-5 rounds in practice; ``max_iterations`` bounds pathological
     chains (alternating star-contraction is the published fix if ever
     needed at 100 TB).
+
+    ``checkpoint_dir`` selects the per-round durability mode: ``None``
+    (default) truncates lineage with executor-local
+    ``localCheckpoint`` — fastest, but executor loss restarts the run —
+    while a reliable directory (HDFS/S3 at scale) switches to
+    ``sc.setCheckpointDir`` + ``.checkpoint()``, paying a distributed
+    write per round so a 100 TB run survives executor churn.  Output is
+    identical either way (tested).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -589,6 +706,8 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -611,9 +730,9 @@ def dedup_clusters(
         # ITERATIVE algorithm lineage truncation is the point — persist
         # would stack a growing join chain behind every round — so
         # executor loss here restarts the (cheap, few-round)
-        # computation; at 100 TB swap in reliable checkpointing
-        # (sc.setCheckpointDir on HDFS/S3 + .checkpoint()) for
-        # per-round durability at the cost of a distributed write.
+        # computation; ``checkpoint_dir`` swaps in reliable
+        # checkpointing for per-round durability at the cost of a
+        # distributed write (the 100 TB setting).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -625,7 +744,11 @@ def dedup_clusters(
             )
             .withColumn("_chg", (F.col("label") != F.col("_old")).cast("long"))
             .drop("_old")
-            .localCheckpoint(eager=True)
+        )
+        new_labels = (
+            new_labels.localCheckpoint(eager=True)
+            if checkpoint_dir is None
+            else new_labels.checkpoint(eager=True)
         )
         changed = new_labels.agg(F.sum("_chg").alias("c")).first()[0]
         labels = new_labels.drop("_chg")

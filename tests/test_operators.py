@@ -34,6 +34,24 @@ def test_minhash_equals_exact_jaccard(spark, docs):
     assert len(exact) > 0, "fixtures contain planted near-duplicates"
 
 
+def test_minhash_pairs_from_materialized_signatures(spark, docs, tmp_path):
+    """The materialized-signature path (write signatures + shingles as
+    tables, pair from the tables) must produce exactly the in-memory
+    pairs — the 100 TB lifecycle variant, mirroring the persisted IVF
+    index.  Also checks a query-time re-banding divides num_perm."""
+    path = str(tmp_path / "mh_index")
+    dedup.minhash_write_signatures(docs, path, num_perm=64)
+    from_table = dedup.minhash_lsh_pairs_from(spark, path, threshold=0.8)
+    in_memory = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    assert _pairs(from_table) == _pairs(in_memory)
+    # re-banding at query time: coarser bands lower the S-curve midpoint,
+    # so candidates only grow — the exact verify keeps output identical
+    rebanded = dedup.minhash_lsh_pairs_from(spark, path, bands=32, threshold=0.8)
+    assert _pairs(rebanded) == _pairs(in_memory)
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs_from(spark, path, bands=7)
+
+
 def test_simhash_recall_on_planted_dups(spark, docs):
     """SimHash (8 chunks, Hamming ≤ 6) must find the planted
     near-duplicates (exact Jaccard ≥ 0.9) with high recall and keep
@@ -171,6 +189,49 @@ def test_dedup_clusters_long_chain_bounded_plan(spark):
     # checkpointed scan, not a 12-deep join chain
     plan = labels._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1, plan
+
+
+def test_dedup_clusters_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir=<reliable dir> must switch label propagation to
+    sc.setCheckpointDir + .checkpoint() (the 100 TB durability path)
+    with bit-identical cluster output, and actually write checkpoint
+    data under the directory."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102)],
+        "id_a LONG, id_b LONG",
+    )
+    cp = str(tmp_path / "cc_checkpoints")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters(pairs, checkpoint_dir=cp).collect()
+    }
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert got == want
+    assert any(os.scandir(cp)), "no reliable checkpoint data written"
+
+
+def test_simhash_bucket_growth_guard(spark):
+    """The expected-pairs-per-bucket guard must trip with an error that
+    names the escalation paths, and be disableable with None."""
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    # 40 docs over 2^8 buckets (n_chunks=8) ~ 0.012 expected pairs per
+    # bucket: a threshold below that trips deterministically
+    with pytest.raises(ValueError, match="fingerprint_dedup"):
+        dedup.simhash_pairs(
+            docs, n_chunks=8, max_expected_pairs_per_bucket=0
+        )
+    # None disables the guard entirely
+    dedup.simhash_pairs(
+        docs, n_chunks=8, max_expected_pairs_per_bucket=None
+    ).collect()
 
 
 def test_global_running_sum_matches_single_window(spark):
