@@ -119,19 +119,23 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     runs) from a text column, JVM-side regexp only.
 
     Adds ``<text_col>_redacted`` plus per-category match counts
-    (``n_email`` …, counted on the ORIGINAL text) and ``n_pii`` — the
-    counts feed the usual corpus-prep decision: redact-and-keep
-    vs drop-document-entirely above a threshold.  Patterns apply in
-    declaration order to the progressively redacted text, so an email
-    never double-counts as a phone run.  A per-row projection — no
-    shuffle, pipelines with the scan, Python never touches the data.
+    (``n_email`` …) and ``n_pii`` — the counts feed the usual
+    corpus-prep decision: redact-and-keep vs drop-document-entirely
+    above a threshold.  Both the replacements AND the counts apply in
+    declaration order to the progressively redacted text, so a span
+    consumed by an earlier, more specific pattern never double-counts
+    under a later one (digits inside a URL are not also a phone run),
+    and ``n_pii`` is exactly the number of replacement tokens in the
+    output.  The replacement tokens themselves (``[EMAIL]`` …) contain
+    no digits or scheme, so they are inert under every later pattern.
+    A per-row projection — no shuffle, pipelines with the scan, Python
+    never touches the data.
     """
-    c = F.col(text_col)
     out = df
-    redacted = c
+    redacted = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
         out = out.withColumn(
-            f"n_{kind}", F.regexp_count(c, F.lit(pat)).cast("bigint")
+            f"n_{kind}", F.regexp_count(redacted, F.lit(pat)).cast("bigint")
         )
         redacted = F.regexp_replace(redacted, pat, f"[{kind.upper()}]")
     out = out.withColumn(f"{text_col}_redacted", redacted)

@@ -69,11 +69,33 @@ def get_spark(app_name: str = "hadoop__spark", cpus: int | None = None) -> Spark
 #: logical plan — re-building it re-reads 10 parquet footers through
 #: py4j (~0.8 s warm), which dominated the per-probe floor when every
 #: probe re-registered the same fixtures.  Keyed on the session OBJECT
-#: (identity) so a new session never sees a stale plan; the handful of
-#: retained session references is negligible.
+#: (identity) so a new session never sees a stale plan, and validated
+#: for liveness on every hit: a session that was stop()'d (and maybe
+#: restarted via getOrCreate on the same object) must not be served a
+#: dead plan — its entries are purged and the tables re-read, which
+#: either works against the restarted context or raises Spark's own
+#: clear stopped-context error instead of a confusing dead-plan one.
 _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _VIEWS_CURRENT: dict[int, str] = {}
 _SESSION_REFS: dict[int, SparkSession] = {}
+
+
+def _is_live(spark: SparkSession) -> bool:
+    """True iff the session's JVM context has not been stop()'d."""
+    try:
+        return spark.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
+def _purge_session(sid: int) -> None:
+    """Drop every cache entry (and the strong session reference) for a
+    dead or superseded session id, so stopped sessions are neither
+    served stale plans nor kept alive by the cache."""
+    _SESSION_REFS.pop(sid, None)
+    _VIEWS_CURRENT.pop(sid, None)
+    for k in [k for k in _TABLE_CACHE if k[0] == sid]:
+        _TABLE_CACHE.pop(k, None)
 
 
 def load_tables(
@@ -85,10 +107,15 @@ def load_tables(
     Missing files are skipped so older fixture dirs (without
     documents/embeddings) still work.
     """
-    key = (id(spark), os.path.abspath(sf_dir))
+    sid = id(spark)
+    key = (sid, os.path.abspath(sf_dir))
+    if sid in _SESSION_REFS and (
+        _SESSION_REFS[sid] is not spark or not _is_live(spark)
+    ):
+        _purge_session(sid)
     if not force:
         cached = _TABLE_CACHE.get(key)
-        if cached is not None and _SESSION_REFS.get(id(spark)) is spark:
+        if cached is not None and _SESSION_REFS.get(sid) is spark:
             return dict(cached)
     # events.parquet's ts physical type is not fixed by contract —
     # fixture regenerations have shipped timestamp[us] (read natively

@@ -224,6 +224,19 @@ def test_redact_pii_hand_cases(spark):
     assert got[4].n_pii == 0
 
 
+def test_redact_pii_no_double_count_on_overlap(spark):
+    """A span consumed by an earlier pattern must not count again under
+    a later one: the digits inside a URL are not also a phone run, and
+    n_pii equals the number of replacement tokens in the output."""
+    df = spark.createDataFrame(
+        [(1, "book via https://a.b/call?tel=5551234567 thanks")],
+        "doc_id BIGINT, text STRING",
+    )
+    r = corpus.redact_pii(df).collect()[0]
+    assert r.n_url == 1 and r.n_phone == 0 and r.n_pii == 1
+    assert r.text_redacted == "book via [URL] thanks"
+
+
 def test_redact_pii_duckdb_parity(spark):
     """The patterns live in the Java-regex ∩ RE2 subset: DuckDB must
     count and redact identically on the same rows."""
@@ -242,8 +255,10 @@ def test_redact_pii_duckdb_parity(spark):
     sql_redacted = "text"
     selects = []
     for kind, pat in corpus.PII_PATTERNS.items():
+        # counts run against the progressively redacted text, exactly
+        # like the Spark implementation
         selects.append(
-            f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+            f"len(regexp_extract_all({sql_redacted}, '{pat}')) AS n_{kind}"
         )
         sql_redacted = (
             f"regexp_replace({sql_redacted}, '{pat}', '[{kind.upper()}]', 'g')"

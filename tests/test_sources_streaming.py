@@ -376,6 +376,9 @@ def test_stream_stream_interval_join_matches_batch(spark):
     }
     assert want, "fixture must contain attributable pairs"
     assert got == want
+
+
+def test_parse_kafka_events_payload(spark):
     """Kafka-shaped frame (binary value + broker timestamp) parses to
     the events schema; malformed payloads fall back to the broker
     timestamp so late-data accounting still works."""
@@ -469,6 +472,77 @@ def test_stream_stream_left_outer_join(spark):
     assert newest_emitted < max_ts, "tail cannot be finalized"
     with pytest.raises(ValueError, match="how"):
         attribute_conversions(batch, batch, how="full")
+
+
+def test_stream_stream_left_outer_join_drains_fully(spark, tmp_path):
+    """With the watermark advanced past the tail (far-future sentinel
+    events on BOTH sides, join-inert via out-of-range users), the
+    streamed left-outer result must equal the batch left join in FULL —
+    every real unmatched click finalizes, not just a prefix.  Only the
+    sentinel click itself stays open (nothing can outrun its own
+    watermark)."""
+    import datetime as dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop__spark.streaming.joins import attribute_conversions
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    d = tmp_path / "events_sentinel"
+    d.mkdir()
+    shutil.copy(src, d / "part-0.parquet")
+    table = pq.read_table(src)
+    assert set(table.schema.names) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }, table.schema
+    max_ts = pa.compute.max(table.column("ts")).as_py()
+    sentinel_ts = max_ts + dt.timedelta(days=2)
+    sentinel_vals = {
+        "event_id": [1_000_000_001, 1_000_000_002],
+        "ts": [sentinel_ts, sentinel_ts],
+        "user_id": [-1, -2],
+        "event_type": ["click", "purchase"],
+        "value": [0.0, 0.0],
+        "props": ["{}", "{}"],
+    }
+    pq.write_table(
+        pa.table(
+            {n: sentinel_vals[n] for n in table.schema.names},
+            schema=table.schema,
+        ),
+        d / "part-1-sentinel.parquet",
+    )
+    stream = streaming.read_events_stream(spark, str(d))
+    streaming.run_stream_to_memory(
+        attribute_conversions(
+            stream.where(F.col("event_type") == "click"),
+            stream.where(F.col("event_type") == "purchase"),
+            max_delay="1 hour",
+            how="left_outer",
+        ),
+        "attrib_outer_full",
+        output_mode="append",
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("attrib_outer_full").collect()
+    }
+    batch = spark.read.parquet(str(d))
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in attribute_conversions(
+            batch.where(F.col("event_type") == "click"),
+            batch.where(F.col("event_type") == "purchase"),
+            max_delay="1 hour",
+            how="left_outer",
+        ).collect()
+    }
+    # the sentinel click is the one row the stream can never finalize
+    assert want - got == {(1_000_000_001, None)}, sorted(want - got)[:5]
+    assert got <= want, "stream must never invent rows"
+    assert any(p is None for _, p in got), "unmatched clicks must emit"
 
 
 def test_kafka_rollup_on_parsed_frame(spark):
@@ -590,3 +664,23 @@ def test_register_views_cache_switches_sf(spark):
     register_views(spark, "/root/testdata/sf0.001")
     assert spark.table("lineitem").count() == n_small
     register_views(spark, SF_DIR)  # restore module default for peers
+
+
+def test_table_cache_purges_dead_session(spark, monkeypatch):
+    """A stop()'d session must not be served cached plans: when the
+    liveness probe says dead, the session's cache entries are purged
+    and the tables re-read fresh (here the context is actually alive,
+    so the re-read succeeds and repopulates)."""
+    import os as _os
+
+    from hadoop__spark import session as S
+
+    before = S.load_tables(spark, SF_DIR)["orders"]
+    assert S.load_tables(spark, SF_DIR)["orders"] is before  # cache hit
+    sid, key = id(spark), (id(spark), _os.path.abspath(SF_DIR))
+    monkeypatch.setattr(S, "_is_live", lambda s: False)
+    fresh = S.load_tables(spark, SF_DIR)["orders"]
+    assert fresh is not before, "dead session served a cached plan"
+    monkeypatch.undo()
+    assert S._SESSION_REFS[sid] is spark and key in S._TABLE_CACHE
+    assert S._is_live(spark)
