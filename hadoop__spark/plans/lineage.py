@@ -665,11 +665,22 @@ class LineageAnalyzer:
         res.input_tables.add(qname)
         return FromCtx([(alias, BaseTable(qname, simple))])
 
-    def _scan_subquery_exprs(self, expr: Node, res: LineageResult) -> None:
+    def _scan_subquery_exprs(
+        self, expr: Node, res: LineageResult
+    ) -> list[str]:
         """Register input tables of expression-level subqueries
         (scalar / IN / EXISTS) — beyond the reference's surface (Q3
         negative), but input-table completeness matters for lineage
-        consumers.  Conditions inside them are not tagged."""
+        consumers.  Conditions inside them are not tagged.
+
+        Returns the subqueries' output-column sources in encounter
+        order: for a select item containing a scalar subquery
+        (``SELECT (SELECT max(x) FROM t2) AS m FROM t1``) those are the
+        column edges flowing INTO the item (t2.x → m), which
+        ``_select_item`` merges with the item's direct sources.
+        Condition-level callers (WHERE / join ON) ignore the return —
+        predicate subqueries gate rows, they don't feed columns."""
+        extra: list[str] = []
         stack: list[Node] = [expr]
         while stack:
             n = stack.pop()
@@ -678,7 +689,11 @@ class LineageAnalyzer:
             if n.cls == "SubqueryExpr":
                 plan = n.get("plan")
                 if plan is not None:
-                    self._walk_query(plan, set(), res)
+                    scope = self._walk_query(plan, set(), res)
+                    for c in scope.cols:
+                        for s in c.sources:
+                            if s not in extra:
+                                extra.append(s)
             stack.extend(n.children)
             for v in n.fields.values():
                 if isinstance(v, Node):
@@ -691,11 +706,12 @@ class LineageAnalyzer:
                             stack.extend(
                                 i for i in x if isinstance(i, Node)
                             )
+        return extra
 
     def _select_item(self, item: Node, ctx: FromCtx, qualify) -> list[OutCol]:
         if item.cls == "Star":
             return self._expand_star(item, ctx)
-        self._scan_subquery_exprs(item, self._cur_res)
+        subquery_sources = self._scan_subquery_exprs(item, self._cur_res)
         if item.cls == "Alias":
             name = item["name"]
             expr = item.children[0]
@@ -707,6 +723,12 @@ class LineageAnalyzer:
             name = self._derived_name(expr, qualify)
 
         sources = extract_sources(expr, qualify)
+        # a scalar subquery's output feeds the item: merge its column
+        # edges after the direct ones (SELECT (SELECT max(x) FROM t2)
+        # AS m FROM t1 emits t2.x → m)
+        for s in subquery_sources:
+            if s not in sources:
+                sources.append(s)
         rendered = render(expr, qualify)
         colfun: set[str] = set()
         # COLFUN only when the item is a real expression — a bare column

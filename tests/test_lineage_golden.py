@@ -409,6 +409,32 @@ def test_expression_subquery_inputs_registered(spark):
     assert res.input_tables == {"default.t", "default.u2", "default.u3"}
 
 
+def test_scalar_subquery_select_item_column_edge(spark):
+    """A scalar subquery in the select list emits the column edge
+    THROUGH the subquery: t2's aggregated column is a from-source of
+    the item, not just a registered input table.  Predicate subqueries
+    (WHERE/EXISTS) stay row-gates — no column edge into select items."""
+    an = LineageAnalyzer(spark, DictMetastore({}))
+    res = an.analyze(
+        "use app; "
+        "select (select max(x) from t2) as m, a from t1 "
+        "where b in (select k from t3)"
+    )
+    lines = lines_by_name(res)
+    assert lines["m"].from_names == ("app.t2.x",)
+    assert any(c.startswith("COLFUN:") for c in lines["m"].conditions)
+    # the direct column is untouched by the predicate subquery
+    assert lines["a"].from_names == ("app.t1.a",)
+    # mixed item: direct sources first, then the subquery's
+    res2 = an.analyze(
+        "use app; select a + (select min(y) from t4) as s from t1"
+    )
+    assert lines_by_name(res2)["s"].from_names == (
+        "app.t1.a",
+        "app.t4.y",
+    )
+
+
 def test_create_view_lineage_and_resolution(spark):
     """CREATE VIEW records edges like CTAS, and later statements in
     the same session resolve through the view's lineage."""
