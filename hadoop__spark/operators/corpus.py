@@ -258,3 +258,93 @@ def pack_sequences(
         )
         .drop("_cum")
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination report: per-document n-gram overlap
+    with an evaluation set (the GPT-3 appendix-C discipline — training
+    documents sharing n-grams with a benchmark leak the test set).
+
+    Output: one row per corpus document that produced shingles —
+    ``(id_col, n_shingles, n_hits, overlap_frac)`` where ``n_hits``
+    counts the document's distinct ``n``-gram shingles that appear
+    anywhere in the benchmark.  Thresholding / dropping is the caller's
+    policy (see :func:`decontaminate`).  ``n=13`` is the published
+    GPT-3 setting for web corpora; the default 3 suits short fixtures.
+
+    Scale shape: the benchmark shingle set is distinct-compressed and
+    broadcast (eval sets are small by construction — MMLU-sized, not
+    corpus-sized), so the corpus side never shuffles for the membership
+    probe; the per-document rollup partially aggregates map-side and
+    shuffles ~one row per document.  Shingles are normalized word
+    n-grams shared with the dedup plane (``dedup.shingle_frame``), so
+    contamination and near-dup semantics line up.
+    """
+    from hadoop__spark.operators.dedup import shingle_frame
+
+    bench_sh = (
+        shingle_frame(
+            benchmark,
+            bench_text_col or text_col,
+            bench_id_col or id_col,
+            n,
+        )
+        .select(F.explode("_sh").alias("_s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    c = shingle_frame(df, text_col, id_col, n)
+    exploded = c.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+    )
+    return (
+        exploded.join(F.broadcast(bench_sh), "_s", "left")
+        .groupBy("_id")
+        .agg(
+            F.max("_n").cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_shingles")).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_overlap: float = 0.0,
+    n: int = 3,
+) -> DataFrame:
+    """Drop corpus documents whose benchmark n-gram overlap exceeds
+    ``max_overlap`` (default 0.0 — any shared shingle disqualifies).
+
+    Anti-join against the flagged id set, so documents with no
+    shingles at all (empty text) are KEPT — nothing to leak.  Returns
+    the surviving rows of ``df`` unchanged.
+    """
+    flagged = contamination_report(
+        df, benchmark, text_col, id_col, n=n
+    ).where(F.col("overlap_frac") > max_overlap)
+    return df.join(
+        flagged.select(F.col(id_col)).withColumnRenamed(id_col, "_flag_id"),
+        F.col(id_col) == F.col("_flag_id"),
+        "left_anti",
+    )

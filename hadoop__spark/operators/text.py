@@ -199,3 +199,62 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(normalized(F.col(text_col))).alias("fp_md5"),
         roll.alias("fp_roll"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram log-probability (CCNet-style LM quality
+    proxy): the corpus itself is the language model — P(t) = count(t) /
+    total tokens — and each document scores the sum/mean of
+    ``log P(t)`` over its token stream (with multiplicity).  Low mean
+    log-prob = rare-token-heavy documents (gibberish, codes, boiler
+    fragments); high = stopword-heavy fluff.  Used as a filter feature
+    next to :func:`quality_score`.
+
+    Determinism: floating-point addition is order-sensitive, so the
+    per-document sum is folded over the tokens in DOCUMENT ORDER
+    (posexplode → sort by position → sequential ``aggregate``), never
+    via a float ``sum()`` whose shuffle order varies run to run.  The
+    output is therefore bit-stable across partitioning and session
+    configs (tested), at the price of a per-document ``collect_list``
+    buffer — bounded by document length, never corpus size.
+
+    Two passes by construction (frequency estimation, then scoring):
+    at 100 TB materialize the frequency table once
+    (``freq.write.parquet``) and reuse it — the vocabulary table is
+    orders of magnitude smaller than the corpus and usually
+    broadcast-joins back onto the token stream.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+    )
+    freq = toks.groupBy("_t").agg(F.count("*").alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_total"))
+    scored = (
+        toks.join(freq, "_t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_id",
+            "_pos",
+            (
+                F.log(F.col("_c").cast("double"))
+                - F.log(F.col("_total").cast("double"))
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_pos", "_lp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_lp"],
+        ).alias("sum_logprob"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "sum_logprob",
+        (F.col("sum_logprob") / F.col("n_tokens")).alias("avg_logprob"),
+    )

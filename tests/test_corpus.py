@@ -270,3 +270,78 @@ def test_redact_pii_duckdb_parity(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_contamination_report_duckdb_parity(spark):
+    """Per-doc benchmark n-gram overlap must equal a from-first-
+    principles DuckDB recomputation on the fixture documents, with the
+    benchmark carved from the corpus itself (every 17th doc)."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hits, round(r.overlap_frac, 12))
+        for r in corpus.contamination_report(docs, bench, n=3).collect()
+    }
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    words = f"list_filter(string_split({norm}, ' '), x -> x <> '')"
+    sh3 = (
+        "list_distinct(CASE WHEN len(w) >= 3 THEN "
+        "list_transform(range(1, len(w) - 1), i -> "
+        "array_to_string(list_slice(w, i, i + 2), ' ')) "
+        "ELSE [array_to_string(w, ' ')] END)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = {
+        row[0]: (row[1], row[2], round(row[3], 12))
+        for row in con.execute(
+            f"""
+WITH t AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({sh3}) AS s FROM t),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT sh.doc_id, COUNT(*) AS h FROM sh JOIN bench USING (s)
+  GROUP BY sh.doc_id
+)
+SELECT sizes.doc_id, sizes.n, COALESCE(hits.h, 0),
+       CAST(COALESCE(hits.h, 0) AS DOUBLE) / sizes.n
+FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+"""
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+    # benchmark docs are fully contaminated against themselves
+    assert all(
+        got[d][2] == 1.0 for d in got if d % 17 == 0
+    ), "benchmark members must self-overlap completely"
+
+
+def test_decontaminate_drops_flagged_keeps_rest(spark):
+    """decontaminate removes exactly the docs above max_overlap and
+    keeps shingle-less docs (nothing to leak)."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),   # shares 'alpha beta gamma'
+        (3, "totally unrelated words here"),
+        (4, ""),                            # no shingles -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id BIGINT, text STRING"
+    )
+    kept = {r.doc_id for r in corpus.decontaminate(df, bench).collect()}
+    assert kept == {3, 4}
+    # permissive threshold keeps partial overlap: docs 1 and 2 share
+    # 1 of their 2 shingles with the benchmark (overlap 0.5 <= 0.9)
+    kept_loose = {
+        r.doc_id
+        for r in corpus.decontaminate(df, bench, max_overlap=0.9).collect()
+    }
+    assert kept_loose == {1, 2, 3, 4}

@@ -272,3 +272,54 @@ def test_minhash_hot_bucket_cap(spark):
     assert len(got) == 45
     assert all(r.id_a < 10 and r.id_b < 10 for r in got)
     assert all(r.jaccard == 1.0 for r in got)
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    """unigram_logprob == a plain-Python recomputation (same corpus-
+    as-LM estimate, same per-token log, same document-order sum) to
+    within float-reassociation noise."""
+    import math
+    from collections import Counter
+
+    from hadoop__spark.operators.text import unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the"),
+        (3, "quantum chromodynamics perturbation"),
+        (4, "the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+
+    toks = {i: t.lower().split() for i, t in rows}
+    freq = Counter(t for ts in toks.values() for t in ts)
+    total = sum(freq.values())
+    for i, ts in toks.items():
+        s = 0.0
+        for t in ts:  # document order, like the operator's fold
+            s += math.log(freq[t]) - math.log(total)
+        assert got[i].n_tokens == len(ts)
+        assert math.isclose(got[i].sum_logprob, s, rel_tol=1e-12), i
+        assert math.isclose(
+            got[i].avg_logprob, s / len(ts), rel_tol=1e-12
+        ), i
+    # ordering property: the all-stopword doc outscores the rare-token doc
+    assert got[2].avg_logprob > got[3].avg_logprob
+
+
+def test_unigram_logprob_bit_stable_across_partitioning(spark, docs):
+    """The document-order fold makes the float sums bit-identical
+    under any physical layout — the property that would make this
+    pinnable as a VALUES oracle."""
+    from hadoop__spark.operators.text import unigram_logprob
+
+    a = {
+        r.doc_id: (r.sum_logprob, r.avg_logprob)
+        for r in unigram_logprob(docs).collect()
+    }
+    b = {
+        r.doc_id: (r.sum_logprob, r.avg_logprob)
+        for r in unigram_logprob(docs.repartition(7)).collect()
+    }
+    assert a == b and len(a) > 0
