@@ -130,6 +130,21 @@ def test_bucketed_embedding_dedup_single_join_shuffle(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_contamination_broadcasts_benchmark_not_corpus(spark):
+    """The benchmark membership probe must be a broadcast hash join —
+    the corpus side hash-shuffles only for the per-document rollup and
+    the (small) benchmark distinct, never for the join itself."""
+    from hadoop__spark.operators import corpus
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    plan = _plan(corpus.contamination_report(docs, bench))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # benchmark-distinct + final rollup are the only hash shuffles
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     docs = load_tables(spark, SF_DIR)["documents"]
     plan = _plan(dedup.fingerprint_dedup(docs))
