@@ -260,18 +260,25 @@ def _ts05(spark, sf_dir):
 
 
 def _pp01(spark, sf_dir):
-    """End-to-end corpus prep: quality-filter → exact-dedup →
-    running token budget (the composed pipeline a training-data run
-    executes, as one declarative plan).  The running total is the
-    distributed prefix-sum (`util.global_running_sum`) — a bare
-    ``Window.orderBy`` would funnel the corpus through one task."""
+    """End-to-end corpus prep: benchmark-decontaminate → quality-filter
+    → exact-dedup → running token budget (the composed pipeline a
+    training-data run executes, as one declarative plan).  The
+    "benchmark" is carved from the corpus itself (every 17th doc) so
+    the stage is self-contained and oracle-checkable; max_overlap=0
+    drops any document sharing a 3-gram shingle with it.  The running
+    total is the distributed prefix-sum (`util.global_running_sum`) —
+    a bare ``Window.orderBy`` would funnel the corpus through one
+    task."""
+    from hadoop__spark.operators import corpus
     from hadoop__spark.operators.util import global_running_sum
 
     docs = _docs(spark, sf_dir)
-    scored = text.quality_score(docs).select(
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    clean = corpus.decontaminate(docs, bench)
+    scored = text.quality_score(clean).select(
         "doc_id", "n_tokens", "quality_score"
     )
-    keepers = dedup.fingerprint_dedup(docs).select(
+    keepers = dedup.fingerprint_dedup(clean).select(
         F.col("keep_id").alias("doc_id")
     )
     surviving = (
@@ -502,12 +509,23 @@ FROM counted
 QUALIFY rank <= 100
 """,
     ),
+    # decontamination oracle: any shared 3-gram shingle with the
+    # benchmark subset (doc_id % 17 = 0) disqualifies — identical
+    # shingle semantics as the dd03/dd04 oracles.
     Probe(
         name="pp01_corpus_prep_pipeline",
         fn=_pp01,
         oracle=f"""
-WITH t AS (
+WITH t0 AS (
   SELECT doc_id, text, {_WORDS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t0
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0
+), contam AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+), t AS (
+  SELECT * FROM t0 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
 ), m AS (
   SELECT doc_id,
     CAST(len(w) AS DOUBLE) AS n_tok,
@@ -528,7 +546,7 @@ WITH t AS (
                       ELSE 0.0 END) * 10.0, 1.0)) * 0.1 AS quality_score
   FROM m
 ), k AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+  SELECT min(doc_id) AS doc_id FROM t GROUP BY md5({_NORM})
 ), s AS (
   SELECT q.doc_id, q.n_tokens FROM q JOIN k USING (doc_id)
   WHERE q.quality_score >= 0.5
