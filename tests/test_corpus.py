@@ -345,3 +345,49 @@ def test_decontaminate_drops_flagged_keeps_rest(spark):
         for r in corpus.decontaminate(df, bench, max_overlap=0.9).collect()
     }
     assert kept_loose == {1, 2, 3, 4}
+
+
+def test_decontaminate_self_removes_everything(spark):
+    """Decontaminating a corpus against itself drops every document
+    that produced shingles — including empty-text docs, whose
+    empty-string fallback shingle matches its own benchmark copy."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "totally unrelated words here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    assert corpus.decontaminate(df, df).count() == 0
+
+
+def test_redact_pii_composes_with_streaming(spark, tmp_path):
+    """redact_pii is a pure projection, so it must run unchanged on a
+    stream: replaying the documents fixture through readStream with the
+    redaction applied equals the batch output row-for-row."""
+    import os
+    import shutil
+
+    from hadoop__spark import streaming
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(src, d / "part-0.parquet")
+    batch = load_tables(spark, SF_DIR)["documents"]
+    want = {
+        (r.doc_id, r.text_redacted, r.n_pii)
+        for r in corpus.redact_pii(batch).collect()
+    }
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(str(d))
+    streaming.run_stream_to_memory(
+        corpus.redact_pii(stream).select("doc_id", "text_redacted", "n_pii"),
+        "redact_stream",
+        output_mode="append",
+    )
+    got = {
+        (r.doc_id, r.text_redacted, r.n_pii)
+        for r in spark.table("redact_stream").collect()
+    }
+    assert got == want and len(got) > 0
