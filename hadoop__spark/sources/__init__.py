@@ -9,14 +9,18 @@ partitioned + bucketed writers, and table sinks.
 """
 
 from hadoop__spark.sources.io import (
+    compact_parquet,
     read_table,
+    total_bytes,
     write_bucketed_table,
     write_partitioned,
     write_table,
 )
 
 __all__ = [
+    "compact_parquet",
     "read_table",
+    "total_bytes",
     "write_bucketed_table",
     "write_partitioned",
     "write_table",

@@ -90,6 +90,61 @@ def write_partitioned(
     shuffled.write.format(fmt).mode(mode).partitionBy(*partition_by).save(path)
 
 
+def total_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive byte size of ``path`` through the Hadoop FileSystem
+    API — scheme-agnostic (file://, hdfs://, s3a://), driver-side
+    metadata only."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a fragmented parquet dataset as ``ceil(size/target)``
+    right-sized files; returns the file count written.
+
+    Streaming sinks and over-parallel writers fragment datasets into
+    thousands of KB-scale files, and at 100 TB the scan's task-launch
+    and footer-read overhead then dwarfs the I/O (the classic
+    small-files failure).  Sizing from the actual on-disk byte count
+    (one driver-side metadata call) rather than row counts keeps the
+    math schema-independent.
+
+    With ``sort_by``, rows are range-partitioned and sorted within
+    files on those columns, so their parquet row-group min/max stats
+    become disjoint — point/range predicates on the sort key then
+    skip whole files (the poor man's z-order; one clustering key is
+    the common case).  Without it, a plain ``repartition`` balances
+    bytes evenly.
+
+    ``dest`` must differ from ``src``: readers may hold ``src`` open,
+    so the atomic swap (rename / catalog repoint) is the caller's
+    transaction, not this function's.
+    """
+    if src.rstrip("/") == dest.rstrip("/"):
+        raise ValueError("compact_parquet needs dest != src (swap is the caller's step)")
+    if target_file_bytes <= 0:
+        raise ValueError(f"target_file_bytes must be positive, got {target_file_bytes}")
+    n_files = max(1, -(-total_bytes(spark, src) // target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        keys = [F.col(c) for c in sort_by]
+        df = df.repartitionByRange(n_files, *keys).sortWithinPartitions(*keys)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dest)
+    return n_files
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -684,3 +684,41 @@ def test_table_cache_purges_dead_session(spark, monkeypatch):
     monkeypatch.undo()
     assert S._SESSION_REFS[sid] is spark and key in S._TABLE_CACHE
     assert S._is_live(spark)
+
+
+def test_compact_parquet_right_sizes_and_clusters(spark, tmp_path):
+    """compact_parquet rewrites a fragmented dataset into
+    ceil(bytes/target) files; with sort_by the per-file min/max ranges
+    of the sort key are disjoint (file-skipping layout)."""
+    import pyarrow.parquet as pq
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    orders.repartition(37).write.parquet(src)  # fragment it
+    n_frag = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_frag >= 30
+    total = sources.total_bytes(spark, src)
+    assert total > 0
+    n = sources.compact_parquet(
+        spark, src, dest,
+        target_file_bytes=total // 3 + 1,
+        sort_by=["o_orderkey"],
+    )
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= n < n_frag
+    got = spark.read.parquet(dest)
+    assert got.count() == orders.count()
+    assert set(got.columns) == set(orders.columns)
+    # clustering: per-file key ranges must not overlap
+    ranges = []
+    for f in files:
+        col = pq.read_table(
+            os.path.join(dest, f), columns=["o_orderkey"]
+        )["o_orderkey"]
+        if len(col):
+            ranges.append((min(col.to_pylist()), max(col.to_pylist())))
+    ranges.sort()
+    for (_, a_max), (b_min, _) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min, "sorted compaction produced overlapping files"
+    with pytest.raises(ValueError, match="dest != src"):
+        sources.compact_parquet(spark, src, src)
