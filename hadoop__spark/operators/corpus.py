@@ -211,6 +211,38 @@ def deterministic_sample(
     return df.where(_key_hash(key_col, salt) < F.lit(_hex_threshold(fraction)))
 
 
+def stratified_deterministic_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str,
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling — the data-mixing primitive:
+    ``fractions`` maps a group value (source, language, quality tier)
+    to its keep share, e.g. ``{"web": 0.3, "code": 1.0}`` to upweight
+    code against web crawl.  Groups absent from the map keep
+    ``default_fraction`` (0 = dropped, stated explicitly rather than
+    silently passed through).
+
+    Same engine-portable membership rule as
+    :func:`deterministic_sample` (md5 of (key, salt) under a
+    fixed-width hex threshold), so per-group samples are stable across
+    runs/engines/cluster shapes and NESTED across fraction changes —
+    raising a group's weight only adds documents, never swaps them.
+    A pure per-row filter: no shuffle, pipelines with the scan; the
+    threshold CASE is built driver-side from the (small) map.
+    """
+    thresh = F.lit(_hex_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(group_col).cast("string") == value,
+            F.lit(_hex_threshold(frac)),
+        ).otherwise(thresh)
+    return df.where(_key_hash(key_col, salt) < thresh)
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

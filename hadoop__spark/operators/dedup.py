@@ -839,3 +839,42 @@ def embedding_dedup_pairs_bucketed(
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def cluster_keepers(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pick the best member of each near-duplicate cluster: highest
+    ``score_col``, ties broken by the smallest id — the quality-aware
+    alternative to :func:`dedup_clusters`'s implicit min-id keeper.
+
+    One partially-aggregated shuffle: the argmax is a ``max`` over a
+    ``struct(score, -id)`` (struct ordering = lexicographic), so each
+    map partition reduces to one candidate row per cluster before the
+    exchange — no window over cluster members.  Requires a numeric id
+    (the negation is the ascending-id tie-break inside a max).
+    """
+    from pyspark.sql.types import NumericType
+
+    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    if not isinstance(joined.schema[id_col].dataType, NumericType):
+        raise ValueError(
+            f"cluster_keepers needs a numeric {id_col!r} for the "
+            "min-id tie-break inside the struct max"
+        )
+    best = joined.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("_s"), (-F.col(id_col)).alias("_nid")
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        cluster_col,
+        (-F.col("_b._nid")).alias(id_col),
+        F.col("_b._s").alias(score_col),
+    )

@@ -391,3 +391,71 @@ def test_redact_pii_composes_with_streaming(spark, tmp_path):
         for r in spark.table("redact_stream").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stratified_sample_per_group_and_duckdb_parity(spark):
+    """Per-group fractions apply independently with the same
+    engine-portable md5 membership rule; unlisted groups keep
+    default_fraction; nested across a weight raise."""
+    docs = _docs(spark).withColumn(
+        "src", (F.col("doc_id") % 3).cast("string")
+    )
+    fr = {"0": 1.0, "1": 0.2}
+    got = {
+        r.doc_id
+        for r in corpus.stratified_deterministic_sample(
+            docs, fr, group_col="src"
+        ).collect()
+    }
+    # group 0 fully kept, group 2 (unlisted) fully dropped
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert {i for i in all_ids if i % 3 == 0} <= got
+    assert not {i for i in got if i % 3 == 2}
+    # raising group 1's weight only adds documents (nested samples)
+    more = {
+        r.doc_id
+        for r in corpus.stratified_deterministic_sample(
+            docs, {"0": 1.0, "1": 0.6}, group_col="src"
+        ).collect()
+    }
+    assert got <= more
+    # cross-engine membership parity for the fractional group
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    t = corpus._hex_threshold(0.2)
+    want_g1 = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE doc_id % 3 = 1 "
+            f"AND md5(CAST(doc_id AS VARCHAR) || 'mix-v1') < '{t}'"
+        ).fetchall()
+    }
+    assert {i for i in got if i % 3 == 1} == want_g1
+
+
+def test_cluster_keepers_quality_argmax(spark):
+    """Highest score wins the cluster; score ties fall to the smallest
+    id; singleton clusters keep their only member."""
+    from hadoop__spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id BIGINT, cluster_id BIGINT",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7), (6, 0.7)],
+        "doc_id BIGINT, quality_score DOUBLE",
+    )
+    got = {
+        r.cluster_id: (r.doc_id, r.quality_score)
+        for r in dedup.cluster_keepers(clusters, scores).collect()
+    }
+    assert got == {1: (2, 0.9), 4: (4, 0.1), 5: (5, 0.7)}
+    with pytest.raises(ValueError, match="numeric"):
+        dedup.cluster_keepers(
+            clusters.withColumn("doc_id", F.col("doc_id").cast("string")),
+            scores.withColumn("doc_id", F.col("doc_id").cast("string")),
+        )
