@@ -342,3 +342,65 @@ def test_redact_pii_total_and_no_change_iff_clean(spark, texts):
             assert r.text_redacted == r.text
         else:
             assert r.text_redacted != r.text
+
+
+@given(texts=doc_strategy, mod=st.sampled_from([2, 3]))
+@_SETTINGS
+def test_contamination_bounds_and_monotonicity(spark, texts, mod):
+    """For any corpus and benchmark: overlap_frac stays in [0, 1];
+    benchmark members self-overlap fully; growing the benchmark never
+    lowers any document's overlap (hits are monotone in the shingle
+    union)."""
+    from hadoop__spark.operators import corpus
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    small = df.where(F.col("doc_id") % mod == 0)
+    rep_small = {
+        r.doc_id: r.overlap_frac
+        for r in corpus.contamination_report(df, small).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in rep_small.values())
+    for d in rep_small:
+        if d % mod == 0:
+            assert rep_small[d] == 1.0, "benchmark member must self-overlap"
+    rep_all = {
+        r.doc_id: r.overlap_frac
+        for r in corpus.contamination_report(df, df).collect()
+    }
+    assert set(rep_small) == set(rep_all)
+    for d, v in rep_small.items():
+        assert rep_all[d] >= v - 1e-12, "bigger benchmark lowered overlap"
+
+
+@given(
+    texts=doc_strategy,
+    fr=st.sampled_from([0.0, 0.3, 1.0]),
+)
+@_SETTINGS
+def test_stratified_sample_equals_per_group_sample(spark, texts, fr):
+    """Stratified sampling must equal running deterministic_sample at
+    each group's fraction on that group alone — per-group independence
+    under the shared (key, salt) membership rule."""
+    from hadoop__spark.operators import corpus
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    ).withColumn("g", (F.col("doc_id") % 2).cast("string"))
+    fractions = {"0": fr, "1": 0.5}
+    got = {
+        r.doc_id
+        for r in corpus.stratified_deterministic_sample(
+            df, fractions, group_col="g", salt="p-v1"
+        ).collect()
+    }
+    want = set()
+    for gv, gfr in fractions.items():
+        want |= {
+            r.doc_id
+            for r in corpus.deterministic_sample(
+                df.where(F.col("g") == gv), gfr, salt="p-v1"
+            ).collect()
+        }
+    assert got == want
