@@ -878,3 +878,64 @@ def cluster_keepers(
         (-F.col("_b._nid")).alias(id_col),
         F.col("_b._s").alias(score_col),
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "fingerprint",
+    threshold: float = 0.8,
+    scores: DataFrame | None = None,
+    score_col: str = "quality_score",
+    **method_kwargs,
+) -> DataFrame:
+    """One-call corpus deduplication: returns the SURVIVING rows of
+    ``df`` — the API a pipeline actually calls, composed from the
+    primitives this module exposes.
+
+    ``method``:
+
+    * ``"fingerprint"`` (default) — exact dedup on the md5 of the
+      normalized text; keeps the smallest id per identical text.
+    * ``"minhash"`` — near-dup pairs (:func:`minhash_lsh_pairs` at
+      ``threshold``) → connected components (:func:`dedup_clusters`)
+      → one keeper per cluster.  With ``scores`` (an (id, score)
+      frame) the keeper is the cluster's best-scoring member
+      (:func:`cluster_keepers`); without, the smallest id.
+
+    Documents in no cluster survive untouched; the anti-join against
+    the dropped-id set is the only touch on the full corpus, so the
+    operator adds one broadcast-able join on top of the underlying
+    method's cost.  ``method_kwargs`` pass through (``num_perm``,
+    ``bands``, ``checkpoint_dir``-style knobs) to the pair generator.
+    """
+    if method == "fingerprint":
+        keep = fingerprint_dedup(df, text_col, id_col).select(
+            F.col("keep_id").alias("_keep")
+        )
+        return df.join(
+            keep, F.col(id_col) == F.col("_keep"), "left_semi"
+        )
+    if method != "minhash":
+        raise ValueError(
+            f"method must be 'fingerprint' or 'minhash', got {method!r}"
+        )
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, threshold=threshold, **method_kwargs
+    )
+    clusters = dedup_clusters(pairs)
+    if scores is not None:
+        keepers = cluster_keepers(
+            clusters, scores, id_col=id_col, score_col=score_col
+        ).select(F.col(id_col).alias("_k"))
+    else:
+        keepers = clusters.where(
+            F.col("doc_id") == F.col("cluster_id")
+        ).select(F.col("doc_id").alias("_k"))
+    dropped = clusters.join(
+        keepers, clusters.doc_id == F.col("_k"), "left_anti"
+    ).select(F.col("doc_id").alias("_drop"))
+    return df.join(
+        dropped, F.col(id_col) == F.col("_drop"), "left_anti"
+    )

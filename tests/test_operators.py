@@ -323,3 +323,47 @@ def test_unigram_logprob_bit_stable_across_partitioning(spark, docs):
         for r in unigram_logprob(docs.repartition(7)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_dedup_corpus_fingerprint_and_minhash(spark, docs):
+    """The one-call API must agree with the primitives it composes:
+    fingerprint mode keeps exactly the min-id per normalized text;
+    minhash mode drops exactly the non-keeper cluster members, and a
+    scores frame moves the keeper to the best-scoring member."""
+    from hadoop__spark.operators import text as text_ops
+
+    n = docs.count()
+    fp_survivors = dedup.dedup_corpus(docs, method="fingerprint")
+    want_keep = {
+        r.keep_id for r in dedup.fingerprint_dedup(docs).collect()
+    }
+    assert {r.doc_id for r in fp_survivors.collect()} == want_keep
+
+    mh_survivors = {
+        r.doc_id
+        for r in dedup.dedup_corpus(docs, method="minhash").collect()
+    }
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            dedup.minhash_lsh_pairs(docs, threshold=0.8)
+        ).collect()
+    }
+    all_ids = {r.doc_id for r in docs.collect()}
+    want = {
+        d for d in all_ids if d not in clusters or clusters[d] == d
+    }
+    assert mh_survivors == want and len(mh_survivors) < n
+
+    # quality-aware keepers: survivors differ only inside clusters
+    scores = text_ops.quality_score(docs).select("doc_id", "quality_score")
+    scored_survivors = {
+        r.doc_id
+        for r in dedup.dedup_corpus(
+            docs, method="minhash", scores=scores
+        ).collect()
+    }
+    assert scored_survivors - set(clusters) == mh_survivors - set(clusters)
+    assert len(scored_survivors) == len(mh_survivors)
+    with pytest.raises(ValueError, match="method"):
+        dedup.dedup_corpus(docs, method="simhash")
