@@ -380,3 +380,51 @@ def decontaminate(
         F.col(id_col) == F.col("_flag_id"),
         "left_anti",
     )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    redact: bool = True,
+    max_dup_token_frac: float = 0.6,
+    dedup_method: str = "fingerprint",
+    splits: dict[str, float] | None = None,
+    split_salt: str = "split-v1",
+) -> DataFrame:
+    """The standard prep chain as one declarative plan:
+    decontaminate (optional) → PII-redact (optional) → repetition
+    filter → dedup → deterministic split.
+
+    Returns the surviving rows of ``df`` with added columns:
+    redaction counts + ``<text_col>_redacted`` (when ``redact``),
+    repetition stats, and ``split``.  Downstream packing is a separate
+    call (:func:`pack_sequences` wants the token-count frame, not the
+    text).  Every stage is one of this module's tested primitives, so
+    the composition inherits their oracles; pp01/pp02 probe the same
+    chain piecewise under the DuckDB gate.
+
+    Scale note: the chain is lazy — at 100 TB materialize stage
+    boundaries as tables (decontaminated → deduped) instead of letting
+    each consumer re-derive them (see the pp01 probe docstring).
+    """
+    from hadoop__spark.operators.dedup import dedup_corpus
+
+    out = df
+    if benchmark is not None:
+        out = decontaminate(out, benchmark, text_col, id_col)
+    if redact:
+        out = redact_pii(out, text_col)
+    stats = repetition_stats(
+        out.select(id_col, F.col(text_col)), text_col
+    ).select(
+        F.col("doc_id").alias("_rid"),
+        "n_tokens",
+        "dup_token_frac",
+        "dup_line_frac",
+    )
+    out = out.join(stats, F.col(id_col) == F.col("_rid")).drop("_rid")
+    out = out.where(F.col("dup_token_frac") <= max_dup_token_frac)
+    out = dedup_corpus(out, text_col, id_col, method=dedup_method)
+    return deterministic_split(out, id_col, splits, salt=split_salt)

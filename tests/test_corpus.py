@@ -459,3 +459,34 @@ def test_cluster_keepers_quality_argmax(spark):
             clusters.withColumn("doc_id", F.col("doc_id").cast("string")),
             scores.withColumn("doc_id", F.col("doc_id").cast("string")),
         )
+
+
+def test_prepare_corpus_chain(spark):
+    """The one-call prep chain equals its stages run by hand: same
+    surviving ids, redaction columns present, repetition-filtered,
+    deduped, split assigned."""
+    from hadoop__spark.operators.dedup import dedup_corpus
+
+    docs = _docs(spark)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    got = corpus.prepare_corpus(docs, benchmark=bench)
+    rows = got.collect()
+    assert rows, "chain must keep some documents"
+    cols = set(got.columns)
+    assert {"text_redacted", "n_pii", "split", "dup_token_frac"} <= cols
+
+    # by-hand chain for the surviving-id set
+    clean = corpus.decontaminate(docs, bench)
+    stats = corpus.repetition_stats(clean).select("doc_id", "dup_token_frac")
+    kept = clean.join(stats, "doc_id").where(F.col("dup_token_frac") <= 0.6)
+    want = {
+        r.doc_id for r in dedup_corpus(kept, method="fingerprint").collect()
+    }
+    assert {r.doc_id for r in rows} == want
+    # split assignment matches the standalone operator (same salt)
+    split_want = {
+        (r.doc_id, r.split)
+        for r in corpus.deterministic_split(docs).select("doc_id", "split").collect()
+        if r.doc_id in want
+    }
+    assert {(r.doc_id, r.split) for r in rows} == split_want
