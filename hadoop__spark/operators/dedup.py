@@ -939,3 +939,65 @@ def dedup_corpus(
     return df.join(
         dropped, F.col(id_col) == F.col("_drop"), "left_anti"
     )
+
+
+def line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4/RefinedWeb-style GLOBAL line deduplication: each distinct
+    (trimmed) non-blank line survives only at its first occurrence
+    corpus-wide — the smallest ``(doc_id, line_no)`` — and later
+    occurrences are dropped from their documents.  Kills boilerplate
+    (navigation chrome, cookie banners, license footers) that
+    document-level dedup never sees.
+
+    Output: ``(id_col, text_deduped, n_lines, n_lines_kept)`` with
+    document line order preserved; blank lines are structure, not
+    content, and always survive.
+
+    Scale shape: one shuffle keyed on the trimmed line to find each
+    line's global first occurrence (map-side partial ``min`` on the
+    16-byte-comparable ``struct(doc_id, line_no)``), one join of the
+    exploded lines against that winner table (same key — AQE/Catalyst
+    co-partitions both sides from the first shuffle), and one shuffle
+    back to documents for reassembly.  The reassembly buffer is
+    bounded by document length (``collect_list`` of surviving lines),
+    never corpus size.
+    """
+    lines = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+    ).withColumn("_k", F.trim(F.col("_line")))
+    content = lines.where(F.col("_k") != "")
+    winners = content.groupBy("_k").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_ln").alias("l"))).alias("_w")
+    )
+    kept_content = content.join(winners, "_k").where(
+        (F.col("_id") == F.col("_w.i")) & (F.col("_ln") == F.col("_w.l"))
+    ).select("_id", "_ln", "_line")
+    kept = kept_content.unionByName(
+        lines.where(F.col("_k") == "").select("_id", "_ln", "_line")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_ln"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("text_deduped"),
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("_id").agg(
+        F.count("*").cast("bigint").alias("n_lines")
+    )
+    return totals.join(rebuilt, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).cast("bigint").alias(
+            "n_lines_kept"
+        ),
+    )

@@ -367,3 +367,70 @@ def test_dedup_corpus_fingerprint_and_minhash(spark, docs):
     assert len(scored_survivors) == len(mh_survivors)
     with pytest.raises(ValueError, match="method"):
         dedup.dedup_corpus(docs, method="simhash")
+
+
+def test_line_dedup_hand_case(spark):
+    """Global first occurrence wins; later copies drop from their
+    documents; blank lines always survive; order preserved."""
+    rows = [
+        (1, "home\nabout us\ncontent A\nhome"),
+        (2, "home\ncontent B\n\nabout us"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert got[1].text_deduped == "home\nabout us\ncontent A"
+    assert (got[1].n_lines, got[1].n_lines_kept) == (4, 3)
+    assert got[2].text_deduped == "content B\n"
+    assert (got[2].n_lines, got[2].n_lines_kept) == (4, 2)
+
+
+def test_line_dedup_duckdb_parity(spark, docs):
+    """line_dedup == a from-first-principles DuckDB recomputation
+    (window rank over (trimmed line) ordered by (doc_id, line_no))."""
+    import duckdb
+
+    from tests.conftest import SF_DIR as _SF
+
+    got = {
+        (r.doc_id, r.text_deduped, r.n_lines, r.n_lines_kept)
+        for r in dedup.line_dedup(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_SF}/documents.parquet')"
+    )
+    want = set(
+        con.execute(
+            """
+WITH p AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents
+), l0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(parts)),
+                i -> struct_pack(ln := i, line := parts[i + 1]))) AS e
+  FROM p
+), l AS (
+  SELECT doc_id, e.ln AS ln, e.line AS line, trim(e.line) AS k FROM l0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, ln) AS rn
+  FROM l WHERE k <> ''
+), kept AS (
+  SELECT doc_id, ln, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, ln, line FROM l WHERE k = ''
+)
+SELECT t.doc_id,
+       COALESCE(k.txt, '') AS text_deduped,
+       t.n AS n_lines,
+       COALESCE(k.m, 0) AS n_lines_kept
+FROM (SELECT doc_id, COUNT(*) AS n FROM l GROUP BY doc_id) t
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS txt,
+         COUNT(*) AS m
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
