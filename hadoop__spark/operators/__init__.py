@@ -8,6 +8,7 @@ multimodal decode path where imperative byte handling is the point.
 """
 
 from hadoop__spark.operators import (
+    corpus,
     dedup,
     multimodal,
     similarity,
@@ -18,6 +19,7 @@ from hadoop__spark.operators import (
 from hadoop__spark.operators.util import ensure_parallelism, global_running_sum
 
 __all__ = [
+    "corpus",
     "dedup",
     "ensure_parallelism",
     "global_running_sum",
