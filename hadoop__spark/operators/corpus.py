@@ -64,7 +64,9 @@ def _dup_frac(arr: Column) -> Column:
     ).otherwise(0.0)
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document repetition signals (the Gopher repetition filters).
 
     * ``dup_line_frac`` — fraction of non-empty lines that repeat an
@@ -81,7 +83,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # tree (see dedup.shingle_frame for the measurement)
     c = F.col(text_col)
     base = ensure_parallelism(df).select(
-        "doc_id",
+        id_col,
         F.filter(
             F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
             lambda x: x != F.lit(""),
@@ -90,7 +92,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     lines, w = F.col("_lines"), F.col("_w")
     return base.select(
-        "doc_id",
+        id_col,
         F.size(lines).cast("bigint").alias("n_lines"),
         _dup_frac(lines).alias("dup_line_frac"),
         F.size(w).cast("bigint").alias("n_tokens"),
@@ -330,6 +332,14 @@ def contamination_report(
             n,
         )
         .select(F.explode("_sh").alias("_s"))
+        # empty/whitespace-only benchmark rows reduce to the ""
+        # shingle via shingles_of_tokens' short-doc fallback; left in,
+        # one empty benchmark row would flag EVERY empty corpus
+        # document with overlap 1.0 — the opposite of the documented
+        # "nothing to leak" contract.  "" is never a shingle of real
+        # text (concat_ws over a non-empty token array is non-empty),
+        # so dropping it loses no genuine contamination signal.
+        .where(F.col("_s") != "")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -387,20 +397,33 @@ def prepare_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     benchmark: DataFrame | None = None,
+    line_dedup: bool = False,
     redact: bool = True,
     max_dup_token_frac: float = 0.6,
     dedup_method: str = "fingerprint",
+    scores: DataFrame | None = None,
+    score_col: str = "quality_score",
     splits: dict[str, float] | None = None,
     split_salt: str = "split-v1",
 ) -> DataFrame:
     """The standard prep chain as one declarative plan:
-    decontaminate (optional) → PII-redact (optional) → repetition
-    filter → dedup → deterministic split.
+    decontaminate (optional) → global line dedup (optional) →
+    PII-redact (optional) → repetition filter → dedup →
+    deterministic split.
 
     Returns the surviving rows of ``df`` with added columns:
     redaction counts + ``<text_col>_redacted`` (when ``redact``),
-    repetition stats, and ``split``.  Downstream packing is a separate
-    call (:func:`pack_sequences` wants the token-count frame, not the
+    repetition stats, and ``split``.  With ``line_dedup=True`` the
+    text column itself is REPLACED by its line-deduped form
+    (:func:`~hadoop__spark.operators.dedup.line_dedup`) before every
+    downstream stage, so redaction, repetition stats, and document
+    dedup all see boilerplate-free text.  With ``scores`` (an
+    ``(id_col, score_col)`` frame) and ``dedup_method="minhash"``,
+    near-dup clusters keep their best-scoring member
+    (:func:`~hadoop__spark.operators.dedup.cluster_keepers`) instead
+    of the smallest id; fingerprint mode ignores scores (exact copies
+    are interchangeable).  Downstream packing is a separate call
+    (:func:`pack_sequences` wants the token-count frame, not the
     text).  Every stage is one of this module's tested primitives, so
     the composition inherits their oracles; pp01/pp02 probe the same
     chain piecewise under the DuckDB gate.
@@ -409,22 +432,42 @@ def prepare_corpus(
     boundaries as tables (decontaminated → deduped) instead of letting
     each consumer re-derive them (see the pp01 probe docstring).
     """
-    from hadoop__spark.operators.dedup import dedup_corpus
+    from hadoop__spark.operators.dedup import (
+        dedup_corpus,
+        line_dedup as _line_dedup,
+    )
 
     out = df
     if benchmark is not None:
         out = decontaminate(out, benchmark, text_col, id_col)
+    if line_dedup:
+        ld = _line_dedup(out, text_col, id_col).select(
+            F.col(id_col).alias("_ld_id"), "text_deduped"
+        )
+        out = (
+            out.drop(text_col)
+            .join(ld, F.col(id_col) == F.col("_ld_id"))
+            .withColumnRenamed("text_deduped", text_col)
+            .drop("_ld_id")
+        )
     if redact:
         out = redact_pii(out, text_col)
     stats = repetition_stats(
-        out.select(id_col, F.col(text_col)), text_col
+        out.select(id_col, F.col(text_col)), text_col, id_col
     ).select(
-        F.col("doc_id").alias("_rid"),
+        F.col(id_col).alias("_rid"),
         "n_tokens",
         "dup_token_frac",
         "dup_line_frac",
     )
     out = out.join(stats, F.col(id_col) == F.col("_rid")).drop("_rid")
     out = out.where(F.col("dup_token_frac") <= max_dup_token_frac)
-    out = dedup_corpus(out, text_col, id_col, method=dedup_method)
+    out = dedup_corpus(
+        out,
+        text_col,
+        id_col,
+        method=dedup_method,
+        scores=scores,
+        score_col=score_col,
+    )
     return deterministic_split(out, id_col, splits, salt=split_salt)

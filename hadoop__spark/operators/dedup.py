@@ -888,6 +888,7 @@ def dedup_corpus(
     threshold: float = 0.8,
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
+    checkpoint_dir: str | None = None,
     **method_kwargs,
 ) -> DataFrame:
     """One-call corpus deduplication: returns the SURVIVING rows of
@@ -907,8 +908,11 @@ def dedup_corpus(
     Documents in no cluster survive untouched; the anti-join against
     the dropped-id set is the only touch on the full corpus, so the
     operator adds one broadcast-able join on top of the underlying
-    method's cost.  ``method_kwargs`` pass through (``num_perm``,
-    ``bands``, ``checkpoint_dir``-style knobs) to the pair generator.
+    method's cost.  ``method_kwargs`` pass through to the pair
+    generator (``n``, ``num_perm``, ``bands``, ``max_bucket``,
+    ``cache``); ``checkpoint_dir`` is routed to
+    :func:`dedup_clusters` for reliable per-round checkpointing at
+    scale.
     """
     if method == "fingerprint":
         keep = fingerprint_dedup(df, text_col, id_col).select(
@@ -924,11 +928,20 @@ def dedup_corpus(
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, threshold=threshold, **method_kwargs
     )
-    clusters = dedup_clusters(pairs)
+    # dedup_clusters emits fixed (doc_id, cluster_id) names regardless
+    # of id_col; all downstream joins use those fixed names, with
+    # scores renamed INTO the fixed schema rather than clusters out of
+    # it — so a non-default id_col cannot collide or break the joins.
+    clusters = dedup_clusters(pairs, checkpoint_dir=checkpoint_dir)
     if scores is not None:
         keepers = cluster_keepers(
-            clusters, scores, id_col=id_col, score_col=score_col
-        ).select(F.col(id_col).alias("_k"))
+            clusters,
+            scores.select(
+                F.col(id_col).alias("doc_id"), F.col(score_col)
+            ),
+            id_col="doc_id",
+            score_col=score_col,
+        ).select(F.col("doc_id").alias("_k"))
     else:
         keepers = clusters.where(
             F.col("doc_id") == F.col("cluster_id")

@@ -226,7 +226,8 @@ def unigram_logprob(
     orders of magnitude smaller than the corpus and usually
     broadcast-joins back onto the token stream.
     """
-    toks = ensure_parallelism(df).select(
+    base = ensure_parallelism(df)
+    toks = base.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
     )
@@ -252,9 +253,19 @@ def unigram_logprob(
             lambda acc, x: acc + x["_lp"],
         ).alias("sum_logprob"),
     )
-    return per_doc.select(
+    # Left-join back to the full id set (same pattern as
+    # line_dedup's totals join): zero-token documents produce no
+    # posexplode rows, and silently omitting them would make every
+    # downstream per-document join drop those docs instead of scoring
+    # them — they get n_tokens=0, sum 0.0, and a null average (there
+    # is no mean of an empty stream).
+    ids = base.select(F.col(id_col).alias("_id")).distinct()
+    return ids.join(per_doc, "_id", "left").select(
         F.col("_id").alias(id_col),
-        "n_tokens",
-        "sum_logprob",
-        (F.col("sum_logprob") / F.col("n_tokens")).alias("avg_logprob"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("sum_logprob", F.lit(0.0)).alias("sum_logprob"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("sum_logprob") / F.col("n_tokens"),
+        ).alias("avg_logprob"),
     )

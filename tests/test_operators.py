@@ -434,3 +434,53 @@ LEFT JOIN (
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_corpus_non_default_id_col_with_scores(spark, docs, tmp_path):
+    """dedup_corpus must work with any id column name, scores attached
+    and checkpoint_dir routed to dedup_clusters — same survivors as
+    the default-named run (ADVICE r5: the renamed-id path used to
+    raise AnalysisException inside cluster_keepers)."""
+    scores = text.quality_score(docs).select("doc_id", "quality_score")
+    want = {
+        r.doc_id
+        for r in dedup.dedup_corpus(
+            docs, method="minhash", scores=scores
+        ).collect()
+    }
+    renamed = docs.withColumnRenamed("doc_id", "dkey").withColumnRenamed(
+        "text", "body"
+    )
+    rscores = scores.withColumnRenamed("doc_id", "dkey").withColumnRenamed(
+        "quality_score", "q"
+    )
+    got = {
+        r.dkey
+        for r in dedup.dedup_corpus(
+            renamed,
+            text_col="body",
+            id_col="dkey",
+            method="minhash",
+            scores=rscores,
+            score_col="q",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_unigram_logprob_scores_zero_token_docs(spark):
+    """Empty/whitespace-only documents appear in the output with
+    n_tokens=0, sum 0.0, null average — never silently dropped (they
+    would otherwise vanish from per-document joins downstream)."""
+    from hadoop__spark.operators.text import unigram_logprob
+
+    rows = [(1, "the cat sat"), (2, ""), (3, "   "), (4, "the dog")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for d in (2, 3):
+        assert got[d].n_tokens == 0
+        assert got[d].sum_logprob == 0.0
+        assert got[d].avg_logprob is None
+    assert got[1].n_tokens == 3 and got[1].avg_logprob < 0
