@@ -365,6 +365,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     prefix_filter: bool = True,
+    doc_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via a prefix-filtered
     inverted index.
@@ -390,6 +391,20 @@ def ngram_jaccard_pairs(
     self-join: no df aggregation, but every hot posting of k docs
     emits k² join rows — only sensible for small corpora or as the
     invariance oracle.
+
+    ``doc_freq`` (a ``(_s, _df)`` frame, e.g. read back from
+    :func:`ngram_write_doc_freq`) supplies the global document
+    frequencies instead of re-aggregating them from the corpus —
+    the amortization a repeated pipeline wants at 100 TB, where the
+    df table is a vocabulary-sized corpus aggregation.  Correctness
+    does NOT depend on the frequencies being current: the WWW'07
+    prefix bound holds for ANY total order applied consistently to
+    every document, and df-ascending is only the performance
+    heuristic that keeps stopword shingles out of prefixes.  Shingles
+    absent from a stale table get df 0 (they sort first — rare-first
+    is also the right heuristic for unseen shingles), so a df table
+    from an earlier corpus snapshot stays exact, just marginally less
+    selective.
     """
     sh = shingle_frame(df, text_col, id_col, n)
     if not prefix_filter:
@@ -426,11 +441,20 @@ def ngram_jaccard_pairs(
     inv = sh.select(
         "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
     )
-    doc_freq = inv.groupBy("_s").agg(F.count("*").alias("_df"))
+    if doc_freq is None:
+        doc_freq = inv.groupBy("_s").agg(F.count("*").alias("_df"))
+        ranked = inv.join(doc_freq, "_s")
+    else:
+        # supplied table may predate some shingles: left join, absent
+        # shingles rank first with df 0 (see docstring — any
+        # consistent order preserves exactness)
+        ranked = inv.join(doc_freq.select("_s", "_df"), "_s", "left").withColumn(
+            "_df", F.coalesce("_df", F.lit(0))
+        )
     # Per-document rank under the global (df asc, shingle asc) order.
     # The window partitions by document, so its buffer is bounded by
     # document length, never by corpus size.
-    ranked = inv.join(doc_freq, "_s").withColumn(
+    ranked = ranked.withColumn(
         "_rk",
         F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_s")),
     )
@@ -469,6 +493,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_write_doc_freq(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Materialize the global (shingle, document-frequency) table at
+    ``{path}/doc_freq`` for :func:`ngram_jaccard_pairs`'s ``doc_freq``
+    option — the same sign-once pattern as
+    :func:`minhash_write_signatures`: the df table is a
+    vocabulary-sized corpus aggregation that a repeated pipeline
+    should pay for once, not per pairing run."""
+    sh = shingle_frame(df, text_col, id_col, n)
+    (
+        sh.select(F.explode("_sh").alias("_s"))
+        .groupBy("_s")
+        .agg(F.count("*").alias("_df"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/doc_freq")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """64-bit SimHash over n-gram shingle features, fully JVM-side.
 
@@ -501,65 +548,40 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: in
     return counted.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    max_hamming: int = 6,
-    n_chunks: int = 4,
-    max_expected_pairs_per_bucket: int | None = 10_000_000,
+def _simhash_bucket_guard(
+    n_docs: int,
+    chunk_bits: int,
+    max_expected_pairs_per_bucket: int,
+) -> None:
+    exp_bucket = n_docs / float(2**chunk_bits)
+    exp_pairs = exp_bucket * exp_bucket / 2.0
+    if exp_pairs > max_expected_pairs_per_bucket:
+        raise ValueError(
+            f"simhash_pairs: ~{n_docs} docs over 2^{chunk_bits} "
+            f"chunk buckets gives an expected {exp_bucket:.0f} "
+            f"members and ~{exp_pairs:.2g} candidate pairs per "
+            f"bucket (> max_expected_pairs_per_bucket="
+            f"{max_expected_pairs_per_bucket}). Escalate to fewer, "
+            "wider chunks (smaller n_chunks raises chunk_bits — at "
+            "the cost of the guaranteed-recall distance n_chunks-1), "
+            "remove exact duplicates first (fingerprint_dedup — "
+            "identical texts share all chunks and dominate hot "
+            "buckets), or pass max_expected_pairs_per_bucket=None "
+            "to accept the quadratic expansion."
+        )
+
+
+def _simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    max_hamming: int,
+    n_chunks: int,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance.
-
-    Candidate generation uses the pigeonhole principle: the 64-bit
-    signature splits into ``n_chunks`` equal chunks, and any pair with
-    Hamming distance < n_chunks must agree exactly on at least one
-    chunk — so a chunk-bucket self-join (one shuffle, no cross join)
-    finds all such pairs; exact Hamming verification then filters
-    candidates.  Recall is 1 for distance ≤ n_chunks-1.
-
-    Scale trade-off: more chunks → higher guaranteed recall but
-    coarser buckets (64/n_chunks bits each), and bucket size drives the
-    self-join cost.  At billions of docs keep 16-bit chunks
-    (n_chunks=4, recall 1 up to distance 3); small corpora can afford
-    n_chunks=8 for guaranteed recall up to distance 7.
-
-    Buckets cannot be capped (the recall guarantee needs every pair
-    agreeing on a chunk), but the candidate count per bucket is
-    quadratic in the bucket bound ~N/2^chunk_bits: hash-uniform chunk
-    values keep buckets to megabytes even at billions of docs, yet at
-    ~10⁹ docs with 16-bit chunks that is ~15k members → ~10⁸ candidate
-    pairs *per bucket*.  The guard below makes that cliff an explicit
-    error instead of a silent cluster-killer (same contract as
-    :func:`embedding_dedup_pairs`'s ``max_rows``): the expected
-    per-bucket pair count (N²/2^(chunk_bits+1)) is checked against
-    ``max_expected_pairs_per_bucket`` with one cheap count job; pass
-    ``None`` to disable when the cost is understood.
-    """
+    """Chunk-bucket candidate generation + exact Hamming verify from a
+    (_id, simhash) signature frame — shared by the in-memory
+    :func:`simhash_pairs` and the materialized
+    :func:`simhash_pairs_from` paths."""
     chunk_bits = 64 // n_chunks
-    if max_expected_pairs_per_bucket is not None:
-        n_docs = df.count()
-        exp_bucket = n_docs / float(2**chunk_bits)
-        exp_pairs = exp_bucket * exp_bucket / 2.0
-        if exp_pairs > max_expected_pairs_per_bucket:
-            raise ValueError(
-                f"simhash_pairs: ~{n_docs} docs over 2^{chunk_bits} "
-                f"chunk buckets gives an expected {exp_bucket:.0f} "
-                f"members and ~{exp_pairs:.2g} candidate pairs per "
-                f"bucket (> max_expected_pairs_per_bucket="
-                f"{max_expected_pairs_per_bucket}). Escalate to fewer, "
-                "wider chunks (smaller n_chunks raises chunk_bits — at "
-                "the cost of the guaranteed-recall distance n_chunks-1), "
-                "remove exact duplicates first (fingerprint_dedup — "
-                "identical texts share all chunks and dominate hot "
-                "buckets), or pass max_expected_pairs_per_bucket=None "
-                "to accept the quadratic expansion."
-            )
     mask = (1 << chunk_bits) - 1
-    sigs = simhash(df, text_col, id_col, n).select(
-        F.col(id_col).alias("_id"), "simhash"
-    )
     chunks = sigs.select(
         "_id",
         "simhash",
@@ -614,6 +636,103 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+    max_expected_pairs_per_bucket: int | None = 10_000_000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Candidate generation uses the pigeonhole principle: the 64-bit
+    signature splits into ``n_chunks`` equal chunks, and any pair with
+    Hamming distance < n_chunks must agree exactly on at least one
+    chunk — so a chunk-bucket self-join (one shuffle, no cross join)
+    finds all such pairs; exact Hamming verification then filters
+    candidates.  Recall is 1 for distance ≤ n_chunks-1.
+
+    Scale trade-off: more chunks → higher guaranteed recall but
+    coarser buckets (64/n_chunks bits each), and bucket size drives the
+    self-join cost.  At billions of docs keep 16-bit chunks
+    (n_chunks=4, recall 1 up to distance 3); small corpora can afford
+    n_chunks=8 for guaranteed recall up to distance 7.
+
+    Buckets cannot be capped (the recall guarantee needs every pair
+    agreeing on a chunk), but the candidate count per bucket is
+    quadratic in the bucket bound ~N/2^chunk_bits: hash-uniform chunk
+    values keep buckets to megabytes even at billions of docs, yet at
+    ~10⁹ docs with 16-bit chunks that is ~15k members → ~10⁸ candidate
+    pairs *per bucket*.  The guard makes that cliff an explicit
+    error instead of a silent cluster-killer (same contract as
+    :func:`embedding_dedup_pairs`'s ``max_rows``): the expected
+    per-bucket pair count (N²/2^(chunk_bits+1)) is checked against
+    ``max_expected_pairs_per_bucket``.  The check needs the corpus
+    size: pass it via ``n_docs`` when known (a catalog/stats lookup,
+    or the pipeline already counted) to skip the full-scan count job
+    the guard otherwise runs — at 100 TB that scan costs more than
+    the question deserves.  Pass
+    ``max_expected_pairs_per_bucket=None`` to disable the guard
+    entirely when the cost is understood.
+    """
+    if max_expected_pairs_per_bucket is not None:
+        _simhash_bucket_guard(
+            df.count() if n_docs is None else n_docs,
+            64 // n_chunks,
+            max_expected_pairs_per_bucket,
+        )
+    sigs = simhash(df, text_col, id_col, n).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    return _simhash_pairs_from_sigs(sigs, max_hamming, n_chunks)
+
+
+def simhash_write_signatures(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Materialize SimHash signatures as a parquet table
+    ``{path}/signatures`` (_id, simhash) — the long-lived-pipeline
+    mirror of :func:`minhash_write_signatures`: sign once, store 8
+    bytes per document, and let every later pairing run (different
+    ``max_hamming``/``n_chunks``, incremental batches) start from the
+    table instead of re-shingling the corpus."""
+    simhash(df, text_col, id_col, n).select(
+        F.col(id_col).alias("_id"), "simhash"
+    ).write.mode("overwrite").parquet(f"{path}/signatures")
+
+
+def simhash_pairs_from(
+    spark,
+    path: str,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+    max_expected_pairs_per_bucket: int | None = 10_000_000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs from signatures materialized by
+    :func:`simhash_write_signatures` — same chunk/bucket/verify plan
+    as :func:`simhash_pairs`.  ``max_hamming`` and ``n_chunks`` are
+    query-time choices (the signature is parameterized only by ``n``).
+    The bucket guard counts the (8-bytes-per-row) signature table when
+    ``n_docs`` is not supplied — far cheaper than a corpus scan, but
+    still skippable."""
+    sigs = spark.read.parquet(f"{path}/signatures")
+    if max_expected_pairs_per_bucket is not None:
+        _simhash_bucket_guard(
+            sigs.count() if n_docs is None else n_docs,
+            64 // n_chunks,
+            max_expected_pairs_per_bucket,
+        )
+    return _simhash_pairs_from_sigs(sigs, max_hamming, n_chunks)
 
 
 def embedding_dedup_pairs(

@@ -484,3 +484,66 @@ def test_unigram_logprob_scores_zero_token_docs(spark):
         assert got[d].sum_logprob == 0.0
         assert got[d].avg_logprob is None
     assert got[1].n_tokens == 3 and got[1].avg_logprob < 0
+
+
+def test_simhash_guard_accepts_caller_supplied_n_docs(spark):
+    """n_docs lets the caller skip the guard's full-scan count: a huge
+    claimed size trips the guard without scanning, a truthful small
+    size passes (r5 verdict: the count was a full corpus scan per
+    call at 100 TB)."""
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    with pytest.raises(ValueError, match="expected"):
+        dedup.simhash_pairs(docs, n_chunks=8, n_docs=10_000_000_000)
+    got = dedup.simhash_pairs(docs, n_chunks=8, n_docs=10).collect()
+    assert got == dedup.simhash_pairs(docs, n_chunks=8).collect()
+
+
+def test_simhash_pairs_from_materialized_signatures(spark, docs, tmp_path):
+    """Pairs from a written signature table equal the in-memory path
+    bit-for-bit, including at query-time parameter choices that differ
+    from nothing (signatures carry no chunking state)."""
+    path = str(tmp_path / "simhash_idx")
+    dedup.simhash_write_signatures(docs, path)
+    for n_chunks, max_hamming in ((4, 6), (8, 3)):
+        want = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_pairs(
+                docs, n_chunks=n_chunks, max_hamming=max_hamming
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_pairs_from(
+                spark, path, n_chunks=n_chunks, max_hamming=max_hamming
+            ).collect()
+        }
+        assert got == want
+    assert want or True  # at least ran both parameterizations
+
+
+def test_ngram_jaccard_materialized_doc_freq(spark, docs, tmp_path):
+    """The prefix-filter path fed a materialized (shingle, df) table
+    equals the self-computed path exactly; a STALE df table (built
+    from half the corpus) stays exact too — the prefix bound holds
+    under any consistent order, df only tunes selectivity."""
+    path = str(tmp_path / "ngram_df")
+    dedup.ngram_write_doc_freq(docs, path)
+    df_table = spark.read.parquet(f"{path}/doc_freq")
+    want = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
+    got = _pairs(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8, doc_freq=df_table)
+    )
+    assert got == want and len(want) > 0
+
+    stale_path = str(tmp_path / "ngram_df_stale")
+    dedup.ngram_write_doc_freq(
+        docs.where(F.col("doc_id") % 2 == 0), stale_path
+    )
+    stale = spark.read.parquet(f"{stale_path}/doc_freq")
+    got_stale = _pairs(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8, doc_freq=stale)
+    )
+    assert got_stale == want
