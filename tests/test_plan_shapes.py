@@ -181,3 +181,71 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     j = fact.join(dim, fact.o_orderstatus == dim.status)
     optimized = j._jdf.queryExecution().optimizedPlan().toString()
     assert "dynamicpruning" in optimized, optimized
+
+
+def test_minhash_from_table_prunes_signature_columns(spark, tmp_path):
+    """The materialized-signatures path must column-prune: the banding
+    branch scans ONLY the mh_* columns of the signatures table (the
+    whole point of storing them columnar), the verify branch only
+    (_id, _sh) — and the pairing plan stays bucket-local (no
+    cartesian, no nested-loop)."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    path = str(tmp_path / "mh_idx")
+    dedup.minhash_write_signatures(docs, path, num_perm=16)
+    plan = _plan(dedup.minhash_lsh_pairs_from(spark, path, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # identify each scan by its output attribute list (Location paths
+    # truncate at spark.sql.maxMetadataStringLength)
+    sig_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "mh_0#" in l
+    ]
+    assert sig_scans, "no signatures scan in plan"
+    for line in sig_scans:
+        assert "_sh#" not in line, line  # shingles never read via signatures
+    sh_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "_sh#" in l
+    ]
+    assert sh_scans and all("mh_0#" not in l for l in sh_scans)
+
+
+def test_simhash_from_table_plan_bucket_local(spark, tmp_path):
+    """Pairs from the materialized simhash table: the input is the
+    8-bytes-per-doc signature scan, candidates come from the chunk
+    bucket groupBy — never a cartesian/nested-loop self-join."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    path = str(tmp_path / "sh_idx")
+    dedup.simhash_write_signatures(docs, path)
+    plan = _plan(
+        dedup.simhash_pairs_from(spark, path, n_docs=docs.count())
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans and all("simhash" in l for l in scans), scans
+
+
+def test_ngram_doc_freq_table_replaces_aggregation(spark, tmp_path):
+    """With a supplied doc_freq table the prefix-filter path must scan
+    the (vocabulary-sized) table instead of re-aggregating document
+    frequencies from the corpus: the df-side scan reads only
+    (_s, _df), and exactly one corpus-side frequency aggregation
+    disappears from the plan."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    path = str(tmp_path / "ng_df")
+    dedup.ngram_write_doc_freq(docs, path)
+    table = spark.read.parquet(f"{path}/doc_freq")
+    with_table = _plan(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8, doc_freq=table)
+    )
+    self_computed = _plan(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
+    df_scans = [
+        l for l in with_table.splitlines()
+        if "FileScan" in l and "_df#" in l
+    ]
+    assert df_scans, "doc_freq table not scanned"
+    assert all("text" not in l for l in df_scans)
+    # the supplied table removes one count-aggregation pair over _s
+    assert with_table.count("partial_count") < self_computed.count(
+        "partial_count"
+    )
