@@ -405,6 +405,7 @@ def prepare_corpus(
     score_col: str = "quality_score",
     splits: dict[str, float] | None = None,
     split_salt: str = "split-v1",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """The standard prep chain as one declarative plan:
     decontaminate (optional) → global line dedup (optional) →
@@ -428,27 +429,45 @@ def prepare_corpus(
     the composition inherits their oracles; pp01/pp02 probe the same
     chain piecewise under the DuckDB gate.
 
-    Scale note: the chain is lazy — at 100 TB materialize stage
-    boundaries as tables (decontaminated → deduped) instead of letting
-    each consumer re-derive them (see the pp01 probe docstring).
+    Scale note: the chain is lazy by default — every downstream
+    consumer re-derives its upstream stages (fine when the plan runs
+    once; see the pp01 probe docstring for the measured scan count).
+    At 100 TB pass ``materialize_dir``: each stage boundary
+    (decontaminated → line-deduped → filtered → deduped) is then
+    written as a parquet table under it and re-read, so multi-consumer
+    stages (the text feeds redaction AND stats AND dedup) scan the
+    materialized table instead of recomputing the chain — and a
+    failed run resumes from the last boundary by pointing the next
+    stage at the surviving table.  Output is identical either way
+    (tested).
     """
     from hadoop__spark.operators.dedup import (
         dedup_corpus,
         line_dedup as _line_dedup,
     )
 
+    def _stage(frame: DataFrame, name: str) -> DataFrame:
+        if materialize_dir is None:
+            return frame
+        p = f"{materialize_dir}/{name}"
+        frame.write.mode("overwrite").parquet(p)
+        return frame.sparkSession.read.parquet(p)
+
     out = df
     if benchmark is not None:
-        out = decontaminate(out, benchmark, text_col, id_col)
+        out = _stage(
+            decontaminate(out, benchmark, text_col, id_col), "decontaminated"
+        )
     if line_dedup:
         ld = _line_dedup(out, text_col, id_col).select(
             F.col(id_col).alias("_ld_id"), "text_deduped"
         )
-        out = (
+        out = _stage(
             out.drop(text_col)
             .join(ld, F.col(id_col) == F.col("_ld_id"))
             .withColumnRenamed("text_deduped", text_col)
-            .drop("_ld_id")
+            .drop("_ld_id"),
+            "line_deduped",
         )
     if redact:
         out = redact_pii(out, text_col)
@@ -461,13 +480,18 @@ def prepare_corpus(
         "dup_line_frac",
     )
     out = out.join(stats, F.col(id_col) == F.col("_rid")).drop("_rid")
-    out = out.where(F.col("dup_token_frac") <= max_dup_token_frac)
-    out = dedup_corpus(
-        out,
-        text_col,
-        id_col,
-        method=dedup_method,
-        scores=scores,
-        score_col=score_col,
+    out = _stage(
+        out.where(F.col("dup_token_frac") <= max_dup_token_frac), "filtered"
+    )
+    out = _stage(
+        dedup_corpus(
+            out,
+            text_col,
+            id_col,
+            method=dedup_method,
+            scores=scores,
+            score_col=score_col,
+        ),
+        "deduped",
     )
     return deterministic_split(out, id_col, splits, salt=split_salt)

@@ -214,22 +214,11 @@ def minhash_lsh_pairs(
     )
 
 
-def _lsh_pairs_from_frames(
-    mh: DataFrame,
-    sh_sets: DataFrame,
-    num_perm: int,
-    bands: int,
-    threshold: float,
-    max_bucket: int,
-) -> DataFrame:
-    """Banding + bucket candidate generation + exact-Jaccard verify,
-    from an (_id, mh_0..mh_{num_perm-1}) signature frame and an
-    (_id, _sh) shingle frame.  Shared by the in-memory
-    :func:`minhash_lsh_pairs` and the materialized
-    :func:`minhash_lsh_pairs_from` paths — identical plan, different
-    provenance of the two frames."""
+def _band_buckets(mh: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(_id, band_idx, band_hash) LSH bucket memberships from an
+    (_id, mh_0..mh_{num_perm-1}) signature frame: band hash =
+    xxhash64 over the band's rows_per_band signature slots."""
     rows_per_band = num_perm // bands
-    # band hash = xxhash64 over the band's rows_per_band signature slots
     banded = mh.select(
         "_id",
         F.array(
@@ -245,9 +234,26 @@ def _lsh_pairs_from_frames(
             ]
         ).alias("_bands"),
     )
-    buckets = banded.select(
+    return banded.select(
         "_id", F.posexplode("_bands").alias("band_idx", "band_hash")
     )
+
+
+def _lsh_pairs_from_frames(
+    mh: DataFrame,
+    sh_sets: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Banding + bucket candidate generation + exact-Jaccard verify,
+    from an (_id, mh_0..mh_{num_perm-1}) signature frame and an
+    (_id, _sh) shingle frame.  Shared by the in-memory
+    :func:`minhash_lsh_pairs` and the materialized
+    :func:`minhash_lsh_pairs_from` paths — identical plan, different
+    provenance of the two frames."""
+    buckets = _band_buckets(mh, num_perm, bands)
     # Candidate pairs by grouping each LSH bucket and emitting its
     # i<j combinations with higher-order array functions: ONE shuffle
     # of the bucket table (vs a self-join shuffling it twice), same
@@ -355,6 +361,141 @@ def minhash_lsh_pairs_from(
         )
     return _lsh_pairs_from_frames(
         mh, sh_sets, num_perm, bands, threshold, max_bucket
+    )
+
+
+def minhash_lsh_pairs_between(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN a new document batch and an
+    indexed corpus — the incremental-crawl question ("which of these
+    new documents duplicate something we already have?") answered
+    without re-pairing the whole corpus.
+
+    ``path`` is a :func:`minhash_write_signatures` index; ``df`` is
+    the new batch, shingled at the same ``n`` the index was written
+    with (the stored shingles bake ``n`` in — mixing orders produces
+    meaningless Jaccard).  Returns ``(id_new, id_old, jaccard)`` with
+    exact-verified Jaccard ≥ ``threshold``.  Within-batch duplicates
+    are deliberately out of scope — run :func:`minhash_lsh_pairs` on
+    the batch for those; the composition covers A∪B completely when
+    the corpus was already self-deduped.
+
+    Scale shape: the batch (small by definition) is shingled and
+    signed in memory; candidate generation is a bucket equi-join of
+    the batch's band table against the stored band table — cost is
+    proportional to the batch's bucket memberships, never to corpus
+    pairs.  Hot buckets are capped at ``max_bucket`` members per side
+    (same degenerate-band mitigation as the self-join path).  The
+    index's signature scan is column-pruned to mh_*; the verify join
+    reads stored shingles only for candidate ids.
+    """
+    from pyspark.sql import Window
+
+    sh_old = spark.read.parquet(f"{path}/shingles")
+    mh_old = spark.read.parquet(f"{path}/signatures")
+    num_perm = sum(c.startswith("mh_") for c in mh_old.columns)
+    if num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide the stored num_perm={num_perm}"
+        )
+    # same persist-with-no-unpersist-point tradeoff as
+    # minhash_lsh_pairs (documented there): the batch shingle frame
+    # feeds both the signatures and the verify join
+    base_new = shingle_frame(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    mh_new = _minhash_signatures(base_new, num_perm)
+
+    def _cap(buckets: DataFrame) -> DataFrame:
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
+        return (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+
+    cand = (
+        _cap(_band_buckets(mh_new, num_perm, bands))
+        .withColumnRenamed("_id", "id_new")
+        .join(
+            _cap(_band_buckets(mh_old, num_perm, bands)).withColumnRenamed(
+                "_id", "id_old"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    return (
+        cand.join(
+            base_new.select(
+                F.col("_id").alias("id_new"), F.col("_sh").alias("sh_a")
+            ),
+            "id_new",
+        )
+        .join(
+            sh_old.select(
+                F.col("_id").alias("id_old"), F.col("_sh").alias("sh_b")
+            ),
+            "id_old",
+        )
+        .select(
+            "id_new",
+            "id_old",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def fingerprint_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus exact-dedup state as a parquet table
+    ``{path}/fingerprints`` (fp, keep_id, n_copies) — the md5 of each
+    distinct normalized text with its keeper id.  16 bytes + id per
+    DISTINCT document: the membership table an incremental pipeline
+    probes new batches against (:func:`fingerprint_filter_new`)."""
+    fingerprint_dedup(df, text_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/fingerprints")
+
+
+def fingerprint_filter_new(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``df`` whose normalized-text fingerprint does NOT
+    already exist in the :func:`fingerprint_write` table — the exact
+    half of incremental dedup.  One anti-join keyed on the 16-byte
+    digest; the stored table never rewrites (append the surviving
+    batch's fingerprints to a NEW snapshot — Spark cannot safely
+    overwrite a table it is reading).  Within-batch exact duplicates
+    survive intact; run ``dedup_corpus(method="fingerprint")`` on the
+    result for those (composition tested)."""
+    fps = spark.read.parquet(f"{path}/fingerprints").select("fp")
+    return (
+        df.withColumn("_fp", F.md5(normalized(F.col(text_col))))
+        .join(fps.withColumnRenamed("fp", "_fp"), "_fp", "left_anti")
+        .drop("_fp")
     )
 
 

@@ -553,3 +553,29 @@ def test_prepare_corpus_non_default_id_col(spark):
     )
     got = corpus.prepare_corpus(renamed, text_col="body", id_col="dkey")
     assert {r.dkey for r in got.collect()} == want and len(want) > 0
+
+
+def test_prepare_corpus_materialized_equals_lazy(spark, tmp_path):
+    """materialize_dir writes each stage boundary as a parquet table
+    and re-reads it — identical output to the fully lazy chain, with
+    the boundary tables actually on disk (the 100 TB resume points)."""
+    import os
+
+    docs = _docs(spark)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    want = {
+        (r.doc_id, r.text, r.split)
+        for r in corpus.prepare_corpus(
+            docs, benchmark=bench, line_dedup=True
+        ).collect()
+    }
+    mdir = str(tmp_path / "stages")
+    got = {
+        (r.doc_id, r.text, r.split)
+        for r in corpus.prepare_corpus(
+            docs, benchmark=bench, line_dedup=True, materialize_dir=mdir
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    for stage in ("decontaminated", "line_deduped", "filtered", "deduped"):
+        assert os.path.isdir(os.path.join(mdir, stage)), stage

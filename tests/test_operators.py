@@ -547,3 +547,79 @@ def test_ngram_jaccard_materialized_doc_freq(spark, docs, tmp_path):
         dedup.ngram_jaccard_pairs(docs, threshold=0.8, doc_freq=stale)
     )
     assert got_stale == want
+
+
+def test_minhash_pairs_between_matches_full_run(spark, docs, tmp_path):
+    """Incremental near-dup detection: pairing a new batch against a
+    persisted index must equal the cross-corpus slice of a full
+    self-pairing over corpus ∪ batch (same bands, same exact-verify),
+    and novel content must produce no pairs."""
+    path = str(tmp_path / "inc_idx")
+    dedup.minhash_write_signatures(docs, path)
+    OFFSET = 1_000_000
+    mutated = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" freshly appended tail")).alias(
+            "text"
+        ),
+    )
+    novel = spark.createDataFrame(
+        [
+            (OFFSET * 2, "entirely novel content about quasar jets"),
+            (OFFSET * 2 + 1, "another brand new unrelated document body"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = mutated.unionByName(novel)
+    got = {
+        (r.id_new, r.id_old, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_between(
+            spark, path, batch
+        ).collect()
+    }
+    full = dedup.minhash_lsh_pairs(
+        docs.select("doc_id", "text").unionByName(batch), threshold=0.8
+    )
+    want = {
+        (r.id_b, r.id_a, r.jaccard)
+        for r in full.collect()
+        if r.id_a < OFFSET <= r.id_b
+    }
+    assert got == want and len(want) > 0
+    assert not {p for p in got if p[0] >= OFFSET * 2}, "novel docs paired"
+
+
+def test_fingerprint_incremental_filter(spark, docs, tmp_path):
+    """Exact incremental dedup: batch rows whose fingerprint already
+    exists in the stored table are dropped; novel rows survive
+    (including within-batch duplicates, which the documented
+    dedup_corpus composition then collapses)."""
+    path = str(tmp_path / "fp_idx")
+    dedup.fingerprint_write(docs, path)
+    OFFSET = 1_000_000
+    copies = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [
+            (OFFSET * 2, "a new never seen document"),
+            (OFFSET * 2 + 1, "a new never seen document"),
+            (OFFSET * 2 + 2, "some other new material"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    n_copies = copies.count()
+    assert n_copies > 0
+    batch = copies.unionByName(novel)
+    surv = dedup.fingerprint_filter_new(spark, path, batch)
+    assert {r.doc_id for r in surv.collect()} == {
+        OFFSET * 2,
+        OFFSET * 2 + 1,
+        OFFSET * 2 + 2,
+    }
+    # composition: within-batch exact dup collapses to the min id
+    final = dedup.dedup_corpus(surv, method="fingerprint")
+    assert {r.doc_id for r in final.collect()} == {
+        OFFSET * 2,
+        OFFSET * 2 + 2,
+    }
