@@ -262,6 +262,41 @@ def ivf_write_index(
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append new vectors to a persisted IVF index: assign them to the
+    EXISTING centroid table (zero-shuffle projection) and append into
+    the ``centroid_id``-partitioned layout — new parquet files land
+    inside the existing bucket directories, so :func:`ivf_read_topk`'s
+    partition pruning covers old and new vectors alike with no index
+    rebuild.
+
+    This is the incremental half of the index lifecycle (mirrors
+    ``dedup.minhash_lsh_pairs_between`` on the text plane): ingest
+    batches append in O(batch), queries stay O(probed buckets).
+    Standard IVF caveat applies — centroids are frozen at fit time, so
+    as the appended corpus drifts from the fitted distribution, bucket
+    balance degrades (recall does not break: queries still probe their
+    nearest centroids and every vector lives in its nearest bucket of
+    the SAME centroid set).  Re-fit and rewrite when bucket-size skew
+    shows up in scan metrics — the rewrite is one
+    :func:`ivf_write_index` call.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assigned")
+    )
+
+
 def ivf_read_topk(
     spark,
     path: str,

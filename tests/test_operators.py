@@ -623,3 +623,52 @@ def test_fingerprint_incremental_filter(spark, docs, tmp_path):
         OFFSET * 2,
         OFFSET * 2 + 2,
     }
+
+
+def test_ivf_append_index_equals_single_write(spark, embs, tmp_path):
+    """Write half the corpus, append the other half: the assigned
+    table holds exactly the full assignment under the ORIGINAL
+    centroids, and queries against the appended index equal queries
+    against an index written in one pass with those same centroids."""
+    import pyspark.sql.functions as F
+
+    half1 = embs.where(F.col("vec_id") % 2 == 0)
+    half2 = embs.where(F.col("vec_id") % 2 == 1)
+    inc_path = str(tmp_path / "ivf_inc")
+    similarity.ivf_write_index(half1, inc_path, nlist=8)
+    similarity.ivf_append_index(spark, inc_path, half2)
+
+    cents = spark.read.parquet(f"{inc_path}/centroids")
+    want_assign = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.ivf_assign(embs, cents).collect()
+    }
+    got_assign = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.read.parquet(f"{inc_path}/assigned").collect()
+    }
+    assert got_assign == want_assign and len(got_assign) == embs.count()
+
+    # one-pass reference index with the SAME centroid table
+    ref_path = str(tmp_path / "ivf_ref")
+    (
+        similarity.ivf_assign(embs, cents)
+        .repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .parquet(f"{ref_path}/assigned")
+    )
+    cents.coalesce(1).write.parquet(f"{ref_path}/centroids")
+    queries = embs.where(F.col("vec_id") < 5)
+    got = {
+        tuple(r)
+        for r in similarity.ivf_read_topk(
+            spark, inc_path, queries, k=5
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.ivf_read_topk(
+            spark, ref_path, queries, k=5
+        ).collect()
+    }
+    assert got == want and len(want) > 0
