@@ -490,7 +490,14 @@ def fingerprint_filter_new(
     batch's fingerprints to a NEW snapshot — Spark cannot safely
     overwrite a table it is reading).  Within-batch exact duplicates
     survive intact; run ``dedup_corpus(method="fingerprint")`` on the
-    result for those (composition tested)."""
+    result for those (composition tested).
+
+    ``df`` may be a STREAM: the md5 projection is stateless and a
+    stream-static left-anti join is natively supported, so the same
+    call drops already-known documents from a live ingest feed in
+    append mode with zero state (tested in
+    tests/test_sources_streaming.py) — the static table is re-read
+    per micro-batch, picking up snapshot updates between batches."""
     fps = spark.read.parquet(f"{path}/fingerprints").select("fp")
     return (
         df.withColumn("_fp", F.md5(normalized(F.col(text_col))))

@@ -722,3 +722,50 @@ def test_compact_parquet_right_sizes_and_clusters(spark, tmp_path):
         assert a_max <= b_min, "sorted compaction produced overlapping files"
     with pytest.raises(ValueError, match="dest != src"):
         sources.compact_parquet(spark, src, src)
+
+
+def test_fingerprint_filter_new_on_a_stream(spark, tmp_path):
+    """Incremental exact dedup runs unchanged on a live ingest stream:
+    the md5 projection is stateless and the stream-static anti-join
+    against the persisted fingerprint table needs no watermark or
+    state — streamed survivors equal the batch call row-for-row."""
+    import shutil
+
+    from hadoop__spark.operators import dedup
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    corpus_half = docs.where(F.col("doc_id") % 2 == 0)
+    fp_path = str(tmp_path / "fp_idx")
+    dedup.fingerprint_write(corpus_half, fp_path)
+
+    batch_want = {
+        (r.doc_id, r.text)
+        for r in dedup.fingerprint_filter_new(
+            spark, fp_path, docs
+        ).collect()
+    }
+    # known docs (the indexed half) must be dropped, fresh ones kept
+    assert batch_want and all(d % 2 == 1 for d, _ in batch_want)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    shutil.copy(
+        os.path.join(SF_DIR, "documents.parquet"), feed / "part-0.parquet"
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).schema
+        )
+        .parquet(str(feed))
+        .select("doc_id", "text")
+    )
+    streaming.run_stream_to_memory(
+        dedup.fingerprint_filter_new(spark, fp_path, stream),
+        "fp_filter_stream",
+        output_mode="append",
+    )
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.table("fp_filter_stream").collect()
+    }
+    assert got == batch_want
