@@ -294,6 +294,43 @@ def pack_sequences(
     )
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy token-budget selection — the curation step that turns
+    "we can afford N tokens" into a document set: rank the corpus
+    (best ``score_col`` first when given, ties and the unscored case
+    by ascending ``id_col``) and keep the prefix whose running token
+    count stays within ``budget``.
+
+    Adds ``out_col`` (the document's inclusive running total, exact
+    BIGINT math) to the surviving rows.  Highest-score-first is the
+    standard quality-weighted curation order (the same greedy shape as
+    the pp01 probe's id-ordered budget); determinism comes from the
+    total order, not from row layout.
+
+    Scale shape: one range shuffle (the distributed prefix-sum,
+    honoring the composite ``(score desc, id)`` order) + a stateless
+    filter — no global window, no driver-side sort.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    order = (
+        [F.col(score_col).desc_nulls_last(), F.col(id_col)]
+        if score_col
+        else [F.col(id_col)]
+    )
+    cum = global_running_sum(df, order, count_col, out_col=out_col)
+    return cum.withColumn(out_col, F.col(out_col).cast("bigint")).where(
+        F.col(out_col) <= budget
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

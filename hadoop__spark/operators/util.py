@@ -25,7 +25,7 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
 
 def global_running_sum(
     df: DataFrame,
-    order_col: str,
+    order_col,
     value_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
@@ -46,18 +46,28 @@ def global_running_sum(
 
     The only single-partition step operates on one row per partition,
     bounded regardless of data volume.
+
+    ``order_col`` is a column name or a LIST of names/sort expressions
+    (e.g. ``[F.col("score").desc(), "doc_id"]``) — range partitioning
+    and the local windows honor the same composite order, so
+    descending / multi-key prefix sums (quality-ordered token budgets)
+    use the identical distributed shape.
     """
     from pyspark.sql import Window, functions as F
 
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c
+        for c in (order_col if isinstance(order_col, list) else [order_col])
+    ]
+    ranged = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
     w_local = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("_local_cum", F.sum(value_col).over(w_local))

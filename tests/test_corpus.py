@@ -579,3 +579,54 @@ def test_prepare_corpus_materialized_equals_lazy(spark, tmp_path):
     assert got == want and len(want) > 0
     for stage in ("decontaminated", "line_deduped", "filtered", "deduped"):
         assert os.path.isdir(os.path.join(mdir, stage)), stage
+
+
+def test_select_token_budget_quality_ordered(spark):
+    """Budget selection == the Python reference greedy (sort by score
+    desc then id, exact integer prefix sums), is layout-invariant, and
+    plans through the range-partitioned prefix-sum (no global
+    window)."""
+    from hadoop__spark.operators import text as text_ops
+
+    docs = _docs(spark)
+    scored = text_ops.quality_score(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    BUDGET = 30_000
+    sel = corpus.select_token_budget(
+        scored, BUDGET, score_col="quality_score"
+    )
+    got = {(r.doc_id, r.cum_tokens) for r in sel.collect()}
+
+    rows = sorted(
+        scored.collect(), key=lambda r: (-r.quality_score, r.doc_id)
+    )
+    want, run = set(), 0
+    for r in rows:
+        run += r.n_tokens
+        if run > BUDGET:
+            break
+        want.add((r.doc_id, run))
+    assert got == want and len(want) > 0
+    # layout invariance
+    got2 = {
+        (r.doc_id, r.cum_tokens)
+        for r in corpus.select_token_budget(
+            scored.repartition(7), BUDGET, score_col="quality_score"
+        ).collect()
+    }
+    assert got2 == got
+    # unscored mode falls back to id order (the pp01 shape)
+    by_id = corpus.select_token_budget(scored, BUDGET)
+    run, want_id = 0, set()
+    for r in sorted(scored.collect(), key=lambda r: r.doc_id):
+        run += r.n_tokens
+        if run > BUDGET:
+            break
+        want_id.add((r.doc_id, run))
+    assert {(r.doc_id, r.cum_tokens) for r in by_id.collect()} == want_id
+    # plan: distributed prefix-sum, not a single-task global window
+    plan = sel._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in plan
+    with pytest.raises(ValueError, match="budget"):
+        corpus.select_token_budget(scored, -1)
