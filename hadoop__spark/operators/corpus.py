@@ -331,6 +331,92 @@ def select_token_budget(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    rank_out: str | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col`` value — the per-domain
+    / per-source document cap that web-corpus pipelines apply against
+    SEO spam and scraper loops (one hostname contributing millions of
+    near-identical pages would otherwise dominate the mixture).
+
+    Which ``k`` survive is deterministic: best ``score_col`` first
+    (``desc_nulls_last``) when given, ties and the unscored case by
+    ascending ``id_col`` — so re-running the pipeline, or raising the
+    cap, never swaps members, it only appends (the same nesting
+    property as :func:`deterministic_sample`).  With ``rank_out`` the
+    1-based within-group rank is kept as a column.
+
+    Scale shape: expressed as a rank-filter so Catalyst's
+    InferWindowGroupLimit rewrite applies — each map task keeps only
+    its local top-``k`` per group BEFORE the exchange
+    (``WindowGroupLimit(Partial)``), so the shuffle carries at most
+    ``k × groups`` rows per task, not the corpus.  Skew-proof by
+    construction: a million-page domain ships ``k`` rows, not a
+    million.  Plan-asserted in tests/test_plan_shapes.py.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    order = (
+        [F.col(score_col).desc_nulls_last(), F.col(id_col)]
+        if score_col
+        else [F.col(id_col)]
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order)
+    rank = rank_out or "_rank"
+    out = df.withColumn(rank, F.row_number().over(w)).where(
+        F.col(rank) <= k
+    )
+    return out if rank_out else out.drop(rank)
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    keep_frac: float,
+    score_col: str = "quality_score",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep approximately the best ``keep_frac`` share of rows by
+    ``score_col`` — quantile-based quality thresholding: "keep the top
+    30% by LM score" without anyone hand-picking a cutoff that only
+    made sense on last month's crawl.
+
+    The cutoff is the ``(1 - keep_frac)`` quantile from
+    ``percentile_approx`` (t-digest-style sketch: one map-side-partial
+    aggregation pass, driver holds a sketch, never the data);
+    ``accuracy`` trades memory for quantile precision (error ≤
+    1/accuracy of the rank).  Rows with ``score >= cutoff`` survive —
+    ties at the cutoff are all kept (deterministic, slightly over
+    ``keep_frac``), and null scores never survive (null comparisons
+    are false).  The scalar joins back as a broadcast single-row
+    frame, so the plan stays fully lazy — no driver round-trip between
+    the sketch and the filter.
+
+    Prefer :func:`deterministic_sample` when the goal is an unbiased
+    subset; this operator is the BIASED one — that's the point.
+    """
+    if not 0.0 <= keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in [0, 1], got {keep_frac}")
+    # no keep_frac==1 shortcut: quantile 0.0 is the non-null minimum,
+    # so "keep everything" still uniformly excludes null scores
+    cutoff = df.agg(
+        F.percentile_approx(
+            score_col, F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("_cutoff")
+    )
+    return (
+        df.join(F.broadcast(cutoff))
+        .where(F.col(score_col) >= F.col("_cutoff"))
+        .drop("_cutoff")
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

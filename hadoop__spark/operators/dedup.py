@@ -1200,12 +1200,27 @@ def dedup_corpus(
     # scores renamed INTO the fixed schema rather than clusters out of
     # it — so a non-default id_col cannot collide or break the joins.
     clusters = dedup_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    return _cluster_survivors(df, clusters, id_col, scores, score_col)
+
+
+def _cluster_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    scores: DataFrame | None,
+    score_col: str,
+) -> DataFrame:
+    """Shared clusters→survivors step for the one-call dedup APIs:
+    pick one keeper per cluster (best score with ``scores``, else the
+    smallest id == ``cluster_id``), and anti-join ``df`` against the
+    dropped-id set.  ``clusters`` uses :func:`dedup_clusters`'s fixed
+    (doc_id, cluster_id) schema; ``scores`` is keyed on ``id_col``.
+    The anti-join is the only touch on the full corpus, and its build
+    side is the (small) dropped set."""
     if scores is not None:
         keepers = cluster_keepers(
             clusters,
-            scores.select(
-                F.col(id_col).alias("doc_id"), F.col(score_col)
-            ),
+            scores.select(F.col(id_col).alias("doc_id"), F.col(score_col)),
             id_col="doc_id",
             score_col=score_col,
         ).select(F.col("doc_id").alias("_k"))
@@ -1219,6 +1234,46 @@ def dedup_corpus(
     return df.join(
         dropped, F.col(id_col) == F.col("_drop"), "left_anti"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    n_assign: int = 2,
+    seed: int = 42,
+    scores: DataFrame | None = None,
+    score_col: str = "quality_score",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """One-call SEMANTIC deduplication (the SemDeDup recipe, Abbas et
+    al. 2023): cluster the corpus by embedding, drop all but one
+    member of every group of semantically near-identical documents,
+    and return the SURVIVING rows of ``df``.
+
+    Composition of this module's tested primitives:
+    :func:`embedding_dedup_pairs_bucketed` (IVF buckets + bucket-local
+    cosine pairs at ``threshold``) → :func:`dedup_clusters` (connected
+    components) → one keeper per cluster — the best-scoring member
+    when ``scores`` (an ``(id_col, score_col)`` frame) is given, else
+    the smallest id.  SemDeDup proper keeps the member FARTHEST from
+    its k-means centroid; a caller wanting that exact policy passes
+    the negated centroid-distance as the score — the knob is the
+    score, not a new operator.
+
+    Scale shape inherits from the parts: zero-shuffle centroid
+    assignment, bucket-local pair join (O(Σ bucket²), never O(N²)),
+    few-round label propagation (``checkpoint_dir`` for reliable
+    checkpointing at 100 TB), and one anti-join on the small dropped
+    set against the corpus.
+    """
+    pairs = embedding_dedup_pairs_bucketed(
+        df, vec_col, id_col, threshold, nlist, n_assign, seed
+    )
+    clusters = dedup_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    return _cluster_survivors(df, clusters, id_col, scores, score_col)
 
 
 def line_dedup(

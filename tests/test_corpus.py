@@ -630,3 +630,93 @@ def test_select_token_budget_quality_ordered(spark):
     assert "rangepartitioning" in plan
     with pytest.raises(ValueError, match="budget"):
         corpus.select_token_budget(scored, -1)
+
+
+def test_cap_per_group_duckdb_parity_and_nesting(spark):
+    """Unscored per-source cap must match DuckDB's row_number rank on
+    the documents fixture, and raising the cap must only ADD documents
+    (the nesting property the docstring promises)."""
+    docs = _docs(spark)
+    got3 = {r.doc_id for r in corpus.cap_per_group(docs, "source", 3).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want3 = {
+        r[0]
+        for r in con.execute(
+            """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+"""
+        ).fetchall()
+    }
+    assert got3 == want3 and len(got3) > 0
+    got5 = {r.doc_id for r in corpus.cap_per_group(docs, "source", 5).collect()}
+    assert got3 <= got5
+
+
+def test_cap_per_group_scored_order_and_rank(spark):
+    """With scores, the cap keeps the best-scoring k per group (ties by
+    ascending id, null scores last) and rank_out exposes the 1-based
+    within-group rank."""
+    rows = [
+        (1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.9), (4, "a", None),
+        (5, "b", 0.1), (6, "b", 0.7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING, s DOUBLE")
+    got = {
+        (r.doc_id, r.rk)
+        for r in corpus.cap_per_group(
+            df, "src", 2, score_col="s", rank_out="rk"
+        ).collect()
+    }
+    # group a: 0.9@1 then 0.9@3 (id tie-break); null ranks last, cut
+    # group b: 0.7@6 then 0.1@5
+    assert got == {(1, 1), (3, 2), (6, 1), (5, 2)}
+    with pytest.raises(ValueError, match="k must be positive"):
+        corpus.cap_per_group(df, "src", 0)
+
+
+def test_keep_top_fraction_exact_on_small_input(spark):
+    """At sketch accuracy >> n the approximate quantile is exact: the
+    survivors of keep_frac are precisely the rows at or above the true
+    cutoff, ties at the cutoff all survive, null scores never do."""
+    rows = [(i, float(i)) for i in range(1, 11)] + [(11, None), (12, 8.0)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, quality_score DOUBLE")
+    got = {
+        r.doc_id for r in corpus.keep_top_fraction(df, 0.3).collect()
+    }
+    # 11 non-null scores [1..10, 8.0]; 0.7-quantile = 8.0 -> survivors
+    # are scores >= 8.0 including BOTH ties at 8.0
+    assert got == {8, 9, 10, 12}
+    # keep everything: all non-null survive, null never does
+    all_kept = {r.doc_id for r in corpus.keep_top_fraction(df, 1.0).collect()}
+    assert all_kept == {i for i in range(1, 11)} | {12}
+    # keep_frac=0 degenerates to the max-score ties
+    top = {r.doc_id for r in corpus.keep_top_fraction(df, 0.0).collect()}
+    assert top == {10}
+    with pytest.raises(ValueError, match="keep_frac"):
+        corpus.keep_top_fraction(df, 1.5)
+
+
+def test_keep_top_fraction_on_fixture_quality(spark):
+    """Composition with the quality scorer on the documents fixture:
+    the kept share lands near keep_frac and every survivor outscores
+    every dropped document (up to cutoff ties)."""
+    from hadoop__spark.operators.text import quality_score
+
+    docs = _docs(spark)
+    scored = quality_score(docs).select("doc_id", "quality_score")
+    n = scored.count()
+    kept = corpus.keep_top_fraction(scored, 0.25)
+    nk = kept.count()
+    assert 0.2 * n <= nk <= 0.35 * n, (nk, n)
+    min_kept = kept.agg(F.min("quality_score")).first()[0]
+    dropped_above = scored.join(
+        kept.select("doc_id"), "doc_id", "left_anti"
+    ).where(F.col("quality_score") > min_kept)
+    assert dropped_above.count() == 0

@@ -249,3 +249,44 @@ def test_ngram_doc_freq_table_replaces_aggregation(spark, tmp_path):
     assert with_table.count("partial_count") < self_computed.count(
         "partial_count"
     )
+
+
+def test_cap_per_group_map_side_group_limit(spark):
+    """The per-source cap must trigger Catalyst's InferWindowGroupLimit
+    rewrite: a Partial WindowGroupLimit BELOW the exchange (each map
+    task ships at most k rows per group — the skew-proofing) and a
+    Final one above it; exactly one hash exchange total."""
+    from hadoop__spark.operators import corpus
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(corpus.cap_per_group(docs, "source", 3, score_col="n_chars"))
+    partial = [l for l in plan.splitlines() if "WindowGroupLimit" in l and "Partial" in l]
+    final = [l for l in plan.splitlines() if "WindowGroupLimit" in l and "Final" in l]
+    assert partial and final, plan
+    # Partial must sit below the exchange: it appears AFTER the
+    # Exchange line in the printed tree (deeper = later lines)
+    assert plan.index("Partial") > plan.index("Exchange hashpartitioning"), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_keep_top_fraction_sketch_and_broadcast_cutoff(spark):
+    """Quantile thresholding must (a) compute the cutoff as a
+    partially-aggregated percentile sketch over a column-pruned scan
+    (only the score column read), (b) broadcast the single-row cutoff,
+    and (c) never hash-shuffle the corpus side."""
+    from hadoop__spark.operators import corpus
+    from hadoop__spark.operators.text import quality_score
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    scored = docs.withColumnRenamed("n_chars", "quality_score")
+    plan = _plan(corpus.keep_top_fraction(scored, 0.25))
+    assert "partial_percentile_approx" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the only non-broadcast exchange is the sketch's SinglePartition
+    # merge (one sketch row per map task)
+    assert "Exchange hashpartitioning" not in plan, plan
+    sketch_scans = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "ReadSchema: struct<n_chars:bigint>" in l
+    ]
+    assert sketch_scans, "cutoff sketch must column-prune to the score"
