@@ -245,6 +245,25 @@ def stratified_deterministic_sample(
     return df.where(_key_hash(key_col, salt) < thresh)
 
 
+def shuffle_key(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    out_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle ORDER for training layout: adds
+    ``out_col = md5(key, salt)``, a pseudo-random but reproducible
+    sort key.  Feed it to :func:`pack_sequences` (``order_col``) or a
+    sorted write so the token stream interleaves sources instead of
+    concatenating them in ingest order — curriculum-free pretraining
+    wants documents well-mixed, and ``orderBy(rand())`` would lay out
+    a different corpus every run.  Bump ``salt`` for a fresh epoch
+    permutation.  Pure projection; the sort it feeds is the consumer's
+    (range-partitioned in ``pack_sequences``, never a single task).
+    """
+    return df.withColumn(out_col, _key_hash(key_col, salt))
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,
@@ -523,6 +542,8 @@ def prepare_corpus(
     line_dedup: bool = False,
     redact: bool = True,
     max_dup_token_frac: float = 0.6,
+    keep_frac: float | None = None,
+    group_cap: tuple[str, int] | None = None,
     dedup_method: str = "fingerprint",
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
@@ -532,7 +553,8 @@ def prepare_corpus(
 ) -> DataFrame:
     """The standard prep chain as one declarative plan:
     decontaminate (optional) → global line dedup (optional) →
-    PII-redact (optional) → repetition filter → dedup →
+    PII-redact (optional) → repetition filter → quality threshold
+    (optional) → per-group cap (optional) → dedup →
     deterministic split.
 
     Returns the surviving rows of ``df`` with added columns:
@@ -546,7 +568,15 @@ def prepare_corpus(
     near-dup clusters keep their best-scoring member
     (:func:`~hadoop__spark.operators.dedup.cluster_keepers`) instead
     of the smallest id; fingerprint mode ignores scores (exact copies
-    are interchangeable).  Downstream packing is a separate call
+    are interchangeable).  ``keep_frac`` adds the
+    :func:`keep_top_fraction` quantile gate over ``scores`` (requires
+    it; documents with no score row are dropped — unscored means
+    unvetted).  ``group_cap=(col, k)`` caps documents per value of
+    ``col`` via :func:`cap_per_group`, best-scored first when
+    ``scores`` is given, smallest id otherwise.  Both run after the
+    repetition filter and before dedup — cheap row filters first, the
+    shuffling stages on the smallest surviving set.  Downstream
+    packing is a separate call
     (:func:`pack_sequences` wants the token-count frame, not the
     text).  Every stage is one of this module's tested primitives, so
     the composition inherits their oracles; pp01/pp02 probe the same
@@ -606,6 +636,35 @@ def prepare_corpus(
     out = _stage(
         out.where(F.col("dup_token_frac") <= max_dup_token_frac), "filtered"
     )
+    if keep_frac is not None:
+        if scores is None:
+            raise ValueError("keep_frac needs a scores frame")
+        kept = keep_top_fraction(scores, keep_frac, score_col).select(
+            F.col(id_col).alias("_q_id")
+        )
+        out = out.join(kept, F.col(id_col) == F.col("_q_id"), "left_semi")
+    if group_cap is not None:
+        cap_col, cap_k = group_cap
+        slim = out.select(id_col, cap_col)
+        if scores is not None:
+            # left join: unscored docs still count against the cap,
+            # ranked last in their group (desc_nulls_last) — the cap
+            # bounds volume, it must not silently exempt rows
+            slim = slim.join(
+                scores.select(
+                    F.col(id_col).alias("_s_id"), F.col(score_col)
+                ),
+                F.col(id_col) == F.col("_s_id"),
+                "left",
+            ).drop("_s_id")
+            capped = cap_per_group(slim, cap_col, cap_k, id_col, score_col)
+        else:
+            capped = cap_per_group(slim, cap_col, cap_k, id_col)
+        out = out.join(
+            capped.select(F.col(id_col).alias("_c_id")),
+            F.col(id_col) == F.col("_c_id"),
+            "left_semi",
+        )
     out = _stage(
         dedup_corpus(
             out,

@@ -720,3 +720,75 @@ def test_keep_top_fraction_on_fixture_quality(spark):
         kept.select("doc_id"), "doc_id", "left_anti"
     ).where(F.col("quality_score") > min_kept)
     assert dropped_above.count() == 0
+
+
+def test_prepare_corpus_quality_gate_and_group_cap(spark):
+    """The keep_frac quantile gate and per-source cap stages must equal
+    the piecewise composition (repetition filter -> keep_top_fraction
+    semi-join -> cap_per_group best-scored -> fingerprint dedup ->
+    split), and keep_frac without scores must refuse."""
+    from hadoop__spark.operators import dedup, text as text_ops
+
+    docs = _docs(spark)
+    scores = text_ops.quality_score(docs).select("doc_id", "quality_score")
+    got = {
+        r.doc_id
+        for r in corpus.prepare_corpus(
+            docs,
+            redact=False,
+            keep_frac=0.5,
+            group_cap=("source", 4),
+            scores=scores,
+        ).collect()
+    }
+
+    stats = corpus.repetition_stats(docs).select("doc_id", "dup_token_frac")
+    kept = docs.join(stats, "doc_id").where(F.col("dup_token_frac") <= 0.6)
+    q_ids = corpus.keep_top_fraction(scores, 0.5).select("doc_id")
+    kept = kept.join(q_ids, "doc_id", "left_semi")
+    slim = kept.select("doc_id", "source").join(scores, "doc_id", "left")
+    cap_ids = corpus.cap_per_group(
+        slim, "source", 4, score_col="quality_score"
+    ).select("doc_id")
+    kept = kept.join(cap_ids, "doc_id", "left_semi")
+    want = {
+        r.doc_id for r in dedup.dedup_corpus(kept, method="fingerprint").collect()
+    }
+    assert got == want and got, "stage wiring must match the primitives"
+    # the cap must actually bind: no source keeps more than 4 docs
+    per_src = (
+        corpus.prepare_corpus(
+            docs, redact=False, keep_frac=0.5,
+            group_cap=("source", 4), scores=scores,
+        )
+        .groupBy("source").count().agg(F.max("count")).first()[0]
+    )
+    assert per_src <= 4
+    with pytest.raises(ValueError, match="scores"):
+        corpus.prepare_corpus(docs, keep_frac=0.5)
+
+
+def test_shuffle_key_deterministic_and_feeds_packing(spark):
+    """shuffle_key is a stable pseudo-random permutation: identical
+    across runs/partitionings, different under a different salt, and
+    usable as pack_sequences' order_col."""
+    docs = _docs(spark).select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    a = {(r.doc_id, r.shuffle_key) for r in corpus.shuffle_key(docs).collect()}
+    b = {
+        (r.doc_id, r.shuffle_key)
+        for r in corpus.shuffle_key(docs.repartition(7)).collect()
+    }
+    assert a == b
+    c = {(r.doc_id, r.shuffle_key) for r in corpus.shuffle_key(docs, salt="epoch-2").collect()}
+    assert {k for k, _ in c} == {k for k, _ in a} and c != a
+    packed = corpus.pack_sequences(
+        corpus.shuffle_key(docs), seq_len=512, order_col="shuffle_key"
+    )
+    rows = sorted(packed.collect(), key=lambda r: r.shuffle_key)
+    # offsets follow the shuffled order exactly
+    run = 0
+    for r in rows:
+        assert r.offset == run, (r.doc_id, r.offset, run)
+        run += r.n_tokens
