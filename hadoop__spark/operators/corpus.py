@@ -436,6 +436,101 @@ def keep_top_fraction(
     )
 
 
+def corpus_stats_sketch(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group corpus accounting as MERGEABLE state: exact counts
+    plus Datasketches HLL sketches for the distinct-counting columns —
+    ``(group_cols…, n_docs, n_tokens, content_sketch, vocab_sketch)``.
+
+    ``content_sketch`` sketches the distinct normalized-text
+    fingerprints (content diversity net of exact dups);
+    ``vocab_sketch`` the distinct tokens (vocabulary size).  Both are
+    binary HLL state (``hll_sketch_agg``, ~``2^lgk`` bytes per group):
+    write one sketch table per ingest shard/day, and
+    :func:`merge_corpus_stats` folds any set of them into corpus-wide
+    numbers WITHOUT rescanning text — HLL union takes the per-register
+    max, so merged estimates equal the single-pass estimate exactly
+    (tested).  That is the 100 TB accounting loop: dashboards and
+    mixing decisions read kilobyte sketches, not the corpus.
+
+    Scale shape: two hash aggregations (doc-level and exploded-token)
+    with map-side partial sketches, joined on the (small) group keys.
+    """
+    from hadoop__spark.operators.text import normalized, tokens
+
+    group_cols = list(group_cols or ["source"])
+    base = ensure_parallelism(df).select(
+        *group_cols,
+        F.col(id_col).alias("_id"),
+        tokens(F.col(text_col)).alias("_w"),
+        F.md5(normalized(F.col(text_col))).alias("_fp"),
+    )
+    doc_level = base.groupBy(*group_cols).agg(
+        F.count("_id").cast("bigint").alias("n_docs"),
+        F.sum(F.size("_w")).cast("bigint").alias("n_tokens"),
+        F.hll_sketch_agg("_fp", F.lit(lgk)).alias("content_sketch"),
+    )
+    vocab = (
+        base.select(*group_cols, F.explode("_w").alias("_t"))
+        .groupBy(*group_cols)
+        .agg(F.hll_sketch_agg("_t", F.lit(lgk)).alias("vocab_sketch"))
+    )
+    return doc_level.join(vocab, group_cols, "left")
+
+
+def merge_corpus_stats(
+    sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold :func:`corpus_stats_sketch` frames (union several shards'
+    tables first) back to one row per group: counts add, sketches
+    HLL-union.  Input and output share the sketch schema, so merging
+    is associative — daily → monthly → corpus rollups reuse the same
+    call."""
+    group_cols = list(group_cols or ["source"])
+    return sketches.groupBy(*group_cols).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.hll_union_agg("content_sketch").alias("content_sketch"),
+        F.hll_union_agg("vocab_sketch").alias("vocab_sketch"),
+    )
+
+
+def corpus_stats(
+    source: DataFrame,
+    group_cols: list[str] | None = None,
+    from_sketches: bool = False,
+    **sketch_kwargs,
+) -> DataFrame:
+    """Readable per-group corpus statistics: ``n_docs``, ``n_tokens``,
+    ``distinct_content_est``, ``vocab_est``.  ``source`` is either raw
+    documents (default; sketches built in-flight via
+    :func:`corpus_stats_sketch`) or an already-merged sketch frame
+    (``from_sketches=True``) — same numbers either way, which is what
+    makes the incremental path trustworthy."""
+    group_cols = list(group_cols or ["source"])
+    sk = (
+        source
+        if from_sketches
+        else corpus_stats_sketch(source, group_cols, **sketch_kwargs)
+    )
+    return sk.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        F.hll_sketch_estimate("content_sketch")
+        .cast("bigint")
+        .alias("distinct_content_est"),
+        F.hll_sketch_estimate("vocab_sketch")
+        .cast("bigint")
+        .alias("vocab_est"),
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

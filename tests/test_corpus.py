@@ -792,3 +792,46 @@ def test_shuffle_key_deterministic_and_feeds_packing(spark):
     for r in rows:
         assert r.offset == run, (r.doc_id, r.offset, run)
         run += r.n_tokens
+
+
+def test_corpus_stats_sketch_merge_equals_single_pass(spark):
+    """Sharded accounting must be lossless: sketches built on two
+    halves and merged give EXACTLY the single-pass estimates (HLL
+    union is a per-register max), counts add exactly, and estimates
+    sit within HLL error of the true distinct counts."""
+    docs = _docs(spark)
+    whole = {
+        r.source: r
+        for r in corpus.corpus_stats(docs).collect()
+    }
+    h1 = corpus.corpus_stats_sketch(docs.where(F.col("doc_id") % 2 == 0))
+    h2 = corpus.corpus_stats_sketch(docs.where(F.col("doc_id") % 2 == 1))
+    merged = {
+        r.source: r
+        for r in corpus.corpus_stats(
+            corpus.merge_corpus_stats(h1.unionByName(h2)),
+            from_sketches=True,
+        ).collect()
+    }
+    assert set(whole) == set(merged) and whole
+    for src, w in whole.items():
+        m = merged[src]
+        assert (w.n_docs, w.n_tokens) == (m.n_docs, m.n_tokens), src
+        assert w.distinct_content_est == m.distinct_content_est, src
+        assert w.vocab_est == m.vocab_est, src
+    # accuracy vs exact ground truth (lgk=12 -> ~1.6% rel. std error)
+    from hadoop__spark.operators.text import normalized
+
+    exact = {
+        r.source: (r.nd, r.nfp)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("doc_id").alias("nd"),
+            F.countDistinct(F.md5(normalized(F.col("text")))).alias("nfp"),
+        )
+        .collect()
+    }
+    for src, (nd, nfp) in exact.items():
+        w = whole[src]
+        assert w.n_docs == nd
+        assert abs(w.distinct_content_est - nfp) <= max(2, 0.05 * nfp), src

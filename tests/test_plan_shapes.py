@@ -290,3 +290,16 @@ def test_keep_top_fraction_sketch_and_broadcast_cutoff(spark):
         if "FileScan" in l and "ReadSchema: struct<n_chars:bigint>" in l
     ]
     assert sketch_scans, "cutoff sketch must column-prune to the score"
+
+
+def test_corpus_stats_sketch_partial_aggregation(spark):
+    """The accounting sketches must partially aggregate map-side (one
+    sketch per task per group crosses the wire, not rows) on both the
+    doc-level and exploded-token branches, with no cartesian join."""
+    from hadoop__spark.operators import corpus
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(corpus.corpus_stats_sketch(docs))
+    assert plan.count("partial_hll_sketch_agg") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
