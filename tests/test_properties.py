@@ -404,3 +404,64 @@ def test_stratified_sample_equals_per_group_sample(spark, texts, fr):
             ).collect()
         }
     assert got == want
+
+
+@given(
+    texts=doc_strategy,
+    k=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_cap_per_group_bound_nesting_and_layout_invariance(spark, texts, k):
+    """On random corpora: no group ever exceeds k, survivors at k are
+    a subset of survivors at k+1, and the kept set ignores physical
+    row layout."""
+    from hadoop__spark.operators import corpus
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    ).withColumn("g", (F.col("doc_id") % 3).cast("string"))
+    capped = corpus.cap_per_group(df, "g", k)
+    per_group = {
+        r.g: r.cnt
+        for r in capped.groupBy("g").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert all(c <= k for c in per_group.values())
+    ids_k = {r.doc_id for r in capped.collect()}
+    ids_k1 = {
+        r.doc_id for r in corpus.cap_per_group(df, "g", k + 1).collect()
+    }
+    assert ids_k <= ids_k1
+    ids_shuffled = {
+        r.doc_id
+        for r in corpus.cap_per_group(df.repartition(5), "g", k).collect()
+    }
+    assert ids_shuffled == ids_k
+
+
+@given(
+    scores=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=3, max_size=20
+    ),
+    frac=st.sampled_from([0.2, 0.5, 0.8]),
+)
+@_SETTINGS
+def test_keep_top_fraction_is_a_prefix_of_the_score_order(spark, scores, frac):
+    """Survivors are always a PREFIX of the descending score order
+    closed under ties (no dropped row outscores a kept one), and the
+    kept count is at least the exact top-frac count."""
+    from hadoop__spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    kept = corpus.keep_top_fraction(df, frac).collect()
+    kept_ids = {r.doc_id for r in kept}
+    if not kept:
+        pytest.skip("degenerate: empty survivor set")
+    cutoff = min(r.quality_score for r in kept)
+    for i, s in enumerate(scores):
+        if s > cutoff:
+            assert i in kept_ids, (i, s, cutoff)
+        if i in kept_ids:
+            assert s >= cutoff
