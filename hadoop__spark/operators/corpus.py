@@ -525,9 +525,12 @@ def corpus_stats(
         F.hll_sketch_estimate("content_sketch")
         .cast("bigint")
         .alias("distinct_content_est"),
-        F.hll_sketch_estimate("vocab_sketch")
-        .cast("bigint")
-        .alias("vocab_est"),
+        # a group whose documents hold no tokens has a NULL vocab
+        # sketch (nothing exploded into the agg); its vocabulary is 0,
+        # not unknown
+        F.coalesce(
+            F.hll_sketch_estimate("vocab_sketch").cast("bigint"), F.lit(0)
+        ).alias("vocab_est"),
     )
 
 

@@ -835,3 +835,24 @@ def test_corpus_stats_sketch_merge_equals_single_pass(spark):
         w = whole[src]
         assert w.n_docs == nd
         assert abs(w.distinct_content_est - nfp) <= max(2, 0.05 * nfp), src
+
+
+def test_corpus_stats_tokenless_group_vocab_zero(spark):
+    """A group whose documents hold no tokens reports vocab_est 0 (not
+    null), directly and through a sharded merge where one shard's
+    sketch is null."""
+    df = spark.createDataFrame(
+        [(1, "", "empty"), (2, "   ", "empty"), (3, "hello world", "ok")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    direct = {r.source: r.vocab_est for r in corpus.corpus_stats(df).collect()}
+    assert direct == {"empty": 0, "ok": 2}
+    h1 = corpus.corpus_stats_sketch(df.where("doc_id <= 2"))
+    h2 = corpus.corpus_stats_sketch(df.where("doc_id = 3"))
+    merged = {
+        r.source: r.vocab_est
+        for r in corpus.corpus_stats(
+            corpus.merge_corpus_stats(h1.unionByName(h2)), from_sketches=True
+        ).collect()
+    }
+    assert merged == direct
