@@ -961,6 +961,8 @@ def dedup_clusters(
     write per round so a 100 TB run survives executor churn.  Output is
     identical either way (tested).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(
@@ -968,13 +970,23 @@ def dedup_clusters(
         )
         .distinct()
     )
+    # Materialize the edge list ONCE: every propagation round joins
+    # against it, and a lazy `pairs` plan would re-run its whole
+    # candidate-generation join per round — measured ×73 wall on the
+    # 10× rehearsal when the pairs come from the bucket-local cosine
+    # join (minhash pairs only dodged it via their persist cache).
+    # Edge rows are O(pairs), bounded; same durability mode as the
+    # per-round label checkpoints.
+    edges = (
+        edges.localCheckpoint(eager=True)
+        if checkpoint_dir is None
+        else edges.checkpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -1034,6 +1046,8 @@ def embedding_dedup_pairs_bucketed(
     nlist: int = 16,
     n_assign: int = 2,
     seed: int = 42,
+    cache: bool = True,
+    assign: str = "jvm",
 ) -> DataFrame:
     """The 100 TB composition: IVF-bucket the corpus, then pair-search
     bucket-locally.
@@ -1044,16 +1058,50 @@ def embedding_dedup_pairs_bucketed(
     the standard recall fix for bucketed dedup.  The pairwise join is
     per-bucket: cost drops from O(N²) to O(Σ bucket²), and the buckets
     are the shuffle partitions.
+
+    ``cache`` persists the assigned frame (MEMORY_AND_DISK): both
+    sides of the bucket self-join read it, and the assignment
+    projection is ``nlist`` similarity folds per row — measured on the
+    10× rehearsal it is the single most expensive stage, so evaluating
+    it twice doubles the operator.  Same persist-over-checkpoint
+    rationale as :func:`minhash_lsh_pairs`.  Size ``nlist`` with the
+    corpus (the faiss ``≈4√N`` rule): assignment costs ``N·nlist``
+    folds and pairing ``≈(n_assign·N)²/nlist`` — too-small ``nlist``
+    makes the buckets quadratic, too-large makes assignment dominate.
+
+    ``assign`` picks the assignment kernel: ``"jvm"`` (default) is the
+    pure-expression fold — bit-pinned by the dd07 oracle — while
+    ``"arrow"`` is the vectorized numpy matmul
+    (:func:`~hadoop__spark.operators.similarity.ivf_assign_arrow`),
+    ~100× the assignment throughput at large ``nlist`` with identical
+    bucketing up to float-summation-order ties (tested equal on the
+    fixtures); pair verification is the same exact JVM fold either
+    way.
     """
     from hadoop__spark.operators.similarity import (
         _dot,
         _norm,
         collect_centroid_array,
+        ivf_assign_arrow,
         ivf_fit_centroids,
         nearest_centroids,
     )
 
+    if assign not in ("jvm", "arrow"):
+        raise ValueError(f"assign must be 'jvm' or 'arrow', got {assign!r}")
     cents = ivf_fit_centroids(df, nlist, vec_col, seed)
+    if assign == "arrow":
+        assigned = ivf_assign_arrow(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vn")),
+            cents,
+            vec_col="_vn",
+            id_col="_id",
+            n_assign=n_assign,
+            normalize=True,
+        )
+        if cache:
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        return _bucket_local_pairs(assigned, threshold)
     # Normalize ONCE per vector (and per centroid): every downstream
     # similarity is then a single zip_with+aggregate fold instead of
     # dot + two norms — 3x less interpreted HOF work per candidate
@@ -1089,6 +1137,18 @@ def embedding_dedup_pairs_bucketed(
             )
         ).alias("centroid_id"),
     )
+    if cache:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    return _bucket_local_pairs(assigned, threshold)
+
+
+def _bucket_local_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Bucket-local pair search over an assigned frame
+    ``(_id, _vn normalized, centroid_id)``: self-join within each
+    centroid bucket, exact JVM cosine fold per candidate, threshold,
+    dedupe multi-assignment repeats."""
+    from hadoop__spark.operators.similarity import _dot
+
     return (
         assigned.alias("a")
         .join(
@@ -1241,12 +1301,14 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    nlist: int = 16,
+    nlist: int | None = None,
     n_assign: int = 2,
     seed: int = 42,
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
     checkpoint_dir: str | None = None,
+    n_rows: int | None = None,
+    assign: str = "jvm",
 ) -> DataFrame:
     """One-call SEMANTIC deduplication (the SemDeDup recipe, Abbas et
     al. 2023): cluster the corpus by embedding, drop all but one
@@ -1267,10 +1329,17 @@ def semantic_dedup(
     assignment, bucket-local pair join (O(Σ bucket²), never O(N²)),
     few-round label propagation (``checkpoint_dir`` for reliable
     checkpointing at 100 TB), and one anti-join on the small dropped
-    set against the corpus.
+    set against the corpus.  ``nlist=None`` (default) self-sizes to
+    the faiss rule ``max(16, 4√N)`` — balancing the ``N·nlist``
+    assignment cost against the ``(n_assign·N)²/nlist`` pairing cost
+    — at the price of one count job; pass ``n_rows`` (or an explicit
+    ``nlist``) to skip the count when the size is known.
     """
+    if nlist is None:
+        n = n_rows if n_rows is not None else df.count()
+        nlist = max(16, int(4 * n**0.5))
     pairs = embedding_dedup_pairs_bucketed(
-        df, vec_col, id_col, threshold, nlist, n_assign, seed
+        df, vec_col, id_col, threshold, nlist, n_assign, seed, assign=assign
     )
     clusters = dedup_clusters(pairs, checkpoint_dir=checkpoint_dir)
     return _cluster_survivors(df, clusters, id_col, scores, score_col)

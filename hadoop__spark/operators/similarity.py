@@ -234,6 +234,89 @@ def ivf_assign(
     return corpus.select(id_col, vec_col, best["cid"].alias("centroid_id"))
 
 
+def ivf_assign_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_assign: int = 1,
+    normalize: bool = False,
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment: the centroid matrix is
+    closed over as a numpy array and each Arrow batch is one
+    ``(batch × dim) @ (dim × nlist)`` matmul — the faiss assignment
+    kernel, ~100× the throughput of the per-element expression fold in
+    :func:`ivf_assign` once ``nlist`` grows past a few dozen
+    (assignment is ``N·nlist`` similarity folds; on the 10× rehearsal
+    the interpreted fold was the dominant stage).
+
+    Same semantics as :func:`ivf_assign`: cosine similarity, top
+    ``n_assign`` per vector, ties broken ``sim desc, cid asc`` (stable
+    argsort over the cid-ordered columns).  Zero-norm vectors score 0
+    against every centroid and land in the lowest cid (the JVM path
+    raises ``DIVIDE_BY_ZERO`` under ANSI mode there — the arrow
+    kernel degrades gracefully instead).  Numeric caveat: numpy's pairwise
+    summation can differ from the JVM's sequential fold in the last
+    ulps, so assignments of vectors EXACTLY equidistant to two
+    centroids may differ — bucket choice only, tested equal on the
+    fixtures.
+
+    Output: ``(id_col, vec_col, centroid_id)`` with one row per
+    (vector, assigned centroid); ``normalize=True`` replaces
+    ``vec_col`` with the L2-normalized vector (what the dedup pair
+    verify wants).  Still zero-shuffle — ``mapInPandas`` is a
+    per-partition projection; the only Python in the loop is a
+    batched matmul.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select("centroid_id", "centroid").collect()
+    cids = np.array(
+        sorted(int(r["centroid_id"]) for r in rows), dtype=np.int64
+    )
+    C = np.array(
+        [
+            [float(x) for x in r["centroid"]]
+            for r in sorted(rows, key=lambda r: r["centroid_id"])
+        ],
+        dtype=np.float64,
+    )
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cn = (C / cn[:, None]).T  # dim × nlist, columns in cid order
+    n = min(n_assign, len(cids))
+
+    id_field = corpus.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        f"`{vec_col}` array<double>, centroid_id int"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0] = 1.0
+            Vn = V / vn[:, None]
+            S = Vn @ Cn
+            # stable ascending argsort of -sim: equal sims keep column
+            # (= cid) order — the `sim desc, cid asc` tie-break
+            top = np.argsort(-S, axis=1, kind="stable")[:, :n]
+            out_vec = Vn if normalize else V
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values.repeat(n),
+                    vec_col: out_vec.repeat(n, axis=0).tolist(),
+                    "centroid_id": cids[top].ravel(),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,

@@ -726,3 +726,48 @@ def test_semantic_dedup_scores_keep_best_member(spark, embs):
     assert got == (all_ids - members) | want_keep_min
     assert got2 == (all_ids - members) | want_keep_max
     assert want_keep_min != want_keep_max, "score must actually matter"
+
+
+def test_ivf_assign_arrow_equals_jvm(spark, embs):
+    """The vectorized Arrow assignment must reproduce the JVM
+    expression fold's bucketing exactly on the fixture (n_assign 1 and
+    2), and the arrow-assigned bucketed pairs must equal the JVM
+    path's pairs."""
+    cents = similarity.ivf_fit_centroids(embs, nlist=8)
+    jvm = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.ivf_assign(embs, cents).collect()
+    }
+    arrow = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.ivf_assign_arrow(embs, cents).collect()
+    }
+    assert arrow == jvm and len(arrow) == embs.count()
+    a2 = similarity.ivf_assign_arrow(embs, cents, n_assign=2).collect()
+    assert len(a2) == 2 * embs.count()
+    assert {(r.vec_id, r.centroid_id) for r in a2} >= jvm
+    pairs_jvm = _pairs(
+        dedup.embedding_dedup_pairs_bucketed(embs, threshold=0.4, nlist=8)
+    )
+    pairs_arrow = _pairs(
+        dedup.embedding_dedup_pairs_bucketed(
+            embs, threshold=0.4, nlist=8, assign="arrow"
+        )
+    )
+    assert pairs_arrow == pairs_jvm and pairs_jvm
+    with pytest.raises(ValueError, match="assign"):
+        dedup.embedding_dedup_pairs_bucketed(embs, assign="gpu")
+
+
+def test_ivf_assign_arrow_zero_vector_lowest_cid(spark, embs):
+    """A zero vector scores 0 against every centroid in the arrow
+    kernel and ties break to the lowest cid — graceful degradation
+    where the JVM fold raises DIVIDE_BY_ZERO under ANSI mode."""
+    dim = len(embs.first().embedding)
+    z = spark.createDataFrame(
+        [(999999, [0.0] * dim)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    cents = similarity.ivf_fit_centroids(embs, nlist=8)
+    lowest = min(r.centroid_id for r in cents.select("centroid_id").collect())
+    got_a = similarity.ivf_assign_arrow(z, cents).first()
+    assert got_a.centroid_id == lowest

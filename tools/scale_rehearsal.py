@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F
 
-from hadoop__spark.operators import dedup, similarity
+from hadoop__spark.operators import corpus, dedup, similarity
 from hadoop__spark.session import load_tables
 
 UI_PORT = 4049
@@ -164,6 +164,29 @@ def run_at(spark, sf_dir: str, mult: int, workdir: str) -> dict:
         lambda: similarity.ivf_topk(embs, queries, k=10, nlist=32).count(),
         out,
     )
+    # one-call semantic dedup over the inflated vectors: the nudged
+    # variants are mutually near-identical (cosine ~1), so clusters
+    # are dense — the stress shape for bucket-local pairing.  Auto
+    # nlist (4*sqrt(N)) + the vectorized arrow assignment kernel —
+    # this phase is what caught the per-round edge recompute (x73
+    # wall) and the interpreted-fold assignment cost (see NOTES).
+    phase(
+        "semantic_dedup",
+        lambda: dedup.semantic_dedup(
+            embs, threshold=0.99, assign="arrow"
+        ).count(),
+        out,
+    )
+    # mergeable accounting over the inflated corpus (synthetic source
+    # split so the group-by has real fan-out)
+    acct = docs.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 50).cast("string"))
+    )
+    phase(
+        "corpus_accounting",
+        lambda: corpus.corpus_stats(acct).count(),
+        out,
+    )
     return out
 
 
@@ -191,7 +214,8 @@ def main() -> None:
         report[f"x{m}"] = run_at(spark, sf_dir, m, workdir)
     base, big = report["x1"], report[f"x{mult}"]
     print("\n== scaling ratios (x{}/x1) ==".format(mult))
-    for ph in ("fingerprint_dedup", "minhash_lsh_pairs", "dedup_clusters", "ivf_topk"):
+    for ph in ("fingerprint_dedup", "minhash_lsh_pairs", "dedup_clusters",
+               "ivf_topk", "semantic_dedup", "corpus_accounting"):
         b, g = base[ph], big[ph]
         ratio = lambda k: (
             round(g[k] / b[k], 1) if b[k] else float("inf") if g[k] else 0.0
