@@ -1078,20 +1078,41 @@ def embedding_dedup_pairs_bucketed(
     fixtures); pair verification is the same exact JVM fold either
     way.
     """
+    from hadoop__spark.operators.similarity import ivf_fit_centroids
+
+    if assign not in ("jvm", "arrow"):
+        raise ValueError(f"assign must be 'jvm' or 'arrow', got {assign!r}")
+    cents = ivf_fit_centroids(df, nlist, vec_col, seed)
+    assigned = _normalized_assignment(
+        df, cents, vec_col, id_col, n_assign, assign
+    )
+    if cache:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    return _bucket_local_pairs(assigned, threshold)
+
+
+def _normalized_assignment(
+    df: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_assign: int,
+    assign: str,
+) -> DataFrame:
+    """L2-normalize and assign vectors to their ``n_assign`` nearest
+    centroids, returning ``(_id, _vn normalized, centroid_id)`` — the
+    frame the bucket-local pair search consumes.  ``assign="jvm"`` is
+    the expression-fold path, ``"arrow"`` the numpy matmul kernel."""
     from hadoop__spark.operators.similarity import (
         _dot,
         _norm,
         collect_centroid_array,
         ivf_assign_arrow,
-        ivf_fit_centroids,
         nearest_centroids,
     )
 
-    if assign not in ("jvm", "arrow"):
-        raise ValueError(f"assign must be 'jvm' or 'arrow', got {assign!r}")
-    cents = ivf_fit_centroids(df, nlist, vec_col, seed)
     if assign == "arrow":
-        assigned = ivf_assign_arrow(
+        return ivf_assign_arrow(
             df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vn")),
             cents,
             vec_col="_vn",
@@ -1099,9 +1120,6 @@ def embedding_dedup_pairs_bucketed(
             n_assign=n_assign,
             normalize=True,
         )
-        if cache:
-            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-        return _bucket_local_pairs(assigned, threshold)
     # Normalize ONCE per vector (and per centroid): every downstream
     # similarity is then a single zip_with+aggregate fold instead of
     # dot + two norms — 3x less interpreted HOF work per candidate
@@ -1127,7 +1145,7 @@ def embedding_dedup_pairs_bucketed(
             ).alias("_vn"),
         )
     )
-    assigned = e.select(
+    return e.select(
         "_id",
         "_vn",
         F.explode(
@@ -1137,9 +1155,6 @@ def embedding_dedup_pairs_bucketed(
             )
         ).alias("centroid_id"),
     )
-    if cache:
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    return _bucket_local_pairs(assigned, threshold)
 
 
 def _bucket_local_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
@@ -1165,6 +1180,69 @@ def _bucket_local_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
         )
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_pairs_against_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_assign: int = 2,
+    assign: str = "jvm",
+) -> DataFrame:
+    """Incremental SEMANTIC dedup: near-duplicate pairs between a NEW
+    batch and a persisted IVF index
+    (:func:`~hadoop__spark.operators.similarity.ivf_write_index`) —
+    the embedding-plane mirror of :func:`minhash_lsh_pairs_between`
+    and :func:`fingerprint_filter_new`.  Output:
+    ``(id_new, id_indexed, cosine ≥ threshold)``; dropping the flagged
+    batch rows before :func:`~hadoop__spark.operators.similarity.\
+ivf_append_index` completes the ingest loop without ever re-pairing
+    the indexed corpus against itself.
+
+    Scale shape: the batch is assigned to the index's FROZEN centroids
+    (``n_assign``-way, the boundary-recall fix; ``assign="arrow"`` for
+    the vectorized kernel), the index scan is partition-pruned to the
+    batch's bucket set (``centroid_id IN (…)`` → PartitionFilters —
+    the collected list is ≤ nlist ints), and the cross join is
+    bucket-local: O(|batch| × bucket), never O(|batch| × corpus).
+    Exact batch copies of indexed vectors are always found (identical
+    vector → identical nearest-centroid set).
+    """
+    from hadoop__spark.operators.similarity import _dot, _norm
+
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    b = _normalized_assignment(
+        batch, cents, vec_col, id_col, n_assign, assign
+    )
+    probe_ids = sorted(
+        r.centroid_id
+        for r in b.select("centroid_id").distinct().collect()
+    )
+    idx = (
+        spark.read.parquet(f"{index_path}/assigned")
+        .where(F.col("centroid_id").isin(probe_ids))
+        .withColumn("_inrm", _norm(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("_iid"),
+            "centroid_id",
+            F.transform(
+                vec_col, lambda x: x.cast("double") / F.col("_inrm")
+            ).alias("_ivn"),
+        )
+    )
+    return (
+        b.join(idx, "centroid_id")
+        .select(
+            F.col("_id").alias("id_new"),
+            F.col("_iid").alias("id_indexed"),
+            _dot(F.col("_vn"), F.col("_ivn")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_new", "id_indexed"])
     )
 
 

@@ -771,3 +771,51 @@ def test_ivf_assign_arrow_zero_vector_lowest_cid(spark, embs):
     lowest = min(r.centroid_id for r in cents.select("centroid_id").collect())
     got_a = similarity.ivf_assign_arrow(z, cents).first()
     assert got_a.centroid_id == lowest
+
+
+def test_embedding_pairs_against_index_incremental(spark, embs, tmp_path):
+    """Incremental semantic dedup vs a persisted IVF index: no false
+    positives vs the exact batch-x-index cross pairs, planted exact
+    copies of indexed vectors are all flagged at cosine ~1, and the
+    arrow kernel agrees with the JVM fold."""
+    path = str(tmp_path / "ivf_inc")
+    indexed = embs.where(F.col("vec_id") % 2 == 0)
+    rest = embs.where(F.col("vec_id") % 2 == 1)
+    similarity.ivf_write_index(indexed, path, nlist=8)
+    # batch = fresh vectors + exact copies of 5 indexed ones
+    copies = indexed.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    batch = rest.select("vec_id", "embedding").unionByName(copies)
+    got = dedup.embedding_pairs_against_index(
+        spark, path, batch, threshold=0.4, n_assign=2
+    )
+    got_pairs = {(r.id_new, r.id_indexed) for r in got.collect()}
+    # exact cross reference (brute): every (batch, indexed) pair at
+    # the threshold
+    from hadoop__spark.operators.similarity import cosine_sim
+
+    brute = {
+        (r.id_new, r.id_indexed)
+        for r in batch.select(
+            F.col("vec_id").alias("id_new"), F.col("embedding").alias("_bv")
+        )
+        .crossJoin(
+            indexed.select(
+                F.col("vec_id").alias("id_indexed"),
+                F.col("embedding").alias("_iv"),
+            )
+        )
+        .where(cosine_sim(F.col("_bv"), F.col("_iv")) >= 0.4)
+        .collect()
+    }
+    assert got_pairs <= brute
+    planted = {(100000 + i, i) for i in range(0, 10, 2)}
+    assert planted <= got_pairs, "exact copies must always be found"
+    arrow_pairs = {
+        (r.id_new, r.id_indexed)
+        for r in dedup.embedding_pairs_against_index(
+            spark, path, batch, threshold=0.4, n_assign=2, assign="arrow"
+        ).collect()
+    }
+    assert arrow_pairs == got_pairs

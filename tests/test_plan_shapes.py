@@ -303,3 +303,24 @@ def test_corpus_stats_sketch_partial_aggregation(spark):
     assert plan.count("partial_hll_sketch_agg") >= 2, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_pairs_against_index_partition_pruned(spark, tmp_path):
+    """The incremental embedding-dedup join must read the index
+    through a PartitionFilters-pruned scan on centroid_id (bucket
+    directories only), and never degenerate to cartesian/nested-loop."""
+    embs = load_tables(spark, SF_DIR)["embeddings"]
+    path = str(tmp_path / "ivf_plan")
+    similarity.ivf_write_index(embs, path, nlist=4)
+    batch = embs.where(F.col("vec_id") < 20)
+    plan = _plan(
+        dedup.embedding_pairs_against_index(spark, path, batch, threshold=0.4)
+    )
+    pruned = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "PartitionFilters" in l
+        and "centroid_id" in l.split("PartitionFilters")[1].split("]")[0]
+    ]
+    assert pruned, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
