@@ -645,6 +645,9 @@ def prepare_corpus(
     dedup_method: str = "fingerprint",
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    semantic_threshold: float = 0.95,
     splits: dict[str, float] | None = None,
     split_salt: str = "split-v1",
     materialize_dir: str | None = None,
@@ -652,8 +655,8 @@ def prepare_corpus(
     """The standard prep chain as one declarative plan:
     decontaminate (optional) → global line dedup (optional) →
     PII-redact (optional) → repetition filter → quality threshold
-    (optional) → per-group cap (optional) → dedup →
-    deterministic split.
+    (optional) → per-group cap (optional) → dedup → semantic dedup
+    (optional) → deterministic split.
 
     Returns the surviving rows of ``df`` with added columns:
     redaction counts + ``<text_col>_redacted`` (when ``redact``),
@@ -673,8 +676,15 @@ def prepare_corpus(
     ``col`` via :func:`cap_per_group`, best-scored first when
     ``scores`` is given, smallest id otherwise.  Both run after the
     repetition filter and before dedup — cheap row filters first, the
-    shuffling stages on the smallest surviving set.  Downstream
-    packing is a separate call
+    shuffling stages on the smallest surviving set.  ``embeddings``
+    (an ``(id_col, embedding_col)`` frame of DOCUMENT embeddings)
+    adds a final semantic-dedup stage
+    (:func:`~hadoop__spark.operators.dedup.semantic_dedup` at
+    ``semantic_threshold``, quality-aware keepers when ``scores`` is
+    given) over the text-dedup survivors — the SemDeDup-after-MinHash
+    order the published pipelines use; documents without an embedding
+    row pass through untouched (can't be semantically compared).
+    Downstream packing is a separate call
     (:func:`pack_sequences` wants the token-count frame, not the
     text).  Every stage is one of this module's tested primitives, so
     the composition inherits their oracles; pp01/pp02 probe the same
@@ -774,4 +784,33 @@ def prepare_corpus(
         ),
         "deduped",
     )
+    if embeddings is not None:
+        from hadoop__spark.operators.dedup import semantic_dedup
+
+        emb = embeddings.join(
+            out.select(F.col(id_col).alias("_e_id")),
+            F.col(id_col) == F.col("_e_id"),
+            "left_semi",
+        )
+        kept = semantic_dedup(
+            emb,
+            vec_col=embedding_col,
+            id_col=id_col,
+            threshold=semantic_threshold,
+            scores=scores,
+            score_col=score_col,
+        )
+        sem_dropped = emb.select(id_col).join(
+            kept.select(F.col(id_col).alias("_k")),
+            F.col(id_col) == F.col("_k"),
+            "left_anti",
+        ).select(F.col(id_col).alias("_sem_drop"))
+        out = _stage(
+            out.join(
+                sem_dropped,
+                F.col(id_col) == F.col("_sem_drop"),
+                "left_anti",
+            ),
+            "semantic_deduped",
+        )
     return deterministic_split(out, id_col, splits, salt=split_salt)

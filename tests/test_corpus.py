@@ -856,3 +856,51 @@ def test_corpus_stats_tokenless_group_vocab_zero(spark):
         ).collect()
     }
     assert merged == direct
+
+
+def test_prepare_corpus_semantic_stage_equals_piecewise(spark):
+    """The optional semantic-dedup stage must equal running
+    semantic_dedup by hand on the text-dedup survivors' embeddings,
+    and documents without an embedding row must pass through."""
+    from hadoop__spark.operators import dedup
+    from hadoop__spark.session import load_tables
+
+    docs = _docs(spark)
+    # treat the embeddings fixture as document embeddings (same id range)
+    embs = (
+        load_tables(spark, SF_DIR)["embeddings"]
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .where(F.col("doc_id") % 3 != 0)  # a third of docs unembedded
+    )
+    got = {
+        r.doc_id
+        for r in corpus.prepare_corpus(
+            docs,
+            redact=False,
+            embeddings=embs,
+            semantic_threshold=0.4,
+        ).collect()
+    }
+
+    # by hand: filter -> fingerprint dedup -> semantic dedup on the
+    # survivors' embeddings -> drop the semantically-deduped ids
+    stats = corpus.repetition_stats(docs).select("doc_id", "dup_token_frac")
+    kept = docs.join(stats, "doc_id").where(F.col("dup_token_frac") <= 0.6)
+    surv = dedup.dedup_corpus(kept, method="fingerprint")
+    emb_surv = embs.join(surv.select("doc_id"), "doc_id", "left_semi")
+    sem_kept = {
+        r.doc_id
+        for r in dedup.semantic_dedup(
+            emb_surv, vec_col="embedding", id_col="doc_id", threshold=0.4
+        ).collect()
+    }
+    emb_ids = {r.doc_id for r in emb_surv.select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in surv.select("doc_id").collect()
+        if r.doc_id not in emb_ids or r.doc_id in sem_kept
+    }
+    assert got == want and got
+    assert emb_ids - sem_kept, "semantic stage must actually drop docs"
+    unembedded = {d for d in want if d % 3 == 0}
+    assert unembedded & got, "unembedded docs must pass through"
