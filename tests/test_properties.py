@@ -465,3 +465,56 @@ def test_keep_top_fraction_is_a_prefix_of_the_score_order(spark, scores, frac):
             assert i in kept_ids, (i, s, cutoff)
         if i in kept_ids:
             assert s >= cutoff
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8, max_value=8,
+                allow_nan=False, allow_infinity=False,
+                width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=6, max_size=24,
+    ),
+    n_assign=st.integers(min_value=1, max_value=2),
+)
+@_SETTINGS
+def test_arrow_assignment_equals_jvm_on_random_vectors(
+    spark, vecs, n_assign
+):
+    """The numpy matmul kernel and the JVM expression fold must
+    produce identical (id, centroid) assignments on random vectors —
+    dim 4 keeps numpy's pairwise summation bit-identical to the
+    sequential fold, so even tie-breaks line up exactly."""
+    from hadoop__spark.operators import similarity
+
+    # all-zero vectors would hit ANSI divide-by-zero on the JVM path;
+    # replace them with a unit vector so every example exercises both
+    # kernels
+    rows = [
+        (
+            i,
+            [float(x) for x in v]
+            if any(x != 0 for x in v)
+            else [1.0, 0.0, 0.0, 0.0],
+        )
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.ivf_fit_centroids(df, nlist=3)
+    jvm = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.ivf_assign(df, cents).collect()
+    }
+    arrow1 = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.ivf_assign_arrow(df, cents).collect()
+    }
+    assert arrow1 == jvm
+    if n_assign == 2:
+        a2 = similarity.ivf_assign_arrow(df, cents, n_assign=2).collect()
+        assert len(a2) == 2 * len(rows)
+        assert {(r.vec_id, r.centroid_id) for r in a2} >= jvm
