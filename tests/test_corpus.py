@@ -904,3 +904,67 @@ def test_prepare_corpus_semantic_stage_equals_piecewise(spark):
     assert emb_ids - sem_kept, "semantic stage must actually drop docs"
     unembedded = {d for d in want if d % 3 == 0}
     assert unembedded & got, "unembedded docs must pass through"
+
+
+def test_streaming_sketch_accounting_equals_batch(spark, tmp_path):
+    """The 100 TB accounting loop on a live stream: each micro-batch
+    appends its per-group sketch rows (corpus_stats_sketch inside
+    foreachBatch) to a parquet sketch table, and merging that table
+    yields EXACTLY the single-pass batch statistics — counts and HLL
+    estimates alike — regardless of how ingest was batched."""
+    import os
+
+    docs = _docs(spark)
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    # two ingest rounds against ONE checkpoint: file lands, the
+    # accounting query drains it (availableNow), stops, and resumes
+    # for the next file — the restart-resume shape of a real ingest
+    # loop.  Files are copied as plain files (the file stream source
+    # does not recurse into subdirectories).
+    import glob
+    import shutil
+
+    sketch_dir = str(tmp_path / "sketches")
+
+    def account(batch_df, batch_id):
+        corpus.corpus_stats_sketch(batch_df).write.mode("append").parquet(
+            sketch_dir
+        )
+
+    # split by RANGE, not parity: the fixture's source is modulo-
+    # assigned, so a parity split would give each batch disjoint
+    # sources and the merge would never have to combine sketches
+    halves = (
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+    )
+    for i, half in enumerate(halves):
+        d = tmp_path / f"half{i}"
+        half.coalesce(1).write.parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0], src_dir / f"f{i}.parquet"
+        )
+        stream = spark.readStream.schema(docs.schema).parquet(str(src_dir))
+        q = (
+            stream.writeStream.foreachBatch(account)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shards = spark.read.parquet(sketch_dir)
+    assert shards.count() > len(
+        corpus.corpus_stats_sketch(docs).collect()
+    ), "ingest must have produced multiple per-batch shards"
+    merged = {
+        r.source: (r.n_docs, r.n_tokens, r.distinct_content_est, r.vocab_est)
+        for r in corpus.corpus_stats(
+            corpus.merge_corpus_stats(shards), from_sketches=True
+        ).collect()
+    }
+    want = {
+        r.source: (r.n_docs, r.n_tokens, r.distinct_content_est, r.vocab_est)
+        for r in corpus.corpus_stats(docs).collect()
+    }
+    assert merged == want and want
