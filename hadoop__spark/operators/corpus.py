@@ -442,6 +442,7 @@ def corpus_stats_sketch(
     text_col: str = "text",
     id_col: str = "doc_id",
     lgk: int = 12,
+    cache: bool = True,
 ) -> DataFrame:
     """Per-group corpus accounting as MERGEABLE state: exact counts
     plus Datasketches HLL sketches for the distinct-counting columns —
@@ -460,7 +461,14 @@ def corpus_stats_sketch(
 
     Scale shape: two hash aggregations (doc-level and exploded-token)
     with map-side partial sketches, joined on the (small) group keys.
+    Both aggregations read the tokenized base frame — the expensive
+    normalize+split runs once because ``cache`` persists it
+    (MEMORY_AND_DISK; same persist-over-recompute tradeoff as
+    ``dedup.minhash_lsh_pairs``); pass ``cache=False`` to trade the
+    second tokenization pass for zero CacheManager residency.
     """
+    from pyspark import StorageLevel
+
     from hadoop__spark.operators.text import normalized, tokens
 
     group_cols = list(group_cols or ["source"])
@@ -470,6 +478,8 @@ def corpus_stats_sketch(
         tokens(F.col(text_col)).alias("_w"),
         F.md5(normalized(F.col(text_col))).alias("_fp"),
     )
+    if cache:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     doc_level = base.groupBy(*group_cols).agg(
         F.count("_id").cast("bigint").alias("n_docs"),
         F.sum(F.size("_w")).cast("bigint").alias("n_tokens"),
@@ -479,8 +489,18 @@ def corpus_stats_sketch(
         base.select(*group_cols, F.explode("_w").alias("_t"))
         .groupBy(*group_cols)
         .agg(F.hll_sketch_agg("_t", F.lit(lgk)).alias("vocab_sketch"))
+    ).select(
+        *[F.col(c).alias(f"_vg_{c}") for c in group_cols], "vocab_sketch"
     )
-    return doc_level.join(vocab, group_cols, "left")
+    # null-SAFE key match: groupBy keeps a NULL group on both sides,
+    # but a plain equality join would never pair them and the NULL
+    # group (missing-source ingest rows) would lose its vocabulary
+    cond = [
+        doc_level[c].eqNullSafe(F.col(f"_vg_{c}")) for c in group_cols
+    ]
+    return doc_level.join(vocab, cond, "left").drop(
+        *[f"_vg_{c}" for c in group_cols]
+    )
 
 
 def merge_corpus_stats(
@@ -522,12 +542,12 @@ def corpus_stats(
         *group_cols,
         "n_docs",
         "n_tokens",
-        F.hll_sketch_estimate("content_sketch")
-        .cast("bigint")
-        .alias("distinct_content_est"),
-        # a group whose documents hold no tokens has a NULL vocab
-        # sketch (nothing exploded into the agg); its vocabulary is 0,
-        # not unknown
+        # null sketches mean "nothing fed the aggregation" (all-null
+        # text for content, no tokens for vocab); both estimates are
+        # 0, not unknown
+        F.coalesce(
+            F.hll_sketch_estimate("content_sketch").cast("bigint"), F.lit(0)
+        ).alias("distinct_content_est"),
         F.coalesce(
             F.hll_sketch_estimate("vocab_sketch").cast("bigint"), F.lit(0)
         ).alias("vocab_est"),
@@ -648,6 +668,7 @@ def prepare_corpus(
     embeddings: DataFrame | None = None,
     embedding_col: str = "embedding",
     semantic_threshold: float = 0.95,
+    semantic_kwargs: dict | None = None,
     splits: dict[str, float] | None = None,
     split_salt: str = "split-v1",
     materialize_dir: str | None = None,
@@ -684,6 +705,11 @@ def prepare_corpus(
     given) over the text-dedup survivors — the SemDeDup-after-MinHash
     order the published pipelines use; documents without an embedding
     row pass through untouched (can't be semantically compared).
+    ``semantic_kwargs`` forwards the stage's cost knobs (``nlist``,
+    ``n_rows``, ``assign``, ``cache``, ``checkpoint_dir``); at 100 TB
+    pair it with ``materialize_dir`` so the stage's several actions
+    (centroid fit, clustering rounds, anti-join) read the materialized
+    ``deduped`` boundary instead of re-deriving the whole chain.
     Downstream packing is a separate call
     (:func:`pack_sequences` wants the token-count frame, not the
     text).  Every stage is one of this module's tested primitives, so
@@ -799,6 +825,7 @@ def prepare_corpus(
             threshold=semantic_threshold,
             scores=scores,
             score_col=score_col,
+            **(semantic_kwargs or {}),
         )
         sem_dropped = emb.select(id_col).join(
             kept.select(F.col(id_col).alias("_k")),

@@ -1048,9 +1048,11 @@ def embedding_dedup_pairs_bucketed(
     seed: int = 42,
     cache: bool = True,
     assign: str = "jvm",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The 100 TB composition: IVF-bucket the corpus, then pair-search
-    bucket-locally.
+    bucket-locally.  ``n_rows`` (when known) skips the centroid fit's
+    sizing count.
 
     Each vector is assigned to its ``n_assign`` nearest centroids
     (multi-assignment), so a near-duplicate pair straddling a Voronoi
@@ -1082,7 +1084,7 @@ def embedding_dedup_pairs_bucketed(
 
     if assign not in ("jvm", "arrow"):
         raise ValueError(f"assign must be 'jvm' or 'arrow', got {assign!r}")
-    cents = ivf_fit_centroids(df, nlist, vec_col, seed)
+    cents = ivf_fit_centroids(df, nlist, vec_col, seed, n_rows=n_rows)
     assigned = _normalized_assignment(
         df, cents, vec_col, id_col, n_assign, assign
     )
@@ -1192,6 +1194,7 @@ def embedding_pairs_against_index(
     threshold: float = 0.95,
     n_assign: int = 2,
     assign: str = "jvm",
+    cache: bool = True,
 ) -> DataFrame:
     """Incremental SEMANTIC dedup: near-duplicate pairs between a NEW
     batch and a persisted IVF index
@@ -1218,6 +1221,11 @@ ivf_append_index` completes the ingest loop without ever re-pairing
     b = _normalized_assignment(
         batch, cents, vec_col, id_col, n_assign, assign
     )
+    # the probe-id collect below and the pair join both evaluate the
+    # assignment — the operator's most expensive projection — so
+    # persist it once (same rationale as the bucketed variant's cache)
+    if cache:
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
     probe_ids = sorted(
         r.centroid_id
         for r in b.select("centroid_id").distinct().collect()
@@ -1257,6 +1265,12 @@ def cluster_keepers(
     ``score_col``, ties broken by the smallest id — the quality-aware
     alternative to :func:`dedup_clusters`'s implicit min-id keeper.
 
+    The scores join is a LEFT join: members missing from ``scores``
+    still compete, ranked below every scored member (null sorts
+    smallest under the struct max), and a cluster with NO scored
+    member keeps its smallest id — partial score coverage can demote
+    a document, never delete a whole cluster.
+
     One partially-aggregated shuffle: the argmax is a ``max`` over a
     ``struct(score, -id)`` (struct ordering = lexicographic), so each
     map partition reduces to one candidate row per cluster before the
@@ -1265,7 +1279,7 @@ def cluster_keepers(
     """
     from pyspark.sql.types import NumericType
 
-    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    joined = clusters.join(scores.select(id_col, score_col), id_col, "left")
     if not isinstance(joined.schema[id_col].dataType, NumericType):
         raise ValueError(
             f"cluster_keepers needs a numeric {id_col!r} for the "
@@ -1387,6 +1401,7 @@ def semantic_dedup(
     checkpoint_dir: str | None = None,
     n_rows: int | None = None,
     assign: str = "jvm",
+    cache: bool = True,
 ) -> DataFrame:
     """One-call SEMANTIC deduplication (the SemDeDup recipe, Abbas et
     al. 2023): cluster the corpus by embedding, drop all but one
@@ -1414,10 +1429,21 @@ def semantic_dedup(
     ``nlist``) to skip the count when the size is known.
     """
     if nlist is None:
-        n = n_rows if n_rows is not None else df.count()
-        nlist = max(16, int(4 * n**0.5))
+        n_rows = n_rows if n_rows is not None else df.count()
+        if n_rows == 0:
+            return df  # nothing to dedup; don't crash the k-means fit
+        nlist = max(16, int(4 * n_rows**0.5))
     pairs = embedding_dedup_pairs_bucketed(
-        df, vec_col, id_col, threshold, nlist, n_assign, seed, assign=assign
+        df,
+        vec_col,
+        id_col,
+        threshold,
+        nlist,
+        n_assign,
+        seed,
+        cache=cache,
+        assign=assign,
+        n_rows=n_rows,
     )
     clusters = dedup_clusters(pairs, checkpoint_dir=checkpoint_dir)
     return _cluster_survivors(df, clusters, id_col, scores, score_col)

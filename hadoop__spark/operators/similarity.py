@@ -125,6 +125,7 @@ def ivf_fit_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_size: int = 20_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """K-means centroids for IVF bucketing, trained on a bounded sample.
 
@@ -135,11 +136,17 @@ def ivf_fit_centroids(
     dominated at every scale.  At 100 TB the sample stays bounded (a
     few thousand rows per centroid is the accepted heuristic), and the
     result is a tiny (centroid_id, centroid) frame — always
-    broadcastable.
+    broadcastable.  Pass ``n_rows`` when the corpus size is already
+    known to skip the sizing count.  An empty corpus is a clear error
+    here, not a numpy shape crash downstream.
     """
     import numpy as np
 
-    n = corpus.count()
+    n = n_rows if n_rows is not None else corpus.count()
+    if n == 0:
+        raise ValueError(
+            "ivf_fit_centroids: cannot fit centroids on an empty corpus"
+        )
     sdf = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if n > sample_size:
         # oversample by 20% so the post-sample limit() reliably fills
@@ -252,7 +259,12 @@ def ivf_assign_arrow(
 
     Same semantics as :func:`ivf_assign`: cosine similarity, top
     ``n_assign`` per vector, ties broken ``sim desc, cid asc`` (stable
-    argsort over the cid-ordered columns).  Zero-norm vectors score 0
+    argsort over the cid-ordered columns).  Dirty-data alignment with
+    the JVM path: NULL vectors are dropped Spark-side (the fold path
+    drops them via the null-propagating explode), and NaN similarities
+    sort FIRST on the descending key (mapped to +inf before the
+    argsort — Spark's total ordering treats NaN as greatest, numpy's
+    argsort would have buried them last).  Zero-norm vectors score 0
     against every centroid and land in the lowest cid (the JVM path
     raises ``DIVIDE_BY_ZERO`` under ANSI mode there — the arrow
     kernel degrades gracefully instead).  Numeric caveat: numpy's pairwise
@@ -302,6 +314,9 @@ def ivf_assign_arrow(
             vn[vn == 0] = 1.0
             Vn = V / vn[:, None]
             S = Vn @ Cn
+            # NaN sims (NaN vector components) sort first under
+            # Spark's descending total order — replicate via +inf
+            S = np.where(np.isnan(S), np.inf, S)
             # stable ascending argsort of -sim: equal sims keep column
             # (= cid) order — the `sim desc, cid asc` tie-break
             top = np.argsort(-S, axis=1, kind="stable")[:, :n]
@@ -314,7 +329,11 @@ def ivf_assign_arrow(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return (
+        corpus.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(assign, out_schema)
+    )
 
 
 def ivf_write_index(

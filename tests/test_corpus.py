@@ -968,3 +968,23 @@ def test_streaming_sketch_accounting_equals_batch(spark, tmp_path):
         for r in corpus.corpus_stats(docs).collect()
     }
     assert merged == want and want
+
+
+def test_corpus_stats_null_group_key_keeps_vocab(spark):
+    """Review finding: a NULL group value must keep its vocabulary
+    (null-safe key join) and an all-null-text group reports 0 (not
+    null) for both estimates."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", None),
+            (2, "alpha gamma", None),
+            (3, "delta", "src1"),
+            (4, None, "deadtext"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {r.source: r for r in corpus.corpus_stats(df).collect()}
+    assert got[None].n_docs == 2 and got[None].vocab_est == 3
+    assert got[None].distinct_content_est == 2
+    assert got["deadtext"].distinct_content_est == 0
+    assert got["deadtext"].vocab_est == 0

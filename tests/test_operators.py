@@ -819,3 +819,61 @@ def test_embedding_pairs_against_index_incremental(spark, embs, tmp_path):
         ).collect()
     }
     assert arrow_pairs == got_pairs
+
+
+def test_cluster_keepers_partial_scores_never_delete_clusters(spark):
+    """Review finding: a cluster with NO scored member must keep its
+    smallest id (not vanish), and an unscored member ranks below any
+    scored one."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "doc_id LONG, cluster_id LONG"
+    )
+    # cluster 1: only doc 2 scored -> doc 2 wins; cluster 5: unscored
+    scores = spark.createDataFrame([(2, 0.1)], "doc_id LONG, quality_score DOUBLE")
+    got = {
+        (r.cluster_id, r.doc_id)
+        for r in dedup.cluster_keepers(clusters, scores).collect()
+    }
+    assert got == {(1, 2), (5, 5)}
+    # one-call path: partial scores must not delete the unscored cluster
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in [
+            (1, "aaa bbb ccc ddd eee"), (2, "aaa bbb ccc ddd eee fff"),
+            (5, "xxx yyy zzz www vvv"), (6, "xxx yyy zzz www vvv uuu"),
+            (9, "unrelated words entirely here okay"),
+        ]],
+        "doc_id LONG, text STRING",
+    )
+    surv = {
+        r.doc_id
+        for r in dedup.dedup_corpus(
+            docs, method="minhash", threshold=0.5, n=2,
+            scores=spark.createDataFrame([(2, 0.1)], "doc_id LONG, quality_score DOUBLE"),
+        ).collect()
+    }
+    assert 9 in surv
+    assert surv & {1, 2} == {2}, "scored member wins its cluster"
+    assert len(surv & {5, 6}) == 1, "unscored cluster keeps exactly one member"
+
+
+def test_semantic_dedup_empty_input_and_fit_guard(spark):
+    """Empty embeddings: semantic_dedup is a no-op frame, and the
+    centroid fit raises a clear error instead of a numpy shape crash."""
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert dedup.semantic_dedup(empty).count() == 0
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.ivf_fit_centroids(empty)
+
+
+def test_ivf_assign_arrow_null_vector_dropped_like_jvm(spark, embs):
+    """A NULL embedding row is dropped by both kernels (the JVM
+    explode propagates the null away; arrow filters it Spark-side)."""
+    cents = similarity.ivf_fit_centroids(embs, nlist=4)
+    dirty = embs.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(999999, None)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        )
+    )
+    got = similarity.ivf_assign_arrow(dirty, cents).collect()
+    assert len(got) == embs.count()
+    assert all(r.vec_id != 999999 for r in got)
