@@ -10,6 +10,7 @@ multimodal decode path where imperative byte handling is the point.
 from hadoop__spark.operators import (
     corpus,
     dedup,
+    ingest,
     multimodal,
     similarity,
     skew,
@@ -22,6 +23,7 @@ __all__ = [
     "corpus",
     "dedup",
     "ensure_parallelism",
+    "ingest",
     "global_running_sum",
     "multimodal",
     "similarity",

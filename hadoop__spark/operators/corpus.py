@@ -422,17 +422,22 @@ def keep_top_fraction(
     """
     if not 0.0 <= keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in [0, 1], got {keep_frac}")
+    # the internal scalar column must not collide with an input column
+    # (an ambiguous '_cutoff' would silently break the filter/drop)
+    cut_name = "_cutoff"
+    while cut_name in df.columns:
+        cut_name += "_"
     # no keep_frac==1 shortcut: quantile 0.0 is the non-null minimum,
     # so "keep everything" still uniformly excludes null scores
     cutoff = df.agg(
         F.percentile_approx(
             score_col, F.lit(1.0 - keep_frac), F.lit(accuracy)
-        ).alias("_cutoff")
+        ).alias(cut_name)
     )
     return (
         df.join(F.broadcast(cutoff))
-        .where(F.col(score_col) >= F.col("_cutoff"))
-        .drop("_cutoff")
+        .where(F.col(score_col) >= F.col(cut_name))
+        .drop(cut_name)
     )
 
 
@@ -482,7 +487,12 @@ def corpus_stats_sketch(
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     doc_level = base.groupBy(*group_cols).agg(
         F.count("_id").cast("bigint").alias("n_docs"),
-        F.sum(F.size("_w")).cast("bigint").alias("n_tokens"),
+        # coalesce: a group whose every document has null text sums to
+        # null — counts are 0, not unknown, same policy as the
+        # sketch-estimate coalesces in corpus_stats
+        F.coalesce(F.sum(F.size("_w")), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
         F.hll_sketch_agg("_fp", F.lit(lgk)).alias("content_sketch"),
     )
     vocab = (
@@ -514,7 +524,11 @@ def merge_corpus_stats(
     group_cols = list(group_cols or ["source"])
     return sketches.groupBy(*group_cols).agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        # coalesce: sketch tables written before n_tokens was
+        # null-proofed may carry null sums; 0-not-unknown either way
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
         F.hll_union_agg("content_sketch").alias("content_sketch"),
         F.hll_union_agg("vocab_sketch").alias("vocab_sketch"),
     )
@@ -541,7 +555,7 @@ def corpus_stats(
     return sk.select(
         *group_cols,
         "n_docs",
-        "n_tokens",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
         # null sketches mean "nothing fed the aggregation" (all-null
         # text for content, no tokens for vocab); both estimates are
         # 0, not unknown
@@ -661,6 +675,7 @@ def prepare_corpus(
     redact: bool = True,
     max_dup_token_frac: float = 0.6,
     keep_frac: float | None = None,
+    unscored: str = "drop",
     group_cap: tuple[str, int] | None = None,
     dedup_method: str = "fingerprint",
     scores: DataFrame | None = None,
@@ -690,12 +705,27 @@ def prepare_corpus(
     near-dup clusters keep their best-scoring member
     (:func:`~hadoop__spark.operators.dedup.cluster_keepers`) instead
     of the smallest id; fingerprint mode ignores scores (exact copies
-    are interchangeable).  ``keep_frac`` adds the
+    are interchangeable).  ``scores`` is normalized to one row per id
+    up front (``max`` of the score — duplicate score rows would
+    otherwise fan out every join they feed, and a document occupying
+    several rank slots lets a capped group keep fewer than ``k``
+    distinct documents).  ``keep_frac`` adds the
     :func:`keep_top_fraction` quantile gate over ``scores`` (requires
-    it; documents with no score row are dropped — unscored means
-    unvetted).  ``group_cap=(col, k)`` caps documents per value of
-    ``col`` via :func:`cap_per_group`, best-scored first when
-    ``scores`` is given, smallest id otherwise.  Both run after the
+    it); the cutoff quantile is computed over the scores of the
+    SURVIVORS of the earlier stages (scores semi-joined to the
+    filtered ids), so the realized kept share tracks ``keep_frac``
+    even when decontamination/line-dedup/repetition filtering removed
+    a score-correlated subset.  ``unscored`` sets the gate's policy
+    for documents with no score row: ``"drop"`` (default — unscored
+    means unvetted) or ``"keep"`` (only scored-and-below-cutoff rows
+    are removed).  Note the deliberate asymmetry with ``group_cap``,
+    where unscored documents ALWAYS still count against the cap
+    (ranked last in their group) — a volume bound must not exempt
+    rows, while a quality gate may reasonably pass unvetted ones
+    through to a downstream scorer.  ``group_cap=(col, k)`` caps
+    documents per value of ``col`` via :func:`cap_per_group`,
+    best-scored first when ``scores`` is given, smallest id
+    otherwise.  Both run after the
     repetition filter and before dedup — cheap row filters first, the
     shuffling stages on the smallest surviving set.  ``embeddings``
     (an ``(id_col, embedding_col)`` frame of DOCUMENT embeddings)
@@ -740,6 +770,13 @@ def prepare_corpus(
         frame.write.mode("overwrite").parquet(p)
         return frame.sparkSession.read.parquet(p)
 
+    if scores is not None:
+        # one row per id: duplicate score rows would fan out the
+        # group_cap/keepers joins and skew the keep_frac quantile;
+        # max is the deterministic collapse policy (docstring)
+        scores = scores.groupBy(id_col).agg(
+            F.max(score_col).alias(score_col)
+        )
     out = df
     if benchmark is not None:
         out = _stage(
@@ -773,10 +810,30 @@ def prepare_corpus(
     if keep_frac is not None:
         if scores is None:
             raise ValueError("keep_frac needs a scores frame")
-        kept = keep_top_fraction(scores, keep_frac, score_col).select(
+        if unscored not in ("drop", "keep"):
+            raise ValueError(
+                f"unscored must be 'drop' or 'keep', got {unscored!r}"
+            )
+        # quantile over the SURVIVORS' scores, not the whole scores
+        # frame (docstring); the semi-join re-derives the filtered
+        # chain once — pass materialize_dir to make it a table scan
+        surv_scores = scores.join(
+            out.select(id_col), id_col, "left_semi"
+        )
+        kept = keep_top_fraction(surv_scores, keep_frac, score_col).select(
             F.col(id_col).alias("_q_id")
         )
-        out = out.join(kept, F.col(id_col) == F.col("_q_id"), "left_semi")
+        if unscored == "drop":
+            out = out.join(
+                kept, F.col(id_col) == F.col("_q_id"), "left_semi"
+            )
+        else:
+            rejected = surv_scores.select(
+                F.col(id_col).alias("_q_id")
+            ).join(kept, "_q_id", "left_anti")
+            out = out.join(
+                rejected, F.col(id_col) == F.col("_q_id"), "left_anti"
+            )
     if group_cap is not None:
         cap_col, cap_k = group_cap
         slim = out.select(id_col, cap_col)

@@ -312,9 +312,12 @@ def minhash_write_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 64,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the MinHash state as tables: ``{path}/shingles``
     (_id, _sh) and ``{path}/signatures`` (_id, mh_0..mh_{num_perm-1}).
+    ``mode="append"`` adds a new batch's rows to both tables (the
+    ingest loop; ``n``/``num_perm`` must match the stored state).
 
     This is the 100 TB lifecycle answer to the persist-vs-checkpoint
     tradeoff documented in :func:`minhash_lsh_pairs` (and the path
@@ -329,8 +332,8 @@ def minhash_write_signatures(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        base.write.mode("overwrite").parquet(f"{path}/shingles")
-        _minhash_signatures(base, num_perm).write.mode("overwrite").parquet(
+        base.write.mode(mode).parquet(f"{path}/shingles")
+        _minhash_signatures(base, num_perm).write.mode(mode).parquet(
             f"{path}/signatures"
         )
     finally:
@@ -465,15 +468,21 @@ def fingerprint_write(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the corpus exact-dedup state as a parquet table
     ``{path}/fingerprints`` (fp, keep_id, n_copies) — the md5 of each
     distinct normalized text with its keeper id.  16 bytes + id per
     DISTINCT document: the membership table an incremental pipeline
-    probes new batches against (:func:`fingerprint_filter_new`)."""
-    fingerprint_dedup(df, text_col, id_col).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/fingerprints")
+    probes new batches against (:func:`fingerprint_filter_new`).
+
+    ``mode="append"`` adds a batch's fingerprints to the table —
+    the ingest-loop step after :func:`fingerprint_filter_new` already
+    removed the fps the table knows (so appends stay disjoint; pass a
+    FILTERED batch, and note ``n_copies`` is then per-batch)."""
+    fingerprint_dedup(df, text_col, id_col).write.mode(mode).parquet(
+        f"{path}/fingerprints"
+    )
 
 
 def fingerprint_filter_new(
@@ -1266,35 +1275,36 @@ def cluster_keepers(
     alternative to :func:`dedup_clusters`'s implicit min-id keeper.
 
     The scores join is a LEFT join: members missing from ``scores``
-    still compete, ranked below every scored member (null sorts
-    smallest under the struct max), and a cluster with NO scored
-    member keeps its smallest id — partial score coverage can demote
-    a document, never delete a whole cluster.
+    still compete, ranked below every scored member, and a cluster
+    with NO scored member keeps its smallest id — partial score
+    coverage can demote a document, never delete a whole cluster.
+    (NaN scores rank with the unscored, below every real score.)
 
-    One partially-aggregated shuffle: the argmax is a ``max`` over a
-    ``struct(score, -id)`` (struct ordering = lexicographic), so each
-    map partition reduces to one candidate row per cluster before the
-    exchange — no window over cluster members.  Requires a numeric id
-    (the negation is the ascending-id tie-break inside a max).
+    One partially-aggregated shuffle: the argmax is a ``min`` over a
+    ``struct(-score, id)`` (struct ordering = lexicographic; null and
+    NaN scores map to the +inf sort key), so each map partition
+    reduces to one candidate row per cluster before the exchange — no
+    window over cluster members, and the id never needs arithmetic,
+    so STRING/UUID/URL ids work as well as numeric ones (ties fall to
+    the type's natural minimum — numeric or lexicographic).
     """
-    from pyspark.sql.types import NumericType
-
     joined = clusters.join(scores.select(id_col, score_col), id_col, "left")
-    if not isinstance(joined.schema[id_col].dataType, NumericType):
-        raise ValueError(
-            f"cluster_keepers needs a numeric {id_col!r} for the "
-            "min-id tie-break inside the struct max"
-        )
+    score = F.col(score_col).cast("double")
+    sort_key = F.when(
+        score.isNull() | F.isnan(score), F.lit(float("inf"))
+    ).otherwise(-score)
     best = joined.groupBy(cluster_col).agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col(score_col).alias("_s"), (-F.col(id_col)).alias("_nid")
+                sort_key.alias("_k"),
+                F.col(id_col).alias("_id"),
+                F.col(score_col).alias("_s"),
             )
         ).alias("_b")
     )
     return best.select(
         cluster_col,
-        (-F.col("_b._nid")).alias(id_col),
+        F.col("_b._id").alias(id_col),
         F.col("_b._s").alias(score_col),
     )
 
@@ -1308,6 +1318,7 @@ def dedup_corpus(
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
     checkpoint_dir: str | None = None,
+    pairs: DataFrame | None = None,
     **method_kwargs,
 ) -> DataFrame:
     """One-call corpus deduplication: returns the SURVIVING rows of
@@ -1323,30 +1334,58 @@ def dedup_corpus(
       → one keeper per cluster.  With ``scores`` (an (id, score)
       frame) the keeper is the cluster's best-scoring member
       (:func:`cluster_keepers`); without, the smallest id.
+    * ``"simhash"`` — pairs from :func:`simhash_pairs` (Hamming
+      distance; tune ``max_hamming``/``n_chunks``/``n_docs`` via
+      ``method_kwargs`` — ``threshold`` does not apply), then the
+      same clusters→keepers→survivors step.
+    * ``"ngram"`` — pairs from :func:`ngram_jaccard_pairs` at
+      ``threshold`` (``n``, ``prefix_filter``, ``doc_freq`` via
+      ``method_kwargs``), then the same downstream step.
+
+    ``pairs`` is the escape hatch for every other pair source: any
+    precomputed ``(id_a, id_b, …)`` frame — materialized signatures
+    (:func:`minhash_lsh_pairs_from`, :func:`simhash_pairs_from`),
+    incremental batches (:func:`minhash_lsh_pairs_between`,
+    :func:`embedding_pairs_against_index` — rename their id columns
+    to ``id_a``/``id_b``), or a hand-built union of several methods.
+    When given it overrides ``method`` and ``df`` is only touched by
+    the final anti-join.
 
     Documents in no cluster survive untouched; the anti-join against
     the dropped-id set is the only touch on the full corpus, so the
     operator adds one broadcast-able join on top of the underlying
     method's cost.  ``method_kwargs`` pass through to the pair
-    generator (``n``, ``num_perm``, ``bands``, ``max_bucket``,
-    ``cache``); ``checkpoint_dir`` is routed to
-    :func:`dedup_clusters` for reliable per-round checkpointing at
-    scale.
+    generator; ``checkpoint_dir`` is routed to :func:`dedup_clusters`
+    for reliable per-round checkpointing at scale.
     """
-    if method == "fingerprint":
-        keep = fingerprint_dedup(df, text_col, id_col).select(
-            F.col("keep_id").alias("_keep")
-        )
-        return df.join(
-            keep, F.col(id_col) == F.col("_keep"), "left_semi"
-        )
-    if method != "minhash":
+    if pairs is None:
+        if method == "fingerprint":
+            keep = fingerprint_dedup(df, text_col, id_col).select(
+                F.col("keep_id").alias("_keep")
+            )
+            return df.join(
+                keep, F.col(id_col) == F.col("_keep"), "left_semi"
+            )
+        if method == "minhash":
+            pairs = minhash_lsh_pairs(
+                df, text_col, id_col, threshold=threshold, **method_kwargs
+            )
+        elif method == "simhash":
+            pairs = simhash_pairs(df, text_col, id_col, **method_kwargs)
+        elif method == "ngram":
+            pairs = ngram_jaccard_pairs(
+                df, text_col, id_col, threshold=threshold, **method_kwargs
+            )
+        else:
+            raise ValueError(
+                "method must be 'fingerprint', 'minhash', 'simhash' or "
+                f"'ngram', got {method!r}"
+            )
+    elif {"id_a", "id_b"} - set(pairs.columns):
         raise ValueError(
-            f"method must be 'fingerprint' or 'minhash', got {method!r}"
+            "pairs= frame needs id_a and id_b columns, got "
+            f"{pairs.columns}"
         )
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, threshold=threshold, **method_kwargs
-    )
     # dedup_clusters emits fixed (doc_id, cluster_id) names regardless
     # of id_col; all downstream joins use those fixed names, with
     # scores renamed INTO the fixed schema rather than clusters out of
@@ -1424,14 +1463,19 @@ def semantic_dedup(
     checkpointing at 100 TB), and one anti-join on the small dropped
     set against the corpus.  ``nlist=None`` (default) self-sizes to
     the faiss rule ``max(16, 4√N)`` — balancing the ``N·nlist``
-    assignment cost against the ``(n_assign·N)²/nlist`` pairing cost
-    — at the price of one count job; pass ``n_rows`` (or an explicit
-    ``nlist``) to skip the count when the size is known.
+    assignment cost against the ``(n_assign·N)²/nlist`` pairing cost.
+    The corpus is counted once unless ``n_rows`` is supplied — the
+    count feeds both the sizing rule and the empty-input no-op guard
+    (which must fire even under an explicit ``nlist``); pass
+    ``n_rows`` to skip it when the size is already known.
     """
+    # the empty-input no-op must fire regardless of whether nlist was
+    # given (an explicit nlist used to crash ivf_fit_centroids on an
+    # empty frame); pass n_rows to skip the sizing count when known
+    n_rows = n_rows if n_rows is not None else df.count()
+    if n_rows == 0:
+        return df  # nothing to dedup; don't crash the k-means fit
     if nlist is None:
-        n_rows = n_rows if n_rows is not None else df.count()
-        if n_rows == 0:
-            return df  # nothing to dedup; don't crash the k-means fit
         nlist = max(16, int(4 * n_rows**0.5))
     pairs = embedding_dedup_pairs_bucketed(
         df,

@@ -1,0 +1,246 @@
+"""The incremental corpus-ingest loop, end to end.
+
+A 100 TB training-data pipeline does not re-dedup its corpus from
+scratch per crawl — it maintains persisted dedup STATE (exact
+fingerprints, MinHash signatures, an IVF embedding index) and folds
+each new batch against that state:
+
+1. exact:    :func:`~hadoop__spark.operators.dedup.fingerprint_filter_new`
+2. near-dup: :func:`~hadoop__spark.operators.dedup.minhash_lsh_pairs_between`
+3. semantic: :func:`~hadoop__spark.operators.dedup.embedding_pairs_against_index`
+4. within-batch dedup of what remains, then append the survivors to
+   every state table (:func:`~hadoop__spark.operators.dedup.fingerprint_write`,
+   :func:`~hadoop__spark.operators.dedup.minhash_write_signatures`,
+   :func:`~hadoop__spark.operators.similarity.ivf_append_index`).
+
+:func:`ingest_batch` is that loop as one call.  Each primitive's
+docstring argues its own composition claim; the end-to-end claim — a
+two-batch ingest equals the from-scratch dedup of the union — is
+pinned in tests/test_ingest.py.
+
+The reference (a 2015 HiveQL lineage analyzer, /root/reference
+README.md) has no ingest surface; this is beyond-reference pipeline
+capability built from this package's own tested primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hadoop__spark.operators.dedup import (
+    dedup_corpus,
+    embedding_pairs_against_index,
+    fingerprint_filter_new,
+    fingerprint_write,
+    minhash_lsh_pairs_between,
+    minhash_write_signatures,
+    semantic_dedup,
+)
+from hadoop__spark.operators.similarity import (
+    ivf_append_index,
+    ivf_write_index,
+)
+
+
+def _table_exists(spark, path: str) -> bool:
+    """True when ``path`` exists on the session's Hadoop filesystem
+    (works for local paths, HDFS and object stores alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def _drop_ids(df: DataFrame, id_col: str, bad_ids: DataFrame) -> DataFrame:
+    """Anti-join ``df`` against a one-column frame of ids to remove."""
+    return df.join(
+        bad_ids.select(F.col(bad_ids.columns[0]).alias("_bad")),
+        F.col(id_col) == F.col("_bad"),
+        "left_anti",
+    )
+
+
+def ingest_batch(
+    spark,
+    state_dir: str,
+    batch: DataFrame,
+    batch_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    scores: DataFrame | None = None,
+    score_col: str = "quality_score",
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    nlist: int | None = None,
+    n_assign: int = 2,
+    assign: str = "jvm",
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Ingest one document batch against the persisted dedup state
+    under ``state_dir``, returning the batch's SURVIVING rows (already
+    appended to the state and materialized at
+    ``{state_dir}/batches/{batch_name}``).
+
+    The first call bootstraps: no state exists, so the batch is
+    self-deduped and becomes the initial state
+    (:func:`~hadoop__spark.operators.dedup.fingerprint_write` +
+    :func:`~hadoop__spark.operators.dedup.minhash_write_signatures`,
+    plus :func:`~hadoop__spark.operators.similarity.ivf_write_index`
+    when ``embeddings`` is given).  Every later call runs the
+    three-plane incremental filter — exact fingerprints, MinHash
+    near-dups, IVF semantic near-dups, each O(batch) against the
+    state, never O(corpus²) — then self-dedups the remainder and
+    APPENDS its survivors to each state table.
+
+    Keeper policy: first arrival wins ACROSS batches — a new document
+    that duplicates anything already ingested is dropped, because the
+    indexed copy is already published downstream and cannot be
+    recalled.  ``scores`` therefore only arbitrates WITHIN a batch
+    (routed to the quality-aware keepers of
+    :func:`~hadoop__spark.operators.dedup.dedup_corpus` /
+    :func:`~hadoop__spark.operators.dedup.semantic_dedup`).  With
+    ascending ids across batches this matches the from-scratch
+    min-id keeper exactly (tested); with out-of-order ids the
+    surviving SET differs only by which clique member represents
+    each duplicate group.
+
+    Scale shape: the batch is the small side everywhere — the exact
+    filter is one anti-join on a 16-byte digest, the MinHash probe
+    joins the batch's band table against the stored one (cost ∝ batch
+    bucket memberships), the semantic probe partition-prunes the IVF
+    index to the batch's bucket set, and the survivors are written to
+    ``{state_dir}/batches/{batch_name}`` BEFORE the state appends, so
+    the appends and the returned frame all scan that table instead of
+    re-deriving the filter chain (and no state table is ever read and
+    appended in the same job).  Within-batch semantic dedup fits its
+    own centroids on the (small) batch; cross-batch probing always
+    uses the index's frozen centroids.
+
+    ``n``/``num_perm`` must match the stored MinHash state across
+    calls; ``nlist`` sizes the bootstrap IVF fit (default: the faiss
+    ``max(16, 4√N)`` rule via
+    :func:`~hadoop__spark.operators.dedup.semantic_dedup`'s sizing).
+    """
+    bootstrap = not _table_exists(spark, f"{state_dir}/fingerprints")
+    fresh = batch
+    if not bootstrap:
+        # plane 1: exact copies of anything already ingested
+        fresh = fingerprint_filter_new(
+            spark, state_dir, fresh, text_col, id_col
+        )
+        # plane 2: near-dups of the indexed corpus
+        cross = minhash_lsh_pairs_between(
+            spark,
+            state_dir,
+            fresh,
+            text_col,
+            id_col,
+            n=n,
+            bands=bands,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        )
+        fresh = _drop_ids(fresh, id_col, cross.select("id_new").distinct())
+
+    # within-batch exact + near-dup (identical texts share shingle
+    # sets, so the minhash pairs subsume exact duplicates)
+    surv = dedup_corpus(
+        fresh,
+        text_col,
+        id_col,
+        method="minhash",
+        threshold=threshold,
+        scores=scores,
+        score_col=score_col,
+        checkpoint_dir=checkpoint_dir,
+        n=n,
+        num_perm=num_perm,
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+
+    ivf_path = f"{state_dir}/ivf"
+    if embeddings is not None:
+        emb = embeddings.select(
+            F.col(id_col).alias("_eid"), F.col(embedding_col)
+        ).join(
+            surv.select(F.col(id_col).alias("_eid")), "_eid", "left_semi"
+        ).select(F.col("_eid").alias(id_col), embedding_col)
+        if _table_exists(spark, f"{ivf_path}/centroids"):
+            # plane 3: semantic near-dups of the indexed corpus
+            # (frozen-centroid assignment, partition-pruned probe)
+            cross_e = embedding_pairs_against_index(
+                spark,
+                ivf_path,
+                emb,
+                embedding_col,
+                id_col,
+                threshold=semantic_threshold,
+                n_assign=n_assign,
+                assign=assign,
+            )
+            dup_e = cross_e.select("id_new").distinct()
+            surv = _drop_ids(surv, id_col, dup_e)
+            emb = _drop_ids(emb, id_col, dup_e)
+        # within-batch semantic dedup (fits its own centroids on the
+        # small batch; scores arbitrate keepers as in dedup_corpus)
+        kept_e = semantic_dedup(
+            emb,
+            vec_col=embedding_col,
+            id_col=id_col,
+            threshold=semantic_threshold,
+            nlist=nlist,
+            n_assign=n_assign,
+            seed=seed,
+            scores=scores,
+            score_col=score_col,
+            checkpoint_dir=checkpoint_dir,
+            assign=assign,
+        )
+        sem_dropped = emb.select(id_col).join(
+            kept_e.select(F.col(id_col).alias("_k")),
+            F.col(id_col) == F.col("_k"),
+            "left_anti",
+        )
+        surv = _drop_ids(surv, id_col, sem_dropped.select(id_col))
+
+    # materialize the survivors ONCE; everything below (three state
+    # appends + the returned frame) scans this table instead of
+    # re-running the filter chain — and the fingerprint append no
+    # longer reads the table it writes
+    batch_path = f"{state_dir}/batches/{batch_name}"
+    surv.write.mode("overwrite").parquet(batch_path)
+    surv_m = spark.read.parquet(batch_path)
+
+    write_mode = "overwrite" if bootstrap else "append"
+    fingerprint_write(surv_m, state_dir, text_col, id_col, mode=write_mode)
+    minhash_write_signatures(
+        surv_m, state_dir, text_col, id_col, n=n, num_perm=num_perm,
+        mode=write_mode,
+    )
+    if embeddings is not None:
+        emb_m = embeddings.select(
+            F.col(id_col).alias("_eid"), F.col(embedding_col)
+        ).join(
+            surv_m.select(F.col(id_col).alias("_eid")), "_eid", "left_semi"
+        ).select(F.col("_eid").alias(id_col), embedding_col)
+        if bootstrap or not _table_exists(spark, f"{ivf_path}/centroids"):
+            fit_nlist = nlist
+            if fit_nlist is None:
+                fit_nlist = max(16, int(4 * max(emb_m.count(), 1) ** 0.5))
+            ivf_write_index(
+                emb_m, ivf_path, nlist=fit_nlist, vec_col=embedding_col,
+                id_col=id_col, seed=seed,
+            )
+        else:
+            ivf_append_index(
+                spark, ivf_path, emb_m, vec_col=embedding_col, id_col=id_col
+            )
+    return surv_m

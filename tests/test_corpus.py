@@ -457,11 +457,21 @@ def test_cluster_keepers_quality_argmax(spark):
         for r in dedup.cluster_keepers(clusters, scores).collect()
     }
     assert got == {1: (2, 0.9), 4: (4, 0.1), 5: (5, 0.7)}
-    with pytest.raises(ValueError, match="numeric"):
-        dedup.cluster_keepers(
-            clusters.withColumn("doc_id", F.col("doc_id").cast("string")),
-            scores.withColumn("doc_id", F.col("doc_id").cast("string")),
-        )
+    # string ids (URL/UUID corpora) work identically — the argmax is a
+    # min over struct(-score, id), no id arithmetic (round-7: the old
+    # negated-id tie-break required numeric ids); ties fall to the
+    # LEXICOGRAPHIC minimum for strings
+    s_clusters = clusters.withColumn(
+        "doc_id", F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    )
+    s_scores = scores.withColumn(
+        "doc_id", F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    )
+    s_got = {
+        r.cluster_id: (r.doc_id, r.quality_score)
+        for r in dedup.cluster_keepers(s_clusters, s_scores).collect()
+    }
+    assert s_got == {1: ("u2", 0.9), 4: ("u4", 0.1), 5: ("u5", 0.7)}
 
 
 def test_prepare_corpus_chain(spark):
@@ -744,7 +754,10 @@ def test_prepare_corpus_quality_gate_and_group_cap(spark):
 
     stats = corpus.repetition_stats(docs).select("doc_id", "dup_token_frac")
     kept = docs.join(stats, "doc_id").where(F.col("dup_token_frac") <= 0.6)
-    q_ids = corpus.keep_top_fraction(scores, 0.5).select("doc_id")
+    # the gate's quantile is over the SURVIVORS' scores (round-7
+    # semantics), so the piecewise composition semi-joins first
+    surv_scores = scores.join(kept.select("doc_id"), "doc_id", "left_semi")
+    q_ids = corpus.keep_top_fraction(surv_scores, 0.5).select("doc_id")
     kept = kept.join(q_ids, "doc_id", "left_semi")
     slim = kept.select("doc_id", "source").join(scores, "doc_id", "left")
     cap_ids = corpus.cap_per_group(
@@ -988,3 +1001,96 @@ def test_corpus_stats_null_group_key_keeps_vocab(spark):
     assert got[None].distinct_content_est == 2
     assert got["deadtext"].distinct_content_est == 0
     assert got["deadtext"].vocab_est == 0
+    # ADVICE r6: counts agree with estimates — n_tokens is 0, not
+    # NULL, for the all-null-text group, directly and through a merge
+    assert got["deadtext"].n_tokens == 0
+    merged = {
+        r.source: r.n_tokens
+        for r in corpus.corpus_stats(
+            corpus.merge_corpus_stats(corpus.corpus_stats_sketch(df)),
+            from_sketches=True,
+        ).collect()
+    }
+    assert merged["deadtext"] == 0 and merged[None] == 4
+
+
+def test_keep_top_fraction_cutoff_name_collision(spark):
+    """ADVICE r6: an input frame that already has a '_cutoff' column
+    must not produce an ambiguous internal join column."""
+    df = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(1, 21)],
+        "doc_id LONG, quality_score DOUBLE, _cutoff DOUBLE",
+    )
+    kept = corpus.keep_top_fraction(df, 0.25)
+    ids = {r.doc_id for r in kept.collect()}
+    # 0.75-quantile of 1..20 at exact accuracy = 15 -> scores >= 15
+    assert ids == {15, 16, 17, 18, 19, 20}
+    assert set(kept.columns) == {"doc_id", "quality_score", "_cutoff"}
+    # the caller's _cutoff values survive untouched
+    assert {r._cutoff for r in kept.collect()} == {-float(i) for i in ids}
+
+
+def test_prepare_corpus_duplicate_score_rows_collapse(spark):
+    """ADVICE r6: duplicate ids in the scores frame must not fan out
+    the group_cap join (a doc occupying several rank slots starves its
+    group below k) — scores collapse to max-per-id up front."""
+    from hadoop__spark.operators import text as text_ops
+
+    docs = _docs(spark)
+    scores = text_ops.quality_score(docs).select("doc_id", "quality_score")
+    dup_scores = scores.unionByName(
+        scores.withColumn(
+            "quality_score", F.col("quality_score") - F.lit(1000.0)
+        )
+    )
+    want = {
+        r.doc_id
+        for r in corpus.prepare_corpus(
+            docs, redact=False, group_cap=("source", 4), scores=scores
+        ).collect()
+    }
+    got = {
+        r.doc_id
+        for r in corpus.prepare_corpus(
+            docs, redact=False, group_cap=("source", 4), scores=dup_scores
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_prepare_corpus_unscored_keep_policy(spark):
+    """Round-7 knob: unscored='keep' passes documents with no score
+    row through the keep_frac gate (only scored-below-cutoff rows are
+    removed); 'drop' (default) removes them; anything else refuses."""
+    from hadoop__spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"every document body here is unique number {i}") for i in range(1, 21)],
+        "doc_id LONG, text STRING",
+    )
+    # only even ids scored (score = id); odd ids are unscored
+    scores = spark.createDataFrame(
+        [(i, float(i)) for i in range(2, 21, 2)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    dropped = {
+        r.doc_id
+        for r in corpus.prepare_corpus(
+            docs, redact=False, keep_frac=0.5, scores=scores
+        ).collect()
+    }
+    kept = {
+        r.doc_id
+        for r in corpus.prepare_corpus(
+            docs, redact=False, keep_frac=0.5, scores=scores,
+            unscored="keep",
+        ).collect()
+    }
+    # 0.5-quantile of the 10 even scores = 10 -> scored survivors are
+    # the evens >= 10 under BOTH policies; odds pass only under 'keep'
+    assert dropped == {10, 12, 14, 16, 18, 20}
+    assert kept == dropped | {i for i in range(1, 21, 2)}
+    with pytest.raises(ValueError, match="unscored"):
+        corpus.prepare_corpus(
+            docs, keep_frac=0.5, scores=scores, unscored="maybe"
+        )

@@ -1,0 +1,144 @@
+"""End-to-end incremental ingest loop: a two-batch ingest must equal
+the from-scratch dedup of the union — the composition claim each
+incremental primitive (fingerprint_filter_new, minhash_lsh_pairs_between,
+embedding_pairs_against_index, ivf_append_index) makes individually."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop__spark.operators import dedup, similarity
+from hadoop__spark.operators.ingest import _table_exists, ingest_batch
+from hadoop__spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_DIR)["documents"]
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_tables(spark, SF_DIR)["embeddings"]
+
+
+def test_two_batch_ingest_equals_from_scratch_text(spark, docs, tmp_path):
+    """Split the fixture corpus by id into two arrival batches (ids
+    ascend across batches, so first-arrival == min-id): batch-1
+    survivors ∪ batch-2 survivors must equal dedup_corpus of the
+    union, and the state tables must cover exactly the survivors."""
+    state = str(tmp_path / "state")
+    cut = 250
+    b1 = docs.where(F.col("doc_id") < cut)
+    b2 = docs.where(F.col("doc_id") >= cut)
+
+    s1 = {r.doc_id for r in ingest_batch(spark, state, b1, "b1").collect()}
+    s2 = {r.doc_id for r in ingest_batch(spark, state, b2, "b2").collect()}
+    assert s1 and s2 and not (s1 & s2)
+
+    want = {
+        r.doc_id
+        for r in dedup.dedup_corpus(docs, method="minhash").collect()
+    }
+    assert s1 | s2 == want
+
+    # state covers exactly the survivors: one signature row per
+    # survivor, and the fingerprint table knows every survivor's text
+    sig_ids = {
+        r._id
+        for r in spark.read.parquet(f"{state}/signatures").collect()
+    }
+    assert sig_ids == want
+    # idempotence: re-ingesting the whole corpus survives NOTHING —
+    # exact copies die on the fingerprint plane, near-dup-dropped docs
+    # (distinct texts, so unknown fingerprints) die on the MinHash
+    # probe against their indexed keepers
+    again = ingest_batch(spark, state, docs, "b3")
+    assert again.count() == 0
+
+
+def test_second_batch_probe_is_pruned(spark, docs, tmp_path):
+    """The batch-2 near-dup probe must join the batch's band table
+    against the STORED signature table (a column-pruned parquet scan),
+    not re-pair the corpus: the pair plan reads mh_* columns from the
+    signatures table and the batch side only."""
+    state = str(tmp_path / "state")
+    b1 = docs.where(F.col("doc_id") < 250)
+    ingest_batch(spark, state, b1, "b1")
+    pairs = dedup.minhash_lsh_pairs_between(
+        spark, state, docs.where(F.col("doc_id") >= 250)
+    )
+    files = pairs.inputFiles()
+    assert any("/signatures/" in f for f in files), files
+    assert any("/shingles/" in f for f in files), files
+
+
+def test_two_batch_ingest_with_embeddings(spark, docs, embs, tmp_path):
+    """Full three-plane ingest: text + semantic.  Planted exact-copy
+    embeddings across batches must be caught by the frozen-centroid
+    index probe; the IVF index ends up holding exactly the surviving
+    vectors (append mode, partition-pruned reads)."""
+    state = str(tmp_path / "state")
+    demb = embs.select(F.col("vec_id").alias("doc_id"), "embedding")
+    cut = 250
+    b1, e1 = (
+        docs.where(F.col("doc_id") < cut),
+        demb.where(F.col("doc_id") < cut),
+    )
+    # batch 2 embeddings: its own vectors PLUS exact copies of three
+    # batch-1 vectors planted under batch-2 ids -> semantic plane must
+    # drop those three batch-2 docs even though their TEXT is unique
+    b2 = docs.where(F.col("doc_id") >= cut)
+    planted_src = [5, 6, 7]
+    planted_dst = [9901, 9902, 9903]
+    copies = (
+        demb.where(F.col("doc_id").isin(planted_src))
+        .withColumn(
+            "doc_id",
+            F.col("doc_id") + F.lit(planted_dst[0] - planted_src[0]),
+        )
+    )
+    # the planted docs' TEXT is entirely novel (so no text plane can
+    # drop them) — only the semantic plane sees the copied vectors
+    b2 = b2.unionByName(
+        docs.where(F.col("doc_id").isin(planted_src)).withColumn(
+            "doc_id",
+            F.col("doc_id") + F.lit(planted_dst[0] - planted_src[0]),
+        ).withColumn(
+            "text",
+            F.concat(
+                F.lit("wholly novel planted body number "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+    )
+    e2 = demb.where(F.col("doc_id") >= cut).unionByName(copies)
+
+    s1 = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, state, b1, "b1", embeddings=e1, semantic_threshold=0.999
+        ).collect()
+    }
+    s2 = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, state, b2, "b2", embeddings=e2, semantic_threshold=0.999
+        ).collect()
+    }
+    surviving_planted = {d for d in planted_dst if d in s2}
+    kept_src = {d for d in planted_src if d in s1}
+    # every planted copy whose source survived batch 1 must be dropped
+    # by the index probe (exact copies always co-bucket)
+    assert not (surviving_planted & {d + planted_dst[0] - planted_src[0] for d in kept_src})
+    assert _table_exists(spark, f"{state}/ivf/centroids")
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/ivf/assigned").collect()
+    }
+    emb_ids = {r.doc_id for r in e1.unionByName(e2).collect()}
+    assert idx_ids == (s1 | s2) & emb_ids, (
+        "IVF index holds exactly the surviving embedded docs"
+    )

@@ -366,7 +366,52 @@ def test_dedup_corpus_fingerprint_and_minhash(spark, docs):
     assert scored_survivors - set(clusters) == mh_survivors - set(clusters)
     assert len(scored_survivors) == len(mh_survivors)
     with pytest.raises(ValueError, match="method"):
-        dedup.dedup_corpus(docs, method="simhash")
+        dedup.dedup_corpus(docs, method="bogus")
+
+
+def test_dedup_corpus_simhash_ngram_and_pairs_routes(spark, docs):
+    """Round-7 unification: dedup_corpus(method='simhash'/'ngram')
+    equals the piecewise pairs→clusters→survivors composition, and a
+    precomputed pairs= frame takes the same path (so materialized and
+    incremental pair sources reach the one-call API)."""
+
+    def survivors_of(pairs):
+        clusters = dedup.dedup_clusters(pairs)
+        all_ids = {r.doc_id for r in docs.collect()}
+        labels = {r.doc_id: r.cluster_id for r in clusters.collect()}
+        return {d for d in all_ids if d not in labels or labels[d] == d}
+
+    sh_pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    want_sh = survivors_of(sh_pairs)
+    got_sh = {
+        r.doc_id
+        for r in dedup.dedup_corpus(
+            docs, method="simhash", max_hamming=3
+        ).collect()
+    }
+    assert got_sh == want_sh and got_sh
+
+    ng_pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    want_ng = survivors_of(ng_pairs)
+    got_ng = {
+        r.doc_id
+        for r in dedup.dedup_corpus(docs, method="ngram").collect()
+    }
+    assert got_ng == want_ng and got_ng
+
+    # pairs= escape hatch: same survivors as the generating method,
+    # regardless of what method= says (pairs overrides)
+    got_pairs = {
+        r.doc_id
+        for r in dedup.dedup_corpus(
+            docs, method="fingerprint", pairs=sh_pairs
+        ).collect()
+    }
+    assert got_pairs == want_sh
+    with pytest.raises(ValueError, match="id_a"):
+        dedup.dedup_corpus(
+            docs, pairs=sh_pairs.withColumnRenamed("id_a", "left_id")
+        )
 
 
 def test_line_dedup_hand_case(spark):
@@ -861,6 +906,10 @@ def test_semantic_dedup_empty_input_and_fit_guard(spark):
     centroid fit raises a clear error instead of a numpy shape crash."""
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     assert dedup.semantic_dedup(empty).count() == 0
+    # ADVICE r6: the no-op guard must also fire with an EXPLICIT nlist
+    # (e.g. via prepare_corpus semantic_kwargs) instead of crashing in
+    # ivf_fit_centroids
+    assert dedup.semantic_dedup(empty, nlist=8).count() == 0
     with pytest.raises(ValueError, match="empty corpus"):
         similarity.ivf_fit_centroids(empty)
 
