@@ -216,6 +216,15 @@ def ingest_batch(
     # re-running the filter chain — and the fingerprint append no
     # longer reads the table it writes
     batch_path = f"{state_dir}/batches/{batch_name}"
+    if _table_exists(spark, batch_path):
+        # a reused name would overwrite this staging table while the
+        # earlier run's state appends remain — a silent double-append;
+        # idempotent REPLAY of a batch is a state rebuild, not a
+        # re-ingest
+        raise ValueError(
+            f"batch {batch_name!r} was already ingested into "
+            f"{state_dir} (staging table exists); pick a new name"
+        )
     surv.write.mode("overwrite").parquet(batch_path)
     surv_m = spark.read.parquet(batch_path)
 

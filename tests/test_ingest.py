@@ -57,6 +57,9 @@ def test_two_batch_ingest_equals_from_scratch_text(spark, docs, tmp_path):
     # probe against their indexed keepers
     again = ingest_batch(spark, state, docs, "b3")
     assert again.count() == 0
+    # a reused batch name must refuse (silent double-append guard)
+    with pytest.raises(ValueError, match="already ingested"):
+        ingest_batch(spark, state, docs, "b1")
 
 
 def test_second_batch_probe_is_pruned(spark, docs, tmp_path):

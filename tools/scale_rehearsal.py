@@ -52,6 +52,7 @@ def get_metric_totals() -> dict[str, int]:
         "spill_mem": 0,
         "spill_disk": 0,
         "peak_exec_mem": 0,
+        "input_read": 0,
     }
     for s in stages:
         tot["shuffle_read"] += s.get("shuffleReadBytes", 0)
@@ -61,6 +62,7 @@ def get_metric_totals() -> dict[str, int]:
         tot["peak_exec_mem"] = max(
             tot["peak_exec_mem"], s.get("peakExecutionMemory", 0)
         )
+        tot["input_read"] += s.get("inputBytes", 0)
     return tot
 
 
@@ -83,6 +85,9 @@ def phase(name, thunk, out):
             (after["spill_disk"] - before["spill_disk"]) / 1e6, 2
         ),
         "peak_exec_mem_mb": round(after["peak_exec_mem"] / 1e6, 2),
+        "input_read_mb": round(
+            (after["input_read"] - before["input_read"]) / 1e6, 2
+        ),
     }
     out[name] = rec
     print(f"  {name:24} {rec}", flush=True)
@@ -187,6 +192,42 @@ def run_at(spark, sf_dir: str, mult: int, workdir: str) -> dict:
         lambda: corpus.corpus_stats(acct).count(),
         out,
     )
+
+    # full prepare_corpus chain (round-7): decontaminate + line_dedup +
+    # redact + repetition filter + quality gate + per-source cap +
+    # minhash dedup + semantic dedup + split, lazily AND with
+    # materialize_dir — the composed chain whose lazy-vs-materialized
+    # scan behavior is the documented 100 TB risk.  The pass bar:
+    # both complete at x-mult with ~linear shuffle, and materialized
+    # beats lazy on total scan bytes (input_read_mb).
+    from hadoop__spark.operators import text as text_ops
+
+    bench_docs = acct.where(F.col("doc_id") % 997 == 0)
+    scores = text_ops.quality_score(acct).select("doc_id", "quality_score")
+    demb = embs.select(F.col("vec_id").alias("doc_id"), "embedding")
+    cap_k = max(1, int(n_docs / 50 * 0.8))
+
+    def chain(mdir):
+        return corpus.prepare_corpus(
+            acct,
+            benchmark=bench_docs,
+            line_dedup=True,
+            keep_frac=0.7,
+            group_cap=("source", cap_k),
+            dedup_method="minhash",
+            scores=scores,
+            embeddings=demb,
+            semantic_threshold=0.99,
+            semantic_kwargs={"assign": "arrow"},
+            materialize_dir=mdir,
+        ).count()
+
+    phase("prepare_chain_lazy", lambda: chain(None), out)
+    phase(
+        "prepare_chain_mat",
+        lambda: chain(f"{workdir}/chain_x{mult}"),
+        out,
+    )
     return out
 
 
@@ -215,7 +256,8 @@ def main() -> None:
     base, big = report["x1"], report[f"x{mult}"]
     print("\n== scaling ratios (x{}/x1) ==".format(mult))
     for ph in ("fingerprint_dedup", "minhash_lsh_pairs", "dedup_clusters",
-               "ivf_topk", "semantic_dedup", "corpus_accounting"):
+               "ivf_topk", "semantic_dedup", "corpus_accounting",
+               "prepare_chain_lazy", "prepare_chain_mat"):
         b, g = base[ph], big[ph]
         ratio = lambda k: (
             round(g[k] / b[k], 1) if b[k] else float("inf") if g[k] else 0.0
