@@ -678,6 +678,7 @@ def prepare_corpus(
     unscored: str = "drop",
     group_cap: tuple[str, int] | None = None,
     dedup_method: str = "fingerprint",
+    dedup_kwargs: dict | None = None,
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
     embeddings: DataFrame | None = None,
@@ -705,7 +706,11 @@ def prepare_corpus(
     near-dup clusters keep their best-scoring member
     (:func:`~hadoop__spark.operators.dedup.cluster_keepers`) instead
     of the smallest id; fingerprint mode ignores scores (exact copies
-    are interchangeable).  ``scores`` is normalized to one row per id
+    are interchangeable).  ``dedup_method`` accepts every
+    :func:`~hadoop__spark.operators.dedup.dedup_corpus` method
+    (``fingerprint``/``minhash``/``simhash``/``ngram``), with
+    ``dedup_kwargs`` forwarded to the pair generator (``threshold``,
+    ``max_hamming``, ``num_perm``, ``doc_freq``, …).  ``scores`` is normalized to one row per id
     up front (``max`` of the score — duplicate score rows would
     otherwise fan out every join they feed, and a document occupying
     several rank slots lets a capped group keep fewer than ``k``
@@ -864,6 +869,7 @@ def prepare_corpus(
             method=dedup_method,
             scores=scores,
             score_col=score_col,
+            **(dedup_kwargs or {}),
         ),
         "deduped",
     )

@@ -781,6 +781,33 @@ def test_prepare_corpus_quality_gate_and_group_cap(spark):
         corpus.prepare_corpus(docs, keep_frac=0.5)
 
 
+def test_prepare_corpus_simhash_route_and_dedup_kwargs(spark):
+    """Round-7: prepare_corpus routes the new dedup_corpus methods and
+    forwards pair-generator knobs via dedup_kwargs — equal to the
+    piecewise composition."""
+    from hadoop__spark.operators import dedup
+
+    docs = _docs(spark)
+    got = {
+        r.doc_id
+        for r in corpus.prepare_corpus(
+            docs,
+            redact=False,
+            dedup_method="simhash",
+            dedup_kwargs={"max_hamming": 3},
+        ).collect()
+    }
+    stats = corpus.repetition_stats(docs).select("doc_id", "dup_token_frac")
+    kept = docs.join(stats, "doc_id").where(F.col("dup_token_frac") <= 0.6)
+    want = {
+        r.doc_id
+        for r in dedup.dedup_corpus(
+            kept, method="simhash", max_hamming=3
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_shuffle_key_deterministic_and_feeds_packing(spark):
     """shuffle_key is a stable pseudo-random permutation: identical
     across runs/partitionings, different under a different salt, and
