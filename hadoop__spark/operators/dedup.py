@@ -328,6 +328,25 @@ def minhash_write_signatures(
     reads only (_id, _sh).  Mirrors the persisted-IVF-index pattern
     (``similarity.ivf_write_index``).
     """
+    if mode == "append":
+        # a num_perm mismatch would append files whose schema differs
+        # from the stored table — Spark's non-merging parquet read
+        # would then resolve to an arbitrary file's schema (silent
+        # corruption); fail loudly instead.  (An n mismatch is not
+        # schema-visible — the docstring contract covers it.)
+        try:
+            stored = df.sparkSession.read.parquet(
+                f"{path}/signatures"
+            ).columns
+        except Exception:
+            stored = None
+        if stored is not None:
+            stored_perm = sum(c.startswith("mh_") for c in stored)
+            if stored_perm != num_perm:
+                raise ValueError(
+                    f"append with num_perm={num_perm} onto a table "
+                    f"written with num_perm={stored_perm}"
+                )
     base = shingle_frame(df, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )

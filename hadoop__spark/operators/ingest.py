@@ -124,9 +124,19 @@ def ingest_batch(
     uses the index's frozen centroids.
 
     ``n``/``num_perm`` must match the stored MinHash state across
-    calls; ``nlist`` sizes the bootstrap IVF fit (default: the faiss
-    ``max(16, 4√N)`` rule via
+    calls (a ``num_perm`` mismatch is refused at the append; ``n`` is
+    the caller's contract); ``nlist`` sizes the bootstrap IVF fit
+    (default: the faiss ``max(16, 4√N)`` rule via
     :func:`~hadoop__spark.operators.dedup.semantic_dedup`'s sizing).
+
+    Durability note: each state append is atomic per table (parquet
+    commit protocol), but the three appends are NOT atomic as a
+    group — a crash between them leaves the state tables at different
+    batch frontiers.  Recovery is a state REBUILD from the batch
+    tables (each ``{state_dir}/batches/*`` is an immutable survivors
+    snapshot): re-run the three writers over their union with
+    ``mode="overwrite"``.  At 100 TB wrap the appends in the lakehouse
+    transaction layer of the deployment instead.
     """
     bootstrap = not _table_exists(spark, f"{state_dir}/fingerprints")
     fresh = batch

@@ -62,6 +62,17 @@ def test_two_batch_ingest_equals_from_scratch_text(spark, docs, tmp_path):
         ingest_batch(spark, state, docs, "b1")
 
 
+def test_minhash_append_num_perm_mismatch_refused(spark, docs, tmp_path):
+    """Appending signatures with a different num_perm would mix file
+    schemas in one table (silent read corruption) — must refuse."""
+    path = str(tmp_path / "mh")
+    dedup.minhash_write_signatures(docs.limit(20), path, num_perm=64)
+    with pytest.raises(ValueError, match="num_perm"):
+        dedup.minhash_write_signatures(
+            docs.limit(20), path, num_perm=32, mode="append"
+        )
+
+
 def test_second_batch_probe_is_pruned(spark, docs, tmp_path):
     """The batch-2 near-dup probe must join the batch's band table
     against the STORED signature table (a column-pruned parquet scan),
