@@ -269,6 +269,30 @@ def test_cap_per_group_map_side_group_limit(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_cluster_keepers_partial_agg_no_window(spark):
+    """The quality-aware keeper argmax must stay a partially-aggregated
+    min-over-struct (each map task reduces to one candidate row per
+    cluster before the exchange) with NO window over cluster members —
+    including under string ids (round-7: the argmax carries the id
+    inside the struct instead of negating it)."""
+    from hadoop__spark.operators import dedup
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    clusters = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 50).cast("string")).alias(
+            "cluster_id"
+        ),
+    )
+    scores = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.col("n_chars").cast("double").alias("quality_score"),
+    )
+    plan = _plan(dedup.cluster_keepers(clusters, scores))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_keep_top_fraction_sketch_and_broadcast_cutoff(spark):
     """Quantile thresholding must (a) compute the cutoff as a
     partially-aggregated percentile sketch over a column-pruned scan
