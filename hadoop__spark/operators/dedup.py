@@ -1333,7 +1333,7 @@ def dedup_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     method: str = "fingerprint",
-    threshold: float = 0.8,
+    threshold: float | None = None,
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
     checkpoint_dir: str | None = None,
@@ -1349,14 +1349,19 @@ def dedup_corpus(
     * ``"fingerprint"`` (default) — exact dedup on the md5 of the
       normalized text; keeps the smallest id per identical text.
     * ``"minhash"`` — near-dup pairs (:func:`minhash_lsh_pairs` at
-      ``threshold``) → connected components (:func:`dedup_clusters`)
-      → one keeper per cluster.  With ``scores`` (an (id, score)
-      frame) the keeper is the cluster's best-scoring member
-      (:func:`cluster_keepers`); without, the smallest id.
+      ``threshold``, default 0.8) → connected components
+      (:func:`dedup_clusters`) → one keeper per cluster.  With
+      ``scores`` (an (id, score) frame) the keeper is the cluster's
+      best-scoring member (:func:`cluster_keepers`); without, the
+      smallest id.
     * ``"simhash"`` — pairs from :func:`simhash_pairs` (Hamming
       distance; tune ``max_hamming``/``n_chunks``/``n_docs`` via
-      ``method_kwargs`` — ``threshold`` does not apply), then the
-      same clusters→keepers→survivors step.
+      ``method_kwargs``), then the same
+      clusters→keepers→survivors step.
+
+    ``threshold`` is a Jaccard bound and applies ONLY to
+    ``minhash``/``ngram``; passing it with any other method (or with
+    ``pairs=``) raises rather than being silently ignored.
     * ``"ngram"`` — pairs from :func:`ngram_jaccard_pairs` at
       ``threshold`` (``n``, ``prefix_filter``, ``doc_freq`` via
       ``method_kwargs``), then the same downstream step.
@@ -1377,6 +1382,14 @@ def dedup_corpus(
     generator; ``checkpoint_dir`` is routed to :func:`dedup_clusters`
     for reliable per-round checkpointing at scale.
     """
+    if threshold is not None and (
+        pairs is not None or method in ("fingerprint", "simhash")
+    ):
+        raise ValueError(
+            "threshold only applies to method='minhash'/'ngram' "
+            "(simhash takes max_hamming; fingerprint and pairs= take "
+            "no similarity bound) — refusing to ignore it silently"
+        )
     if pairs is None:
         if method == "fingerprint":
             keep = fingerprint_dedup(df, text_col, id_col).select(
@@ -1387,13 +1400,21 @@ def dedup_corpus(
             )
         if method == "minhash":
             pairs = minhash_lsh_pairs(
-                df, text_col, id_col, threshold=threshold, **method_kwargs
+                df,
+                text_col,
+                id_col,
+                threshold=0.8 if threshold is None else threshold,
+                **method_kwargs,
             )
         elif method == "simhash":
             pairs = simhash_pairs(df, text_col, id_col, **method_kwargs)
         elif method == "ngram":
             pairs = ngram_jaccard_pairs(
-                df, text_col, id_col, threshold=threshold, **method_kwargs
+                df,
+                text_col,
+                id_col,
+                threshold=0.8 if threshold is None else threshold,
+                **method_kwargs,
             )
         else:
             raise ValueError(

@@ -138,6 +138,16 @@ def ingest_batch(
     ``mode="overwrite"``.  At 100 TB wrap the appends in the lakehouse
     transaction layer of the deployment instead.
     """
+    batch_path = f"{state_dir}/batches/{batch_name}"
+    if _table_exists(spark, batch_path):
+        # fail FAST (before any dedup compute): a reused name would
+        # overwrite this staging table while the earlier run's state
+        # appends remain — a silent double-append; idempotent REPLAY
+        # of a batch is a state rebuild, not a re-ingest
+        raise ValueError(
+            f"batch {batch_name!r} was already ingested into "
+            f"{state_dir} (staging table exists); pick a new name"
+        )
     bootstrap = not _table_exists(spark, f"{state_dir}/fingerprints")
     fresh = batch
     if not bootstrap:
@@ -225,16 +235,6 @@ def ingest_batch(
     # appends + the returned frame) scans this table instead of
     # re-running the filter chain — and the fingerprint append no
     # longer reads the table it writes
-    batch_path = f"{state_dir}/batches/{batch_name}"
-    if _table_exists(spark, batch_path):
-        # a reused name would overwrite this staging table while the
-        # earlier run's state appends remain — a silent double-append;
-        # idempotent REPLAY of a batch is a state rebuild, not a
-        # re-ingest
-        raise ValueError(
-            f"batch {batch_name!r} was already ingested into "
-            f"{state_dir} (staging table exists); pick a new name"
-        )
     surv.write.mode("overwrite").parquet(batch_path)
     surv_m = spark.read.parquet(batch_path)
 
@@ -251,9 +251,14 @@ def ingest_batch(
             surv_m.select(F.col(id_col).alias("_eid")), "_eid", "left_semi"
         ).select(F.col("_eid").alias(id_col), embedding_col)
         if bootstrap or not _table_exists(spark, f"{ivf_path}/centroids"):
+            n_emb = emb_m.count()
+            if n_emb == 0:
+                # no embedded survivors to fit on — leave the index
+                # unwritten; a later batch with embeddings bootstraps
+                return surv_m
             fit_nlist = nlist
             if fit_nlist is None:
-                fit_nlist = max(16, int(4 * max(emb_m.count(), 1) ** 0.5))
+                fit_nlist = max(16, int(4 * n_emb**0.5))
             ivf_write_index(
                 emb_m, ivf_path, nlist=fit_nlist, vec_col=embedding_col,
                 id_col=id_col, seed=seed,

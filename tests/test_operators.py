@@ -412,6 +412,11 @@ def test_dedup_corpus_simhash_ngram_and_pairs_routes(spark, docs):
         dedup.dedup_corpus(
             docs, pairs=sh_pairs.withColumnRenamed("id_a", "left_id")
         )
+    # a threshold that would be silently ignored must refuse instead
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.dedup_corpus(docs, method="simhash", threshold=0.9)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.dedup_corpus(docs, threshold=0.9, pairs=sh_pairs)
 
 
 def test_line_dedup_hand_case(spark):
