@@ -747,18 +747,12 @@ def _simhash_bucket_guard(
         )
 
 
-def _simhash_pairs_from_sigs(
-    sigs: DataFrame,
-    max_hamming: int,
-    n_chunks: int,
-) -> DataFrame:
-    """Chunk-bucket candidate generation + exact Hamming verify from a
-    (_id, simhash) signature frame — shared by the in-memory
-    :func:`simhash_pairs` and the materialized
-    :func:`simhash_pairs_from` paths."""
+def _simhash_chunks(sigs: DataFrame, n_chunks: int) -> DataFrame:
+    """(_id, simhash, chunk_idx, chunk_val) memberships: the 64-bit
+    signature split into ``n_chunks`` equal bucket keys."""
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
-    chunks = sigs.select(
+    return sigs.select(
         "_id",
         "simhash",
         F.posexplode(
@@ -772,6 +766,18 @@ def _simhash_pairs_from_sigs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+
+
+def _simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    max_hamming: int,
+    n_chunks: int,
+) -> DataFrame:
+    """Chunk-bucket candidate generation + exact Hamming verify from a
+    (_id, simhash) signature frame — shared by the in-memory
+    :func:`simhash_pairs` and the materialized
+    :func:`simhash_pairs_from` paths."""
+    chunks = _simhash_chunks(sigs, n_chunks)
     # Group each chunk bucket and expand its i<j combinations — ONE
     # shuffle of the chunk table instead of a self-join shuffling it
     # twice (same rewrite as minhash_lsh_pairs).  Members carry their
@@ -909,6 +915,73 @@ def simhash_pairs_from(
             max_expected_pairs_per_bucket,
         )
     return _simhash_pairs_from_sigs(sigs, max_hamming, n_chunks)
+
+
+def simhash_pairs_between(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+    max_expected_pairs_per_bucket: int | None = 10_000_000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN a new document batch and a corpus
+    indexed by :func:`simhash_write_signatures` — the SimHash mirror
+    of :func:`minhash_lsh_pairs_between`.  Returns ``(id_new, id_old,
+    hamming ≤ max_hamming)``; within-batch pairs are out of scope
+    (run :func:`simhash_pairs` on the batch).
+
+    Scale shape: the batch is signed in memory and its chunk table is
+    equi-joined against the stored signatures' chunk table — cost ∝
+    the batch's bucket memberships × stored bucket occupancy, never
+    corpus pairs.  The pigeonhole recall guarantee (distance <
+    n_chunks found with certainty) carries over: a qualifying cross
+    pair agrees on some chunk, and that chunk value co-buckets the
+    two sides of the join.  Buckets are NOT capped (capping would
+    break the guarantee — unlike the minhash probe, whose banding is
+    already probabilistic); the expected-pairs guard instead bounds
+    the stored side's occupancy up front, exactly as in
+    :func:`simhash_pairs_from` (pass ``n_docs`` to skip its count).
+    ``n``/``n_chunks`` must describe the stored index's signing.
+    """
+    sigs_old = spark.read.parquet(f"{path}/signatures")
+    if max_expected_pairs_per_bucket is not None:
+        _simhash_bucket_guard(
+            sigs_old.count() if n_docs is None else n_docs,
+            64 // n_chunks,
+            max_expected_pairs_per_bucket,
+        )
+    sigs_new = simhash(df, text_col, id_col, n).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    new_chunks = _simhash_chunks(sigs_new, n_chunks).select(
+        F.col("_id").alias("id_new"),
+        F.col("simhash").alias("_sig_new"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    old_chunks = _simhash_chunks(sigs_old, n_chunks).select(
+        F.col("_id").alias("id_old"),
+        F.col("simhash").alias("_sig_old"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    return (
+        new_chunks.join(old_chunks, ["chunk_idx", "chunk_val"])
+        .select(
+            "id_new",
+            "id_old",
+            F.bit_count(
+                F.col("_sig_new").bitwiseXOR(F.col("_sig_old"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_new", "id_old"])
+    )
 
 
 def embedding_dedup_pairs(

@@ -73,6 +73,32 @@ def test_minhash_append_num_perm_mismatch_refused(spark, docs, tmp_path):
         )
 
 
+def test_simhash_pairs_between_matches_full_run(spark, docs, tmp_path):
+    """The SimHash incremental probe equals the cross-corpus slice of
+    a full self-pairing over corpus ∪ batch (same exactness contract
+    as the MinHash probe)."""
+    path = str(tmp_path / "sh")
+    corpus_df = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    dedup.simhash_write_signatures(corpus_df, path)
+    got = {
+        (r.id_new, r.id_old, r.hamming)
+        for r in dedup.simhash_pairs_between(
+            spark, path, batch, max_hamming=3
+        ).collect()
+    }
+    corpus_ids = {r.doc_id for r in corpus_df.select("doc_id").collect()}
+    full = dedup.simhash_pairs(docs, max_hamming=3)
+    want = set()
+    for r in full.collect():
+        if (r.id_a in corpus_ids) != (r.id_b in corpus_ids):
+            new, old = (
+                (r.id_b, r.id_a) if r.id_a in corpus_ids else (r.id_a, r.id_b)
+            )
+            want.add((new, old, r.hamming))
+    assert got == want and got
+
+
 def test_second_batch_probe_is_pruned(spark, docs, tmp_path):
     """The batch-2 near-dup probe must join the batch's band table
     against the STORED signature table (a column-pruned parquet scan),
