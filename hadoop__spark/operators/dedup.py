@@ -692,6 +692,154 @@ def ngram_write_doc_freq(
     )
 
 
+def ngram_write_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> None:
+    """Materialize the full n-gram Jaccard state for incremental
+    probing: ``{path}/shingle_sets`` (_id, _sh), ``{path}/doc_freq``
+    (_s, _df), ``{path}/prefix`` (_s, _id — each document's WWW'07
+    prefix under the global (df asc, shingle asc) order at
+    ``threshold``), and a one-row ``{path}/meta`` (threshold, n).
+
+    The stored prefix is valid for any probe threshold ≥ the write
+    threshold (higher t needs a SHORTER prefix, and a prefix is the
+    first k shingles of a fixed order — so the stored set contains
+    every needed one); :func:`ngram_jaccard_pairs_between` enforces
+    that.  Sign once, probe every batch.
+    """
+    from pyspark.sql.window import Window
+
+    sh = shingle_frame(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        sh.write.mode("overwrite").parquet(f"{path}/shingle_sets")
+        inv = sh.select(
+            "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+        )
+        dfq = inv.groupBy("_s").agg(F.count("*").alias("_df"))
+        dfq.write.mode("overwrite").parquet(f"{path}/doc_freq")
+        dfq_stored = df.sparkSession.read.parquet(f"{path}/doc_freq")
+        ranked = inv.join(dfq_stored, "_s").withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_s")),
+        )
+        (
+            ranked.where(
+                F.col("_rk")
+                <= F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+            )
+            .select("_s", "_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/prefix")
+        )
+        df.sparkSession.createDataFrame(
+            [(float(threshold), int(n))], "threshold DOUBLE, n INT"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    finally:
+        sh.unpersist()
+
+
+def ngram_jaccard_pairs_between(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs between a new batch and a corpus
+    indexed by :func:`ngram_write_index` — the exact-similarity mirror
+    of :func:`minhash_lsh_pairs_between` / :func:`simhash_pairs_between`.
+    Returns ``(id_new, id_old, jaccard ≥ threshold)``; within-batch
+    pairs are :func:`ngram_jaccard_pairs`'s job.
+
+    Correctness: the batch's prefixes are computed under the STORED
+    df order (absent shingles get df 0 — the stale-df argument of
+    :func:`ngram_jaccard_pairs` verbatim), the same total order the
+    stored prefixes used, so the WWW'07 bound holds across the two
+    sides: a qualifying cross pair shares its smallest-in-order
+    common shingle inside both prefixes, and the prefix⋈prefix
+    equi-join co-buckets it.  ``threshold`` (default: the index's
+    write threshold) must be ≥ the write threshold — a lower one
+    would need prefixes longer than stored, and the probe refuses
+    rather than silently losing recall.  Every candidate is verified
+    exactly against the full shingle sets.
+
+    Scale shape: the batch is shingled/prefixed in memory against the
+    stored vocabulary table (one broadcast-able or shuffled join on
+    the shingle key); candidate generation joins the batch's prefix
+    against the stored prefix table (cost ∝ shared-prefix-shingle
+    postings, stopwords excluded from prefixes by construction); the
+    verify join reads stored shingle sets only for candidate ids.
+    """
+    meta = spark.read.parquet(f"{path}/meta").first()
+    if threshold is None:
+        threshold = meta.threshold
+    if threshold < meta.threshold - 1e-12:
+        raise ValueError(
+            f"probe threshold {threshold} < index write threshold "
+            f"{meta.threshold}: stored prefixes are too short for this "
+            "bound — rebuild the index at the lower threshold"
+        )
+    from pyspark.sql.window import Window
+
+    dfq = spark.read.parquet(f"{path}/doc_freq")
+    sh_new = shingle_frame(df, text_col, id_col, meta.n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    inv_new = sh_new.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+    )
+    ranked = inv_new.join(dfq, "_s", "left").withColumn(
+        "_df", F.coalesce("_df", F.lit(0))
+    ).withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_s")),
+    )
+    prefix_new = ranked.where(
+        F.col("_rk")
+        <= F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+    ).select("_s", F.col("_id").alias("id_new"))
+    prefix_old = spark.read.parquet(f"{path}/prefix").select(
+        "_s", F.col("_id").alias("id_old")
+    )
+    cand = (
+        prefix_new.join(prefix_old, "_s")
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sh_old = spark.read.parquet(f"{path}/shingle_sets")
+    return (
+        cand.join(
+            sh_new.select(
+                F.col("_id").alias("id_new"), F.col("_sh").alias("sh_a")
+            ),
+            "id_new",
+        )
+        .join(
+            sh_old.select(
+                F.col("_id").alias("id_old"), F.col("_sh").alias("sh_b")
+            ),
+            "id_old",
+        )
+        .select(
+            "id_new",
+            "id_old",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """64-bit SimHash over n-gram shingle features, fully JVM-side.
 

@@ -99,6 +99,39 @@ def test_simhash_pairs_between_matches_full_run(spark, docs, tmp_path):
     assert got == want and got
 
 
+def test_ngram_pairs_between_matches_full_run(spark, docs, tmp_path):
+    """The exact n-gram Jaccard probe equals the cross-corpus slice of
+    a full prefix-filtered self-join over corpus ∪ batch, at the write
+    threshold AND at a stricter probe threshold; a looser probe
+    threshold refuses (stored prefixes would be too short)."""
+    path = str(tmp_path / "ng")
+    corpus_df = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    dedup.ngram_write_index(corpus_df, path, threshold=0.7)
+    corpus_ids = {r.doc_id for r in corpus_df.select("doc_id").collect()}
+
+    for t in (0.7, 0.9):
+        got = {
+            (r.id_new, r.id_old, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs_between(
+                spark, path, batch, threshold=t
+            ).collect()
+        }
+        want = set()
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect():
+            if (r.id_a in corpus_ids) != (r.id_b in corpus_ids):
+                new, old = (
+                    (r.id_b, r.id_a)
+                    if r.id_a in corpus_ids
+                    else (r.id_a, r.id_b)
+                )
+                want.add((new, old, round(r.jaccard, 9)))
+        assert got == want and got, f"threshold {t}"
+
+    with pytest.raises(ValueError, match="write threshold"):
+        dedup.ngram_jaccard_pairs_between(spark, path, batch, threshold=0.5)
+
+
 def test_second_batch_probe_is_pruned(spark, docs, tmp_path):
     """The batch-2 near-dup probe must join the batch's band table
     against the STORED signature table (a column-pruned parquet scan),

@@ -518,3 +518,52 @@ def test_arrow_assignment_equals_jvm_on_random_vectors(
         a2 = similarity.ivf_assign_arrow(df, cents, n_assign=2).collect()
         assert len(a2) == 2 * len(rows)
         assert {(r.vec_id, r.centroid_id) for r in a2} >= jvm
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),   # doc id
+            st.integers(min_value=0, max_value=4),    # cluster
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-10, max_value=10, allow_nan=False
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda m: m[0],
+    ),
+    string_ids=st.booleans(),
+)
+@_SETTINGS
+def test_cluster_keepers_equals_python_argmax(spark, members, string_ids):
+    """For ANY cluster membership and partial scores — numeric or
+    string ids — the keeper is the python argmax: best score first
+    (None ranks last), ties to the smallest id; no cluster vanishes."""
+    to_id = (lambda i: f"u{i:02d}") if string_ids else (lambda i: i)
+    clusters = spark.createDataFrame(
+        [(to_id(i), c) for i, c, _ in members],
+        f"doc_id {'STRING' if string_ids else 'LONG'}, cluster_id LONG",
+    )
+    scores = spark.createDataFrame(
+        [(to_id(i), s) for i, _, s in members if s is not None],
+        f"doc_id {'STRING' if string_ids else 'LONG'}, quality_score DOUBLE",
+    ) if any(s is not None for _, _, s in members) else spark.createDataFrame(
+        [], f"doc_id {'STRING' if string_ids else 'LONG'}, quality_score DOUBLE"
+    )
+    got = {
+        r.cluster_id: (r.doc_id, r.quality_score)
+        for r in dedup.cluster_keepers(clusters, scores).collect()
+    }
+    want = {}
+    for i, c, s in members:
+        key = (
+            -s if s is not None else float("inf"),
+            to_id(i),
+        )
+        if c not in want or key < want[c][0]:
+            want[c] = (key, to_id(i), s)
+    assert got == {c: (i, s) for c, (_, i, s) in want.items()}
