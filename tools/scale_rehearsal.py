@@ -228,6 +228,56 @@ def run_at(spark, sf_dir: str, mult: int, workdir: str) -> dict:
         lambda: chain(f"{workdir}/chain_x{mult}"),
         out,
     )
+
+    # incremental ingest (round-7): bootstrap the three-plane state
+    # from the x-mult corpus, then ingest a FIXED-size batch (same
+    # content at every mult).  The 100 TB claim under test: the
+    # batch probe costs ∝ batch, ~flat in corpus size — only the
+    # one-time bootstrap scales.
+    import shutil
+
+    from hadoop__spark.operators import ingest as ingest_ops
+
+    state = f"{workdir}/ingest_state_x{mult}"
+    shutil.rmtree(state, ignore_errors=True)
+    demb = embs.select(F.col("vec_id").alias("doc_id"), "embedding")
+    orig = load_tables(spark, sf_dir)
+    fixed_batch = orig["documents"].where(F.col("doc_id") < 1000).select(
+        (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit("wholly novel batch body number "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fixed_emb = orig["embeddings"].where(F.col("vec_id") < 1000).select(
+        (F.col("vec_id") + F.lit(100_000_000)).alias("doc_id"),
+        F.when(
+            F.col("vec_id") % 2 == 1,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    phase(
+        "ingest_bootstrap",
+        lambda: ingest_ops.ingest_batch(
+            spark, state, docs, "base", embeddings=demb, assign="arrow"
+        ).count(),
+        out,
+    )
+    phase(
+        "ingest_fixed_batch",
+        lambda: ingest_ops.ingest_batch(
+            spark, state, fixed_batch, "delta", embeddings=fixed_emb,
+            assign="arrow",
+        ).count(),
+        out,
+    )
     return out
 
 
@@ -257,7 +307,8 @@ def main() -> None:
     print("\n== scaling ratios (x{}/x1) ==".format(mult))
     for ph in ("fingerprint_dedup", "minhash_lsh_pairs", "dedup_clusters",
                "ivf_topk", "semantic_dedup", "corpus_accounting",
-               "prepare_chain_lazy", "prepare_chain_mat"):
+               "prepare_chain_lazy", "prepare_chain_mat",
+               "ingest_bootstrap", "ingest_fixed_batch"):
         b, g = base[ph], big[ph]
         ratio = lambda k: (
             round(g[k] / b[k], 1) if b[k] else float("inf") if g[k] else 0.0
