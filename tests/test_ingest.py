@@ -148,6 +148,55 @@ def test_second_batch_probe_is_pruned(spark, docs, tmp_path):
     assert any("/shingles/" in f for f in files), files
 
 
+def test_streaming_ingest_loop_equals_batch(spark, docs, tmp_path):
+    """The daily ingest loop as a STREAM: arrival files drain through
+    ingest_batch inside foreachBatch (one checkpoint, availableNow
+    rounds — the restart-resume shape of a real feed), and the union
+    of the per-micro-batch survivor tables equals the from-scratch
+    dedup of the whole corpus."""
+    import glob
+    import shutil
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    slim = docs.select("doc_id", "text")
+
+    def ing(batch_df, batch_id):
+        if batch_df.count():
+            ingest_batch(spark, state, batch_df, f"mb{batch_id}")
+
+    halves = (
+        slim.where(F.col("doc_id") < 250),
+        slim.where(F.col("doc_id") >= 250),
+    )
+    for i, half in enumerate(halves):
+        d = tmp_path / f"half{i}"
+        half.coalesce(1).write.parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0],
+            src_dir / f"f{i}.parquet",
+        )
+        stream = spark.readStream.schema(slim.schema).parquet(str(src_dir))
+        q = (
+            stream.writeStream.foreachBatch(ing)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/batches/*").collect()
+    }
+    want = {
+        r.doc_id
+        for r in dedup.dedup_corpus(slim, method="minhash").collect()
+    }
+    assert got == want and got
+
+
 def test_two_batch_ingest_with_embeddings(spark, docs, embs, tmp_path):
     """Full three-plane ingest: text + semantic.  Planted exact-copy
     embeddings across batches must be caught by the frozen-centroid
