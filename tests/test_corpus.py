@@ -1121,3 +1121,117 @@ def test_prepare_corpus_unscored_keep_policy(spark):
         corpus.prepare_corpus(
             docs, keep_frac=0.5, scores=scores, unscored="maybe"
         )
+
+
+def test_score_sketch_merge_and_quantiles(spark):
+    """KLL score accounting: sharded-merge quantiles EXACTLY equal the
+    single-pass quantiles (groups below the sketch's exact regime),
+    and the readable view is identical from raw scores or sketches."""
+    docs = _docs(spark)
+    from hadoop__spark.operators import text as text_ops
+
+    scores = text_ops.quality_score(docs).select(
+        "doc_id", "quality_score"
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    direct = {
+        tuple(r)
+        for r in corpus.score_quantiles(scores, group_cols=["source"]).collect()
+    }
+    h1 = corpus.score_sketch(
+        scores.where("doc_id % 2 = 0"), ["source"]
+    )
+    h2 = corpus.score_sketch(
+        scores.where("doc_id % 2 = 1"), ["source"]
+    )
+    merged = {
+        tuple(r)
+        for r in corpus.score_quantiles(
+            corpus.merge_score_sketches(h1.unionByName(h2), ["source"]),
+            group_cols=["source"],
+            from_sketches=True,
+        ).collect()
+    }
+    assert merged == direct and direct
+
+
+def test_keep_top_fraction_from_sketch_matches_direct(spark):
+    """The incremental quality gate reads its cutoff from merged KLL
+    state; on exact-regime inputs it keeps exactly what the direct
+    keep_top_fraction keeps — and gating a NEW batch against
+    HISTORICAL sketches uses the corpus-wide cutoff, not the batch's."""
+    rows = [(i, float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id LONG, quality_score DOUBLE")
+    sk = corpus.score_sketch(df)
+    got = {
+        r.doc_id
+        for r in corpus.keep_top_fraction_from_sketch(df, sk, 0.25).collect()
+    }
+    want = {
+        r.doc_id for r in corpus.keep_top_fraction(df, 0.25).collect()
+    }
+    assert got == want == {15, 16, 17, 18, 19, 20}
+    # historical state: scores 1..20; new batch scores 1..5 — the
+    # corpus cutoff (15) rejects the whole low-scoring batch
+    batch = spark.createDataFrame(
+        [(100 + i, float(i)) for i in range(1, 6)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    assert corpus.keep_top_fraction_from_sketch(batch, sk, 0.25).count() == 0
+    # sharded state merges inside the gate
+    sk2 = corpus.score_sketch(df.where("doc_id <= 10")).unionByName(
+        corpus.score_sketch(df.where("doc_id > 10"))
+    )
+    got2 = {
+        r.doc_id
+        for r in corpus.keep_top_fraction_from_sketch(df, sk2, 0.25).collect()
+    }
+    assert got2 == want
+    with pytest.raises(ValueError, match="keep_frac"):
+        corpus.keep_top_fraction_from_sketch(df, sk, 1.5)
+
+
+def test_corpus_overlap_exact_and_mergeable(spark):
+    """Theta-sketch overlap: exact pairwise intersection/jaccard at
+    fixture cardinalities (below the sketch's sampling regime), equal
+    from raw documents or merged shard sketches."""
+    rows = (
+        [(f"A{i}", f"shared text number {i}", "A") for i in range(10)]
+        + [(f"B{i}", f"shared text number {i}", "B") for i in range(5, 15)]
+        + [(f"C{i}", f"unique c body {i}", "C") for i in range(4)]
+        + [("Cdup", "shared text number 0", "C")]
+    )
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING, source STRING")
+    got = {
+        (r.group_a, r.group_b): (
+            r.distinct_a,
+            r.distinct_b,
+            r.overlap_est,
+            round(r.jaccard_est, 6),
+        )
+        for r in corpus.corpus_overlap(df).collect()
+    }
+    # A: 10 distinct; B: 10 distinct (5..14, 5 shared with A's 0..9);
+    # C: 5 distinct (4 unique + one copy of A's text 0)
+    assert got == {
+        ("A", "B"): (10, 10, 5, round(5 / 15, 6)),
+        ("A", "C"): (10, 5, 1, round(1 / 14, 6)),
+        ("B", "C"): (10, 5, 0, 0.0),
+    }
+    # sharded write + theta-union merge gives the same report
+    s1 = corpus.overlap_sketch(df.where("doc_id like '%0' or doc_id like '%1'"))
+    s2 = corpus.overlap_sketch(
+        df.where("not (doc_id like '%0' or doc_id like '%1')")
+    )
+    merged = {
+        (r.group_a, r.group_b): (
+            r.distinct_a,
+            r.distinct_b,
+            r.overlap_est,
+            round(r.jaccard_est, 6),
+        )
+        for r in corpus.corpus_overlap(
+            corpus.merge_overlap_sketches(s1.unionByName(s2)),
+            from_sketches=True,
+        ).collect()
+    }
+    assert merged == got
