@@ -634,10 +634,17 @@ def score_quantiles(
         if from_sketches
         else score_sketch(source, group_cols, score_col, k)
     )
+    # a group whose every score is null has n_scores 0 and an EMPTY
+    # (non-null!) sketch buffer that get_quantile rejects — such
+    # groups report null quantiles
     qcols = [
-        F.kll_sketch_get_quantile_double(
-            "score_sketch", F.lit(float(q))
-        ).alias(f"q_{str(float(q)).replace('.', '_')}")
+        F.when(F.col("n_scores") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.kll_sketch_get_quantile_double(
+                "score_sketch", F.lit(float(q))
+            )
+        )
+        .alias(f"q_{str(float(q)).replace('.', '_')}")
         for q in quantiles
     ]
     return sk.select(*group_cols, "n_scores", *qcols)
@@ -662,19 +669,32 @@ def keep_top_fraction_from_sketch(
     semantics are the KLL quantile's (may differ from
     ``percentile_approx`` by at most the rank error); ties at the
     cutoff all survive and null scores never do, as in
-    :func:`keep_top_fraction`.  The scalar joins back as a broadcast
-    single-row frame — fully lazy, ``df`` never shuffles."""
+    :func:`keep_top_fraction`.  An EMPTY ``sketches`` frame keeps
+    nothing — no distribution means no evidence any row clears the
+    bar (bootstrap the state from the first batch's scores first).
+    The scalar joins back as a broadcast single-row frame — fully
+    lazy, ``df`` never shuffles."""
     if not 0.0 <= keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in [0, 1], got {keep_frac}")
     cut_name = "_cutoff"
     while cut_name in df.columns:
         cut_name += "_"
+    # KLL aggregations over zero scores serialize a NON-null EMPTY
+    # buffer (8 bytes) that get_quantile rejects — detect emptiness
+    # via the sketch's own item count and short-circuit to a null
+    # cutoff (keeps nothing) when the merged state holds no values
     cutoff = sketches.agg(
         F.kll_merge_agg_double("score_sketch").alias("_m")
     ).select(
-        F.kll_sketch_get_quantile_double(
-            "_m", F.lit(1.0 - keep_frac)
-        ).alias(cut_name)
+        F.when(
+            F.col("_m").isNull()
+            | (F.kll_sketch_get_n_double("_m") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.kll_sketch_get_quantile_double("_m", F.lit(1.0 - keep_frac))
+        )
+        .alias(cut_name)
     )
     return (
         df.join(F.broadcast(cutoff))

@@ -1152,6 +1152,19 @@ def test_score_sketch_merge_and_quantiles(spark):
         ).collect()
     }
     assert merged == direct and direct
+    # a group whose every score is null reports null quantiles (its
+    # sketch buffer is EMPTY, not null — must not crash get_quantile)
+    nullg = spark.createDataFrame(
+        [(1, None, "dead"), (2, 3.0, "ok")],
+        "doc_id LONG, quality_score DOUBLE, source STRING",
+    )
+    got = {
+        r.source: (r.n_scores, r.q_0_5)
+        for r in corpus.score_quantiles(
+            nullg, quantiles=(0.5,), group_cols=["source"]
+        ).collect()
+    }
+    assert got == {"dead": (0, None), "ok": (1, 3.0)}
 
 
 def test_keep_top_fraction_from_sketch_matches_direct(spark):
@@ -1188,6 +1201,10 @@ def test_keep_top_fraction_from_sketch_matches_direct(spark):
     assert got2 == want
     with pytest.raises(ValueError, match="keep_frac"):
         corpus.keep_top_fraction_from_sketch(df, sk, 1.5)
+    # empty state (no scores ever sketched) keeps nothing — no
+    # distribution, no evidence any row clears the bar
+    empty_sk = corpus.score_sketch(df.where("doc_id < 0"))
+    assert corpus.keep_top_fraction_from_sketch(df, empty_sk, 0.5).count() == 0
 
 
 def test_corpus_overlap_exact_and_mergeable(spark):
