@@ -36,6 +36,10 @@ from hadoop__spark.operators.dedup import (
     minhash_write_signatures,
     semantic_dedup,
 )
+from hadoop__spark.operators.corpus import (
+    keep_top_fraction_from_sketch,
+    score_sketch,
+)
 from hadoop__spark.operators.similarity import (
     ivf_append_index,
     ivf_write_index,
@@ -74,6 +78,8 @@ def ingest_batch(
     max_bucket: int = 1000,
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
+    keep_frac: float | None = None,
+    unscored: str = "drop",
     embeddings: DataFrame | None = None,
     embedding_col: str = "embedding",
     semantic_threshold: float = 0.95,
@@ -105,7 +111,20 @@ def ingest_batch(
     recalled.  ``scores`` therefore only arbitrates WITHIN a batch
     (routed to the quality-aware keepers of
     :func:`~hadoop__spark.operators.dedup.dedup_corpus` /
-    :func:`~hadoop__spark.operators.dedup.semantic_dedup`).  With
+    :func:`~hadoop__spark.operators.dedup.semantic_dedup`).
+
+    ``keep_frac`` (requires ``scores``) adds the incremental quality
+    gate: the batch is filtered against the ``(1 - keep_frac)``
+    quantile of the CORPUS-SO-FAR's retained score distribution, read
+    from the KLL state at ``{state_dir}/score_sketches``
+    (:func:`~hadoop__spark.operators.corpus.keep_top_fraction_from_sketch`
+    — historical scores are never rescanned; the bootstrap batch
+    gates against its own distribution).  ``unscored`` sets the
+    policy for batch documents with no score row (``"drop"``
+    default / ``"keep"``), mirroring
+    :func:`~hadoop__spark.operators.corpus.prepare_corpus`.  The
+    SURVIVORS' score sketch is appended to the state, so the gate
+    always reflects what the corpus actually retains.  With
     ascending ids across batches this matches the from-scratch
     min-id keeper exactly (tested); with out-of-order ids the
     surviving SET differs only by which clique member represents
@@ -168,6 +187,37 @@ def ingest_batch(
             max_bucket=max_bucket,
         )
         fresh = _drop_ids(fresh, id_col, cross.select("id_new").distinct())
+
+    sketch_path = f"{state_dir}/score_sketches"
+    if keep_frac is not None:
+        if scores is None:
+            raise ValueError("keep_frac needs a scores frame")
+        if unscored not in ("drop", "keep"):
+            raise ValueError(
+                f"unscored must be 'drop' or 'keep', got {unscored!r}"
+            )
+        batch_scores = scores.select(id_col, score_col)
+        # gate against the corpus-so-far's retained distribution; the
+        # bootstrap batch (no state yet) gates against its own
+        state_sk = (
+            spark.read.parquet(sketch_path)
+            if _table_exists(spark, sketch_path)
+            else score_sketch(batch_scores, score_col=score_col)
+        )
+        kept = keep_top_fraction_from_sketch(
+            batch_scores, state_sk, keep_frac, score_col
+        ).select(F.col(id_col).alias("_q_id"))
+        if unscored == "drop":
+            fresh = fresh.join(
+                kept, F.col(id_col) == F.col("_q_id"), "left_semi"
+            )
+        else:
+            rejected = batch_scores.select(
+                F.col(id_col).alias("_q_id")
+            ).join(kept, "_q_id", "left_anti")
+            fresh = fresh.join(
+                rejected, F.col(id_col) == F.col("_q_id"), "left_anti"
+            )
 
     # within-batch exact + near-dup (identical texts share shingle
     # sets, so the minhash pairs subsume exact duplicates)
@@ -239,6 +289,17 @@ def ingest_batch(
     surv_m = spark.read.parquet(batch_path)
 
     write_mode = "overwrite" if bootstrap else "append"
+    if keep_frac is not None:
+        # append the SURVIVORS' score sketch: the gate state tracks
+        # the distribution of what the corpus actually retains
+        surv_scores = scores.select(id_col, score_col).join(
+            surv_m.select(F.col(id_col).alias("_sid")),
+            F.col(id_col) == F.col("_sid"),
+            "left_semi",
+        )
+        score_sketch(surv_scores, score_col=score_col).write.mode(
+            write_mode
+        ).parquet(sketch_path)
     fingerprint_write(surv_m, state_dir, text_col, id_col, mode=write_mode)
     minhash_write_signatures(
         surv_m, state_dir, text_col, id_col, n=n, num_perm=num_perm,

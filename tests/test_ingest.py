@@ -148,6 +148,59 @@ def test_second_batch_probe_is_pruned(spark, docs, tmp_path):
     assert any("/shingles/" in f for f in files), files
 
 
+def test_quality_gated_ingest(spark, tmp_path):
+    """keep_frac inside the ingest loop: the bootstrap batch gates
+    against its own score distribution, later batches against the
+    CORPUS-SO-FAR's retained distribution (KLL state, historical
+    scores never rescanned); the survivors' sketch is appended."""
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(i, f"one unique document body number {i}") for i in range(1, 21)],
+        "doc_id LONG, text STRING",
+    )
+    s1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    surv1 = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, state, b1, "b1", scores=s1, keep_frac=0.25
+        ).collect()
+    }
+    # own-distribution cutoff: 0.75-quantile of 1..20 = 15
+    assert surv1 == {15, 16, 17, 18, 19, 20}
+    # batch 2 scores 1..5 — every row is below the RETAINED corpus
+    # distribution's cutoff (15..20), so nothing survives even though
+    # 0.25 of the batch would pass a batch-local gate
+    b2 = spark.createDataFrame(
+        [(100 + i, f"second wave body number {i}") for i in range(1, 6)],
+        "doc_id LONG, text STRING",
+    )
+    s2 = spark.createDataFrame(
+        [(100 + i, float(i)) for i in range(1, 6)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    surv2 = ingest_batch(
+        spark, state, b2, "b2", scores=s2, keep_frac=0.25
+    )
+    assert surv2.count() == 0
+    # an unscored doc passes under unscored='keep'
+    b3 = spark.createDataFrame(
+        [(200, "third wave wholly novel body")], "doc_id LONG, text STRING"
+    )
+    s3 = spark.createDataFrame([], "doc_id LONG, quality_score DOUBLE")
+    surv3 = ingest_batch(
+        spark, state, b3, "b3", scores=s3, keep_frac=0.25,
+        unscored="keep",
+    )
+    assert surv3.count() == 1
+    # state holds one survivors-sketch row per gated batch
+    assert spark.read.parquet(f"{state}/score_sketches").count() == 3
+    with pytest.raises(ValueError, match="scores"):
+        ingest_batch(spark, state, b3, "b4", keep_frac=0.5)
+
+
 def test_streaming_ingest_loop_equals_batch(spark, docs, tmp_path):
     """The daily ingest loop as a STREAM: arrival files drain through
     ingest_batch inside foreachBatch (one checkpoint, availableNow
