@@ -37,6 +37,7 @@ from hadoop__spark.operators.dedup import (
     semantic_dedup,
 )
 from hadoop__spark.operators.corpus import (
+    decontaminate,
     keep_top_fraction_from_sketch,
     score_sketch,
 )
@@ -80,6 +81,8 @@ def ingest_batch(
     score_col: str = "quality_score",
     keep_frac: float | None = None,
     unscored: str = "drop",
+    benchmark: DataFrame | None = None,
+    group_cap: tuple[str, int] | None = None,
     embeddings: DataFrame | None = None,
     embedding_col: str = "embedding",
     semantic_threshold: float = 0.95,
@@ -124,7 +127,22 @@ def ingest_batch(
     default / ``"keep"``), mirroring
     :func:`~hadoop__spark.operators.corpus.prepare_corpus`.  The
     SURVIVORS' score sketch is appended to the state, so the gate
-    always reflects what the corpus actually retains.  With
+    always reflects what the corpus actually retains.
+
+    ``benchmark`` decontaminates the batch first
+    (:func:`~hadoop__spark.operators.corpus.decontaminate` —
+    stateless, the eval set broadcasts).  ``group_cap=(col, k)``
+    enforces ``k`` documents per ``col`` value across the WHOLE
+    retained corpus: per-group admitted counts persist at
+    ``{state_dir}/group_counts``, and a batch may only fill each
+    group's remaining slots (best-scored first when ``scores`` is
+    given, ascending id otherwise — first-arrival priority across
+    batches, same as the dedup planes).  The cap runs before the
+    within-batch dedup, mirroring
+    :func:`~hadoop__spark.operators.corpus.prepare_corpus`'s stage
+    order, so a group may end under-filled when cap survivors turn
+    out to be duplicates — the cap bounds volume, it does not
+    guarantee fill.  With
     ascending ids across batches this matches the from-scratch
     min-id keeper exactly (tested); with out-of-order ids the
     surviving SET differs only by which clique member represents
@@ -169,6 +187,8 @@ def ingest_batch(
         )
     bootstrap = not _table_exists(spark, f"{state_dir}/fingerprints")
     fresh = batch
+    if benchmark is not None:
+        fresh = decontaminate(fresh, benchmark, text_col, id_col)
     if not bootstrap:
         # plane 1: exact copies of anything already ingested
         fresh = fingerprint_filter_new(
@@ -218,6 +238,52 @@ def ingest_batch(
             fresh = fresh.join(
                 rejected, F.col(id_col) == F.col("_q_id"), "left_anti"
             )
+
+    counts_path = f"{state_dir}/group_counts"
+    if group_cap is not None:
+        from pyspark.sql.window import Window
+
+        cap_col, cap_k = group_cap
+        if cap_k <= 0:
+            raise ValueError(f"group_cap k must be positive, got {cap_k}")
+        slim = fresh.select(id_col, cap_col)
+        if scores is not None:
+            slim = slim.join(
+                scores.select(
+                    F.col(id_col).alias("_s_id"), F.col(score_col)
+                ),
+                F.col(id_col) == F.col("_s_id"),
+                "left",
+            ).drop("_s_id")
+            order = [F.col(score_col).desc_nulls_last(), F.col(id_col)]
+        else:
+            order = [F.col(id_col)]
+        # per-group remaining slots = k - already-admitted count; the
+        # batch ranks its members and fills only those slots.  The
+        # variable limit rules out the WindowGroupLimit rewrite, but
+        # the window partitions by group over BATCH rows only —
+        # bounded by batch group size, never corpus
+        ranked = slim.withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy(cap_col).orderBy(*order)),
+        )
+        if _table_exists(spark, counts_path):
+            used = (
+                spark.read.parquet(counts_path)
+                .groupBy(cap_col)
+                .agg(F.sum("n_admitted").alias("_used"))
+            )
+            ranked = ranked.join(used, cap_col, "left").withColumn(
+                "_used", F.coalesce("_used", F.lit(0))
+            )
+        else:
+            ranked = ranked.withColumn("_used", F.lit(0))
+        cap_ids = ranked.where(
+            F.col("_rk") <= F.lit(cap_k) - F.col("_used")
+        ).select(F.col(id_col).alias("_cap_id"))
+        fresh = fresh.join(
+            cap_ids, F.col(id_col) == F.col("_cap_id"), "left_semi"
+        )
 
     # within-batch exact + near-dup (identical texts share shingle
     # sets, so the minhash pairs subsume exact duplicates)
@@ -289,6 +355,15 @@ def ingest_batch(
     surv_m = spark.read.parquet(batch_path)
 
     write_mode = "overwrite" if bootstrap else "append"
+    if group_cap is not None:
+        # append the survivors' per-group admitted counts — the cap
+        # state counts what the corpus retains, not what was offered
+        (
+            surv_m.groupBy(group_cap[0])
+            .agg(F.count("*").cast("bigint").alias("n_admitted"))
+            .write.mode(write_mode)
+            .parquet(counts_path)
+        )
     if keep_frac is not None:
         # append the SURVIVORS' score sketch: the gate state tracks
         # the distribution of what the corpus actually retains

@@ -201,6 +201,61 @@ def test_quality_gated_ingest(spark, tmp_path):
         ingest_batch(spark, state, b3, "b4", keep_frac=0.5)
 
 
+def test_group_capped_and_decontaminated_ingest(spark, tmp_path):
+    """group_cap inside the loop is a CORPUS-wide cap: a batch can
+    only fill each group's remaining slots (best-scored first), with
+    admitted counts persisted per batch; benchmark decontamination
+    filters the batch before any state is touched."""
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha first body wholly unique", "g"),
+            (2, "beta second body wholly unique", "g"),
+            (3, "gamma third body wholly unique", "h"),
+        ],
+        "doc_id LONG, text STRING, src STRING",
+    )
+    surv1 = ingest_batch(spark, state, b1, "b1", group_cap=("src", 3))
+    assert surv1.count() == 3
+    # batch 2: five g-docs compete for the ONE remaining g slot —
+    # best score wins; the h-doc is a benchmark contaminant and dies
+    # before any accounting
+    b2 = spark.createDataFrame(
+        [(10 + i, f"wave two candidate number {i} body", "g") for i in range(1, 6)]
+        + [(20, "leaked eval question text here", "h")],
+        "doc_id LONG, text STRING, src STRING",
+    )
+    scores = spark.createDataFrame(
+        [(10 + i, float(i)) for i in range(1, 6)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    bench = spark.createDataFrame(
+        [(1, "leaked eval question text here")], "doc_id LONG, text STRING"
+    )
+    surv2 = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, state, b2, "b2", scores=scores,
+            group_cap=("src", 3), benchmark=bench,
+        ).collect()
+    }
+    assert surv2 == {15}, "one slot left in g, best score fills it"
+    used = {
+        r.src: r.n
+        for r in spark.read.parquet(f"{state}/group_counts")
+        .groupBy("src").agg(F.sum("n_admitted").alias("n")).collect()
+    }
+    assert used == {"g": 3, "h": 1}
+    # a full group admits nothing more
+    b3 = spark.createDataFrame(
+        [(30, "wave three wholly novel body", "g")],
+        "doc_id LONG, text STRING, src STRING",
+    )
+    assert ingest_batch(
+        spark, state, b3, "b3", group_cap=("src", 3)
+    ).count() == 0
+
+
 def test_streaming_ingest_loop_equals_batch(spark, docs, tmp_path):
     """The daily ingest loop as a STREAM: arrival files drain through
     ingest_batch inside foreachBatch (one checkpoint, availableNow
