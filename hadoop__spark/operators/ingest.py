@@ -142,7 +142,10 @@ def ingest_batch(
     :func:`~hadoop__spark.operators.corpus.prepare_corpus`'s stage
     order, so a group may end under-filled when cap survivors turn
     out to be duplicates — the cap bounds volume, it does not
-    guarantee fill.  With
+    guarantee fill.  Both gate states (score sketches, group counts)
+    accrue ONLY on calls that pass the corresponding option — use the
+    same ``keep_frac``/``group_cap`` policy on every batch of a
+    corpus, or the state under-counts what was admitted.  With
     ascending ids across batches this matches the from-scratch
     min-id keeper exactly (tested); with out-of-order ids the
     surviving SET differs only by which clique member represents
