@@ -778,8 +778,15 @@ def corpus_overlap(
     )
     inter = F.theta_sketch_estimate(F.theta_intersection("_ska", "_skb"))
     uni = F.theta_sketch_estimate(F.theta_union("_ska", "_skb"))
+    # NULL group keys must appear in the report (corpus_stats
+    # deliberately keeps them) — a plain a < b comparison evaluates
+    # to NULL against them and would silently drop the group from
+    # every pair, so the NULL group is explicitly ordered LAST
+    pair_cond = (F.col("group_a") < F.col("group_b")) | (
+        F.col("group_b").isNull() & F.col("group_a").isNotNull()
+    )
     return (
-        a.join(b, F.col("group_a") < F.col("group_b"))
+        a.join(b, pair_cond)
         .select(
             "group_a",
             "group_b",

@@ -332,15 +332,17 @@ def minhash_write_signatures(
         # a num_perm mismatch would append files whose schema differs
         # from the stored table — Spark's non-merging parquet read
         # would then resolve to an arbitrary file's schema (silent
-        # corruption); fail loudly instead.  (An n mismatch is not
+        # corruption); fail loudly instead.  Existence is checked
+        # explicitly (NOT by catching the read error, which would
+        # also swallow transient I/O failures and skip the guard at
+        # exactly the wrong moment).  (An n mismatch is not
         # schema-visible — the docstring contract covers it.)
-        try:
+        from hadoop__spark.operators.util import table_exists
+
+        if table_exists(df.sparkSession, f"{path}/signatures"):
             stored = df.sparkSession.read.parquet(
                 f"{path}/signatures"
             ).columns
-        except Exception:
-            stored = None
-        if stored is not None:
             stored_perm = sum(c.startswith("mh_") for c in stored)
             if stored_perm != num_perm:
                 raise ValueError(

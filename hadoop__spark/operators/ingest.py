@@ -45,15 +45,7 @@ from hadoop__spark.operators.similarity import (
     ivf_append_index,
     ivf_write_index,
 )
-
-
-def _table_exists(spark, path: str) -> bool:
-    """True when ``path`` exists on the session's Hadoop filesystem
-    (works for local paths, HDFS and object stores alike)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+from hadoop__spark.operators.util import table_exists as _table_exists
 
 
 def _drop_ids(df: DataFrame, id_col: str, bad_ids: DataFrame) -> DataFrame:
@@ -189,6 +181,14 @@ def ingest_batch(
             f"{state_dir} (staging table exists); pick a new name"
         )
     bootstrap = not _table_exists(spark, f"{state_dir}/fingerprints")
+    if scores is not None:
+        # one row per id (same collapse as prepare_corpus): duplicate
+        # score rows would fan out the group-cap rank join — a doc
+        # occupying several rank slots starves its group — and
+        # double-count in the persisted score sketch
+        scores = scores.groupBy(id_col).agg(
+            F.max(score_col).alias(score_col)
+        )
     fresh = batch
     if benchmark is not None:
         fresh = decontaminate(fresh, benchmark, text_col, id_col)
@@ -221,11 +221,19 @@ def ingest_batch(
             )
         batch_scores = scores.select(id_col, score_col)
         # gate against the corpus-so-far's retained distribution; the
-        # bootstrap batch (no state yet) gates against its own
+        # bootstrap batch (no state yet) gates against its own — the
+        # scores of its ELIGIBLE rows (semi-joined to the
+        # decontaminated batch, not the whole caller-supplied frame,
+        # which may span the corpus or score-correlated dropped docs)
         state_sk = (
             spark.read.parquet(sketch_path)
             if _table_exists(spark, sketch_path)
-            else score_sketch(batch_scores, score_col=score_col)
+            else score_sketch(
+                batch_scores.join(
+                    fresh.select(id_col), id_col, "left_semi"
+                ),
+                score_col=score_col,
+            )
         )
         kept = keep_top_fraction_from_sketch(
             batch_scores, state_sk, keep_frac, score_col
@@ -288,10 +296,15 @@ def ingest_batch(
             cap_ids, F.col(id_col) == F.col("_cap_id"), "left_semi"
         )
 
-    # within-batch exact + near-dup (identical texts share shingle
-    # sets, so the minhash pairs subsume exact duplicates)
+    # within-batch dedup: exact FIRST (minhash pairs do NOT subsume
+    # exact copies of texts shorter than the shingle order — zero-
+    # shingle rows never enter the LSH — and a capped hot bucket can
+    # drop identical-text pairs), then near-dup on the exact
+    # survivors.  The published corpus and the fingerprint table stay
+    # one-row-per-text consistent.
+    surv = dedup_corpus(fresh, text_col, id_col, method="fingerprint")
     surv = dedup_corpus(
-        fresh,
+        surv,
         text_col,
         id_col,
         method="minhash",
@@ -307,6 +320,14 @@ def ingest_batch(
 
     ivf_path = f"{state_dir}/ivf"
     if embeddings is not None:
+        # materialize the text-plane survivors BEFORE the semantic
+        # stage: semantic_dedup runs several independent actions
+        # (sizing count, centroid-fit sample, assignment, pairing),
+        # each of which would otherwise re-derive the whole lazy
+        # filter chain — including the minhash self-join
+        text_surv_path = f"{state_dir}/tmp/{batch_name}_text_survivors"
+        surv.write.mode("overwrite").parquet(text_surv_path)
+        surv = spark.read.parquet(text_surv_path)
         emb = embeddings.select(
             F.col(id_col).alias("_eid"), F.col(embedding_col)
         ).join(

@@ -23,6 +23,17 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df
 
 
+def table_exists(spark, path: str) -> bool:
+    """True when ``path`` exists on the session's Hadoop filesystem
+    (local paths, HDFS and object stores alike) — an explicit
+    existence check instead of catching read exceptions, which would
+    also swallow transient I/O failures and mask them as 'absent'."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def global_running_sum(
     df: DataFrame,
     order_col,

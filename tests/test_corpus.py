@@ -1252,3 +1252,20 @@ def test_corpus_overlap_exact_and_mergeable(spark):
         ).collect()
     }
     assert merged == got
+
+
+def test_corpus_overlap_null_group_kept(spark):
+    """A NULL group key stays in the overlap report (ordered last),
+    matching corpus_stats's null-group policy — a plain a<b join
+    condition would silently drop it from every pair."""
+    rows = (
+        [(f"A{i}", f"shared text number {i}", "A") for i in range(6)]
+        + [("N0", "shared text number 0", None),
+           ("N1", "null group own body", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING, source STRING")
+    got = {
+        (r.group_a, r.group_b): (r.distinct_b, r.overlap_est)
+        for r in corpus.corpus_overlap(df).collect()
+    }
+    assert got == {("A", None): (2, 1)}

@@ -148,6 +148,57 @@ def test_second_batch_probe_is_pruned(spark, docs, tmp_path):
     assert any("/shingles/" in f for f in files), files
 
 
+def test_ingest_short_text_exact_dupes_and_dup_scores(spark, tmp_path):
+    """Review findings: (1) exact copies of texts SHORTER than the
+    shingle order have zero shingles, so minhash alone cannot pair
+    them — the within-batch fingerprint pass must catch them (and the
+    published corpus must match the fingerprint table one-to-one);
+    (2) duplicate score rows must not starve a capped group."""
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [
+            (1, "hello world", "g"),
+            (2, "hello world", "g"),  # exact dup, 2 tokens < n=3
+            (3, "a genuinely long and unique body of text", "g"),
+        ],
+        "doc_id LONG, text STRING, src STRING",
+    )
+    surv1 = {
+        r.doc_id for r in ingest_batch(spark, state, b1, "b1").collect()
+    }
+    assert surv1 == {1, 3}, "short-text exact dup caught in-batch"
+    # a later arrival of the same short text dies on the stored
+    # fingerprint plane
+    b2 = spark.createDataFrame(
+        [(10, "hello world", "g")], "doc_id LONG, text STRING, src STRING"
+    )
+    assert ingest_batch(spark, state, b2, "b2").count() == 0
+    # duplicate score rows collapse before the cap rank join: both
+    # remaining docs fit a k=4 cap even when doc 20's score appears
+    # twice
+    b3 = spark.createDataFrame(
+        [
+            (20, "wave three first novel body", "g"),
+            (21, "wave three second novel body", "g"),
+        ],
+        "doc_id LONG, text STRING, src STRING",
+    )
+    dup_scores = spark.createDataFrame(
+        [(20, 1.0), (20, 0.9), (21, 0.7)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    surv3 = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, state, b3, "b3", scores=dup_scores,
+            group_cap=("src", 2),
+        ).collect()
+    }
+    # un-collapsed, doc 20's two rows would occupy ranks 1 AND 2 and
+    # starve doc 21 out of the second slot
+    assert surv3 == {20, 21}
+
+
 def test_quality_gated_ingest(spark, tmp_path):
     """keep_frac inside the ingest loop: the bootstrap batch gates
     against its own score distribution, later batches against the

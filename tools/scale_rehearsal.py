@@ -240,7 +240,6 @@ def run_at(spark, sf_dir: str, mult: int, workdir: str) -> dict:
 
     state = f"{workdir}/ingest_state_x{mult}"
     shutil.rmtree(state, ignore_errors=True)
-    demb = embs.select(F.col("vec_id").alias("doc_id"), "embedding")
     orig = load_tables(spark, sf_dir)
     fixed_batch = orig["documents"].where(F.col("doc_id") < 1000).select(
         (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
