@@ -293,6 +293,22 @@ def test_cluster_keepers_partial_agg_no_window(spark):
     assert "Window" not in plan, plan
 
 
+def test_sketch_accounting_partial_aggregation(spark):
+    """The KLL score sketch and the theta overlap sketch must build
+    map-side partial sketches below the exchange — kilobytes per
+    group cross the wire, never the scores/fingerprints."""
+    from hadoop__spark.operators import corpus
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    scored = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("quality_score")
+    )
+    plan = _plan(corpus.score_sketch(scored, ["source"]))
+    assert "partial_kll_sketch_agg_double" in plan, plan
+    plan = _plan(corpus.overlap_sketch(docs))
+    assert "partial_theta_sketch_agg" in plan, plan
+
+
 def test_keep_top_fraction_sketch_and_broadcast_cutoff(spark):
     """Quantile thresholding must (a) compute the cutoff as a
     partially-aggregated percentile sketch over a column-pruned scan
