@@ -726,7 +726,10 @@ def overlap_sketch(
         )
         .groupBy(group_col)
         .agg(
-            F.count("_fp").cast("bigint").alias("n_docs"),
+            # count(*), not count(_fp): null-text documents are still
+            # documents — same n_docs semantics as corpus_stats_sketch's
+            # count(_id); they just contribute nothing to the sketch
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.theta_sketch_agg("_fp", F.lit(lgk)).alias("content_theta"),
         )
     )
@@ -790,9 +793,16 @@ def corpus_overlap(
         .select(
             "group_a",
             "group_b",
-            F.theta_sketch_estimate("_ska").cast("bigint").alias("distinct_a"),
-            F.theta_sketch_estimate("_skb").cast("bigint").alias("distinct_b"),
-            inter.cast("bigint").alias("overlap_est"),
+            # an all-null-text group aggregates a NULL theta sketch;
+            # its distinct/overlap estimates are 0, not unknown — the
+            # same coalesce corpus_stats applies to its HLL estimates
+            F.coalesce(
+                F.theta_sketch_estimate("_ska").cast("bigint"), F.lit(0)
+            ).alias("distinct_a"),
+            F.coalesce(
+                F.theta_sketch_estimate("_skb").cast("bigint"), F.lit(0)
+            ).alias("distinct_b"),
+            F.coalesce(inter.cast("bigint"), F.lit(0)).alias("overlap_est"),
             F.when(uni > 0, inter / uni).otherwise(F.lit(0.0)).alias(
                 "jaccard_est"
             ),

@@ -1523,22 +1523,24 @@ def cluster_keepers(
     (NaN scores rank with the unscored, below every real score.)
 
     One partially-aggregated shuffle: the argmax is a ``min`` over a
-    ``struct(-score, id)`` (struct ordering = lexicographic; null and
-    NaN scores map to the +inf sort key), so each map partition
-    reduces to one candidate row per cluster before the exchange — no
-    window over cluster members, and the id never needs arithmetic,
-    so STRING/UUID/URL ids work as well as numeric ones (ties fall to
-    the type's natural minimum — numeric or lexicographic).
+    ``struct(is_unscored, -score, id)`` (struct ordering =
+    lexicographic; the leading flag sorts null/NaN scores after EVERY
+    real score — including a genuine ``-inf``, which ``-score`` alone
+    would conflate with the unscored +inf sentinel), so each map
+    partition reduces to one candidate row per cluster before the
+    exchange — no window over cluster members, and the id never needs
+    arithmetic, so STRING/UUID/URL ids work as well as numeric ones
+    (ties fall to the type's natural minimum — numeric or
+    lexicographic).
     """
     joined = clusters.join(scores.select(id_col, score_col), id_col, "left")
     score = F.col(score_col).cast("double")
-    sort_key = F.when(
-        score.isNull() | F.isnan(score), F.lit(float("inf"))
-    ).otherwise(-score)
+    unscored = score.isNull() | F.isnan(score)
     best = joined.groupBy(cluster_col).agg(
         F.min(
             F.struct(
-                sort_key.alias("_k"),
+                F.when(unscored, F.lit(1)).otherwise(F.lit(0)).alias("_u"),
+                F.when(unscored, F.lit(0.0)).otherwise(-score).alias("_k"),
                 F.col(id_col).alias("_id"),
                 F.col(score_col).alias("_s"),
             )
@@ -1581,13 +1583,13 @@ def dedup_corpus(
       distance; tune ``max_hamming``/``n_chunks``/``n_docs`` via
       ``method_kwargs``), then the same
       clusters→keepers→survivors step.
+    * ``"ngram"`` — pairs from :func:`ngram_jaccard_pairs` at
+      ``threshold`` (``n``, ``prefix_filter``, ``doc_freq`` via
+      ``method_kwargs``), then the same downstream step.
 
     ``threshold`` is a Jaccard bound and applies ONLY to
     ``minhash``/``ngram``; passing it with any other method (or with
     ``pairs=``) raises rather than being silently ignored.
-    * ``"ngram"`` — pairs from :func:`ngram_jaccard_pairs` at
-      ``threshold`` (``n``, ``prefix_filter``, ``doc_freq`` via
-      ``method_kwargs``), then the same downstream step.
 
     ``pairs`` is the escape hatch for every other pair source: any
     precomputed ``(id_a, id_b, …)`` frame — materialized signatures

@@ -1269,3 +1269,26 @@ def test_corpus_overlap_null_group_kept(spark):
         for r in corpus.corpus_overlap(df).collect()
     }
     assert got == {("A", None): (2, 1)}
+
+
+def test_overlap_sketch_null_text_counting(spark):
+    """ADVICE r7: n_docs counts every document (count(*), matching
+    corpus_stats_sketch), not just those with non-null text; an
+    all-null-text group reports 0 distinct/overlap, not null."""
+    rows = [
+        ("A0", "alpha body", "A"),
+        ("A1", None, "A"),
+        ("Z0", None, "Z"),
+        ("Z1", None, "Z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING, source STRING")
+    n = {r.source: r.n_docs for r in corpus.overlap_sketch(df).collect()}
+    assert n == {"A": 2, "Z": 2}
+    got = {
+        (r.group_a, r.group_b): (
+            r.distinct_a, r.distinct_b, r.overlap_est, r.jaccard_est
+        )
+        for r in corpus.corpus_overlap(df).collect()
+    }
+    # Z's sketch is null (no fingerprints) -> estimates coalesce to 0
+    assert got == {("A", "Z"): (1, 0, 0, 0.0)}

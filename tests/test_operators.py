@@ -906,6 +906,28 @@ def test_cluster_keepers_partial_scores_never_delete_clusters(spark):
     assert len(surv & {5, 6}) == 1, "unscored cluster keeps exactly one member"
 
 
+def test_cluster_keepers_neg_inf_beats_unscored(spark):
+    """ADVICE r7: a genuine -inf score is still a REAL score — it must
+    rank above every null/NaN member (the -score sort key alone maps
+    -inf and the unscored sentinel to the same +inf, conflating them);
+    NaN keeps ranking with the unscored."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id LONG, cluster_id LONG",
+    )
+    scores = spark.createDataFrame(
+        [(2, float("-inf")), (3, float("nan")), (11, float("nan"))],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    got = {
+        (r.cluster_id, r.doc_id)
+        for r in dedup.cluster_keepers(clusters, scores).collect()
+    }
+    # cluster 1: -inf (doc 2) beats unscored doc 1 and NaN doc 3;
+    # cluster 10: all members unscored/NaN -> smallest id wins
+    assert got == {(1, 2), (10, 10)}
+
+
 def test_semantic_dedup_empty_input_and_fit_guard(spark):
     """Empty embeddings: semantic_dedup is a no-op frame, and the
     centroid fit raises a clear error instead of a numpy shape crash."""
