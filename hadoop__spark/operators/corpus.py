@@ -703,6 +703,135 @@ def keep_top_fraction_from_sketch(
     )
 
 
+def eligibility_filter(
+    out: DataFrame,
+    id_col: str,
+    scores: DataFrame | None,
+    score_col: str,
+    keep_frac: float | None = None,
+    unscored: str = "drop",
+    gate_sketches: DataFrame | None = None,
+    group_cap: tuple[str, int] | None = None,
+    used_counts: DataFrame | None = None,
+) -> DataFrame:
+    """The shared quality-gate + group-cap eligibility stage behind
+    :func:`prepare_corpus` and
+    :func:`~hadoop__spark.operators.ingest.ingest_batch` — one
+    implementation of the drop/keep ``unscored`` policy and the
+    best-scored-first cap ranking, so the batch pipeline and the
+    from-scratch pipeline cannot drift (the round-7 score-row-collapse
+    bug had to be patched in both copies; this is the helper that
+    retires that class of bug).
+
+    ``scores`` must already be collapsed to one row per ``id_col``
+    (both callers do this up front).  Two policy knobs pick the
+    stateless vs incremental variants:
+
+    * cutoff source — ``gate_sketches=None`` computes the
+      ``(1 - keep_frac)`` cutoff directly over the SURVIVORS' scores
+      (``scores`` semi-joined to ``out``,
+      :func:`keep_top_fraction`); a :func:`score_sketch` frame gates
+      against that merged KLL state instead
+      (:func:`keep_top_fraction_from_sketch` — the cutoff then comes
+      from the state, so the gate scope is the whole ``scores``
+      frame).
+    * cap source — ``used_counts=None`` caps at a fixed ``k`` per
+      group (:func:`cap_per_group`, WindowGroupLimit plan); a
+      persisted ``(cap_col, n_admitted)`` frame caps at each group's
+      REMAINING slots ``k - already_admitted`` (a variable limit, so
+      a plain row-number rank — the window partitions over ``out``'s
+      rows only, bounded by its group sizes, never the corpus).
+
+    Ranking and tie rules are identical in both variants: best score
+    first (``desc_nulls_last`` — unscored rows still count against a
+    cap, ranked last), ties by ascending id.
+    """
+    if keep_frac is not None:
+        if scores is None:
+            raise ValueError("keep_frac needs a scores frame")
+        if unscored not in ("drop", "keep"):
+            raise ValueError(
+                f"unscored must be 'drop' or 'keep', got {unscored!r}"
+            )
+        if gate_sketches is None:
+            # quantile over the SURVIVORS' scores, not the whole scores
+            # frame (prepare_corpus docstring); the semi-join re-derives
+            # the upstream chain once — materialize upstream to avoid
+            scope = scores.join(out.select(id_col), id_col, "left_semi")
+            kept = keep_top_fraction(scope, keep_frac, score_col)
+        else:
+            scope = scores.select(id_col, score_col)
+            kept = keep_top_fraction_from_sketch(
+                scope, gate_sketches, keep_frac, score_col
+            )
+        kept = kept.select(F.col(id_col).alias("_q_id"))
+        if unscored == "drop":
+            out = out.join(
+                kept, F.col(id_col) == F.col("_q_id"), "left_semi"
+            )
+        else:
+            rejected = scope.select(F.col(id_col).alias("_q_id")).join(
+                kept, "_q_id", "left_anti"
+            )
+            out = out.join(
+                rejected, F.col(id_col) == F.col("_q_id"), "left_anti"
+            )
+    if group_cap is not None:
+        cap_col, cap_k = group_cap
+        slim = out.select(id_col, cap_col)
+        if scores is not None:
+            # left join: unscored docs still count against the cap,
+            # ranked last in their group — the cap bounds volume, it
+            # must not silently exempt rows
+            slim = slim.join(
+                scores.select(
+                    F.col(id_col).alias("_s_id"), F.col(score_col)
+                ),
+                F.col(id_col) == F.col("_s_id"),
+                "left",
+            ).drop("_s_id")
+        if used_counts is None:
+            capped = cap_per_group(
+                slim,
+                cap_col,
+                cap_k,
+                id_col,
+                score_col if scores is not None else None,
+            )
+        else:
+            from pyspark.sql.window import Window
+
+            if cap_k <= 0:
+                raise ValueError(
+                    f"group_cap k must be positive, got {cap_k}"
+                )
+            order = (
+                [F.col(score_col).desc_nulls_last(), F.col(id_col)]
+                if scores is not None
+                else [F.col(id_col)]
+            )
+            used = used_counts.groupBy(cap_col).agg(
+                F.sum("n_admitted").alias("_used")
+            )
+            capped = (
+                slim.withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy(cap_col).orderBy(*order)
+                    ),
+                )
+                .join(used, cap_col, "left")
+                .withColumn("_used", F.coalesce("_used", F.lit(0)))
+                .where(F.col("_rk") <= F.lit(cap_k) - F.col("_used"))
+            )
+        out = out.join(
+            capped.select(F.col(id_col).alias("_c_id")),
+            F.col(id_col) == F.col("_c_id"),
+            "left_semi",
+        )
+    return out
+
+
 def overlap_sketch(
     df: DataFrame,
     group_col: str = "source",
@@ -1054,54 +1183,18 @@ def prepare_corpus(
     out = _stage(
         out.where(F.col("dup_token_frac") <= max_dup_token_frac), "filtered"
     )
-    if keep_frac is not None:
-        if scores is None:
-            raise ValueError("keep_frac needs a scores frame")
-        if unscored not in ("drop", "keep"):
-            raise ValueError(
-                f"unscored must be 'drop' or 'keep', got {unscored!r}"
-            )
-        # quantile over the SURVIVORS' scores, not the whole scores
-        # frame (docstring); the semi-join re-derives the filtered
-        # chain once — pass materialize_dir to make it a table scan
-        surv_scores = scores.join(
-            out.select(id_col), id_col, "left_semi"
-        )
-        kept = keep_top_fraction(surv_scores, keep_frac, score_col).select(
-            F.col(id_col).alias("_q_id")
-        )
-        if unscored == "drop":
-            out = out.join(
-                kept, F.col(id_col) == F.col("_q_id"), "left_semi"
-            )
-        else:
-            rejected = surv_scores.select(
-                F.col(id_col).alias("_q_id")
-            ).join(kept, "_q_id", "left_anti")
-            out = out.join(
-                rejected, F.col(id_col) == F.col("_q_id"), "left_anti"
-            )
-    if group_cap is not None:
-        cap_col, cap_k = group_cap
-        slim = out.select(id_col, cap_col)
-        if scores is not None:
-            # left join: unscored docs still count against the cap,
-            # ranked last in their group (desc_nulls_last) — the cap
-            # bounds volume, it must not silently exempt rows
-            slim = slim.join(
-                scores.select(
-                    F.col(id_col).alias("_s_id"), F.col(score_col)
-                ),
-                F.col(id_col) == F.col("_s_id"),
-                "left",
-            ).drop("_s_id")
-            capped = cap_per_group(slim, cap_col, cap_k, id_col, score_col)
-        else:
-            capped = cap_per_group(slim, cap_col, cap_k, id_col)
-        out = out.join(
-            capped.select(F.col(id_col).alias("_c_id")),
-            F.col(id_col) == F.col("_c_id"),
-            "left_semi",
+    if keep_frac is not None or group_cap is not None:
+        # the shared eligibility stage (direct-quantile cutoff, fixed-k
+        # cap); pass materialize_dir to make the gate's survivor-scope
+        # semi-join a table scan instead of a chain re-derive
+        out = eligibility_filter(
+            out,
+            id_col,
+            scores,
+            score_col,
+            keep_frac=keep_frac,
+            unscored=unscored,
+            group_cap=group_cap,
         )
     out = _stage(
         dedup_corpus(

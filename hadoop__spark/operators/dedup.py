@@ -747,6 +747,90 @@ def ngram_write_index(
         sh.unpersist()
 
 
+def ngram_append_index(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int | None = None,
+    threshold: float | None = None,
+) -> None:
+    """Append a new batch to an :func:`ngram_write_index` index:
+    shingle the batch at the STORED ``n``, compute its WWW'07 prefixes
+    at the STORED threshold under the STORED document-frequency order
+    (absent shingles get df 0 — the stale-df argument of
+    :func:`ngram_jaccard_pairs`), and append to ``shingle_sets`` and
+    ``prefix``.  ``doc_freq`` and ``meta`` stay FROZEN at their
+    bootstrap values: the prefix bound needs only ONE consistent total
+    order across every side, not a fresh one — every stored and
+    appended prefix is computed under (bootstrap df, shingle), so
+    :func:`ngram_jaccard_pairs_between` probes stay exact after any
+    number of appends (tested).  Stale df only lengthens prefixes (a
+    shingle that became common still sorts rare), never loses recall;
+    rebuild the index when the frozen vocabulary has drifted far
+    enough to hurt candidate pruning.
+
+    ``n``/``threshold``, when given, are cross-checked against the
+    stored meta and refused on mismatch — an appended prefix computed
+    at a LOOSER threshold would be longer than the probe assumes
+    (wasted candidates), a STRICTER one shorter than the bound needs
+    (silent recall loss), and a different ``n`` makes cross-side
+    Jaccard meaningless."""
+    from pyspark.sql.window import Window
+
+    from hadoop__spark.operators.util import table_exists
+
+    if not table_exists(spark, f"{path}/meta"):
+        raise ValueError(
+            f"no ngram index at {path} (meta table missing) — bootstrap "
+            "with ngram_write_index first"
+        )
+    meta = spark.read.parquet(f"{path}/meta").first()
+    if n is not None and n != meta.n:
+        raise ValueError(
+            f"append with n={n} onto an index written with n={meta.n}"
+        )
+    if threshold is not None and abs(threshold - meta.threshold) > 1e-12:
+        raise ValueError(
+            f"append with threshold={threshold} onto an index written "
+            f"with threshold={meta.threshold}: appended prefixes must "
+            "use the index's own bound — rebuild to change it"
+        )
+    dfq = spark.read.parquet(f"{path}/doc_freq")
+    sh = shingle_frame(df, text_col, id_col, meta.n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        sh.write.mode("append").parquet(f"{path}/shingle_sets")
+        inv = sh.select(
+            "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+        )
+        ranked = (
+            inv.join(dfq, "_s", "left")
+            .withColumn("_df", F.coalesce("_df", F.lit(0)))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_id").orderBy("_df", "_s")
+                ),
+            )
+        )
+        (
+            ranked.where(
+                F.col("_rk")
+                <= F.col("_n")
+                - F.ceil(F.lit(float(meta.threshold)) * F.col("_n"))
+                + 1
+            )
+            .select("_s", "_id")
+            .write.mode("append")
+            .parquet(f"{path}/prefix")
+        )
+    finally:
+        sh.unpersist()
+
+
 def ngram_jaccard_pairs_between(
     spark,
     path: str,
@@ -1030,16 +1114,21 @@ def simhash_write_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize SimHash signatures as a parquet table
     ``{path}/signatures`` (_id, simhash) — the long-lived-pipeline
     mirror of :func:`minhash_write_signatures`: sign once, store 8
     bytes per document, and let every later pairing run (different
     ``max_hamming``/``n_chunks``, incremental batches) start from the
-    table instead of re-shingling the corpus."""
+    table instead of re-shingling the corpus.  ``mode="append"`` adds
+    a new batch's signatures (the ingest loop); the shingle order
+    ``n`` is not schema-visible, so matching the stored index's ``n``
+    is the caller's contract — exactly as for the MinHash writer's
+    ``n``."""
     simhash(df, text_col, id_col, n).select(
         F.col(id_col).alias("_id"), "simhash"
-    ).write.mode("overwrite").parquet(f"{path}/signatures")
+    ).write.mode(mode).parquet(f"{path}/signatures")
 
 
 def simhash_pairs_from(

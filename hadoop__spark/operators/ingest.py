@@ -34,18 +34,27 @@ from hadoop__spark.operators.dedup import (
     fingerprint_write,
     minhash_lsh_pairs_between,
     minhash_write_signatures,
+    ngram_append_index,
+    ngram_jaccard_pairs_between,
+    ngram_write_index,
     semantic_dedup,
+    simhash_pairs_between,
+    simhash_write_signatures,
 )
 from hadoop__spark.operators.corpus import (
     decontaminate,
-    keep_top_fraction_from_sketch,
+    eligibility_filter,
     score_sketch,
 )
 from hadoop__spark.operators.similarity import (
     ivf_append_index,
     ivf_write_index,
 )
-from hadoop__spark.operators.util import table_exists as _table_exists
+from hadoop__spark.operators.util import (
+    delete_path as _delete_path,
+    list_child_dirs as _list_child_dirs,
+    table_exists as _table_exists,
+)
 
 
 def _drop_ids(df: DataFrame, id_col: str, bad_ids: DataFrame) -> DataFrame:
@@ -64,11 +73,14 @@ def ingest_batch(
     batch_name: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    text_method: str = "minhash",
     threshold: float = 0.8,
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
     max_bucket: int = 1000,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
     keep_frac: float | None = None,
@@ -155,20 +167,38 @@ def ingest_batch(
     own centroids on the (small) batch; cross-batch probing always
     uses the index's frozen centroids.
 
+    ``text_method`` picks the near-dup TEXT plane: ``"minhash"``
+    (default — LSH-banded Jaccard at ``threshold``), ``"simhash"``
+    (Hamming ≤ ``max_hamming`` over ``n_chunks`` chunk buckets,
+    :func:`~hadoop__spark.operators.dedup.simhash_pairs_between`), or
+    ``"ngram"`` (EXACT prefix-filtered Jaccard at ``threshold``,
+    :func:`~hadoop__spark.operators.dedup.ngram_jaccard_pairs_between`
+    against a frozen-df index that appends per batch).  The method is
+    fixed at the corpus's bootstrap — each plane keeps its own state
+    layout (minhash at the state root, ``{state_dir}/simhash``,
+    ``{state_dir}/ngram``) and a later call with a different method is
+    refused rather than silently probing a plane that holds none of
+    the corpus.  The exact-fingerprint plane and the optional
+    embedding plane run regardless of the choice.
+
     ``n``/``num_perm`` must match the stored MinHash state across
     calls (a ``num_perm`` mismatch is refused at the append; ``n`` is
-    the caller's contract); ``nlist`` sizes the bootstrap IVF fit
+    the caller's contract; the ngram plane cross-checks ``n`` AND
+    ``threshold`` against its stored meta); ``nlist`` sizes the
+    bootstrap IVF fit
     (default: the faiss ``max(16, 4√N)`` rule via
     :func:`~hadoop__spark.operators.dedup.semantic_dedup`'s sizing).
 
     Durability note: each state append is atomic per table (parquet
-    commit protocol), but the three appends are NOT atomic as a
-    group — a crash between them leaves the state tables at different
-    batch frontiers.  Recovery is a state REBUILD from the batch
-    tables (each ``{state_dir}/batches/*`` is an immutable survivors
-    snapshot): re-run the three writers over their union with
-    ``mode="overwrite"``.  At 100 TB wrap the appends in the lakehouse
-    transaction layer of the deployment instead.
+    commit protocol), but the appends are NOT atomic as a group — a
+    crash between them leaves the state tables at different batch
+    frontiers.  Recovery is :func:`rebuild_state`: every
+    ``{state_dir}/batches/*`` is an immutable survivors snapshot
+    (written BEFORE any state append, so the snapshot always covers
+    at least what the state tables saw), and the writers re-run over
+    their union with ``mode="overwrite"`` (chaos-tested in
+    tests/test_ingest.py).  At 100 TB wrap the appends in the
+    lakehouse transaction layer of the deployment instead.
     """
     batch_path = f"{state_dir}/batches/{batch_name}"
     if _table_exists(spark, batch_path):
@@ -180,7 +210,41 @@ def ingest_batch(
             f"batch {batch_name!r} was already ingested into "
             f"{state_dir} (staging table exists); pick a new name"
         )
+    if text_method not in ("minhash", "simhash", "ngram"):
+        raise ValueError(
+            "text_method must be 'minhash', 'simhash' or 'ngram', "
+            f"got {text_method!r}"
+        )
+    # the near-dup plane's state location per method; minhash keeps
+    # its original layout at the state root, the later planes nest
+    plane_state = {
+        "minhash": (state_dir, f"{state_dir}/signatures"),
+        "simhash": (f"{state_dir}/simhash", f"{state_dir}/simhash/signatures"),
+        "ngram": (f"{state_dir}/ngram", f"{state_dir}/ngram/meta"),
+    }
+    plane_path, plane_marker = plane_state[text_method]
     bootstrap = not _table_exists(spark, f"{state_dir}/fingerprints")
+    if not bootstrap and not _table_exists(spark, plane_marker):
+        # the corpus was bootstrapped under a DIFFERENT text_method —
+        # probing the wrong plane would silently admit near-dups of
+        # everything already ingested
+        raise ValueError(
+            f"state at {state_dir} has no {text_method!r} plane: it was "
+            "built with a different text_method; use the original "
+            "method or rebuild the state"
+        )
+    if not bootstrap and text_method == "ngram":
+        # fail FAST on a parameter drift the end-of-batch append would
+        # refuse anyway — by then the fingerprint/gate appends would
+        # already have committed, stranding the state mid-batch
+        meta = spark.read.parquet(f"{plane_path}/meta").first()
+        if n != meta.n or abs(threshold - meta.threshold) > 1e-12:
+            raise ValueError(
+                f"ngram ingest with n={n}, threshold={threshold} onto a "
+                f"plane written with n={meta.n}, "
+                f"threshold={meta.threshold} — match the stored "
+                "parameters or rebuild the state"
+            )
     if scores is not None:
         # one row per id (same collapse as prepare_corpus): duplicate
         # score rows would fan out the group-cap rank join — a doc
@@ -197,103 +261,79 @@ def ingest_batch(
         fresh = fingerprint_filter_new(
             spark, state_dir, fresh, text_col, id_col
         )
-        # plane 2: near-dups of the indexed corpus
-        cross = minhash_lsh_pairs_between(
-            spark,
-            state_dir,
-            fresh,
-            text_col,
-            id_col,
-            n=n,
-            bands=bands,
-            threshold=threshold,
-            max_bucket=max_bucket,
-        )
+        # plane 2: near-dups of the indexed corpus, probed on the
+        # state's text plane (each probe's exactness claim — equal to
+        # the cross-corpus slice of a full self-pairing — is its own
+        # docstring's and test's)
+        if text_method == "minhash":
+            cross = minhash_lsh_pairs_between(
+                spark,
+                plane_path,
+                fresh,
+                text_col,
+                id_col,
+                n=n,
+                bands=bands,
+                threshold=threshold,
+                max_bucket=max_bucket,
+            )
+        elif text_method == "simhash":
+            cross = simhash_pairs_between(
+                spark,
+                plane_path,
+                fresh,
+                text_col,
+                id_col,
+                n=n,
+                max_hamming=max_hamming,
+                n_chunks=n_chunks,
+            )
+        else:
+            cross = ngram_jaccard_pairs_between(
+                spark, plane_path, fresh, text_col, id_col,
+                threshold=threshold,
+            )
         fresh = _drop_ids(fresh, id_col, cross.select("id_new").distinct())
 
     sketch_path = f"{state_dir}/score_sketches"
-    if keep_frac is not None:
-        if scores is None:
-            raise ValueError("keep_frac needs a scores frame")
-        if unscored not in ("drop", "keep"):
-            raise ValueError(
-                f"unscored must be 'drop' or 'keep', got {unscored!r}"
-            )
-        batch_scores = scores.select(id_col, score_col)
-        # gate against the corpus-so-far's retained distribution; the
-        # bootstrap batch (no state yet) gates against its own — the
-        # scores of its ELIGIBLE rows (semi-joined to the
-        # decontaminated batch, not the whole caller-supplied frame,
-        # which may span the corpus or score-correlated dropped docs)
-        state_sk = (
-            spark.read.parquet(sketch_path)
-            if _table_exists(spark, sketch_path)
-            else score_sketch(
-                batch_scores.join(
-                    fresh.select(id_col), id_col, "left_semi"
-                ),
-                score_col=score_col,
-            )
-        )
-        kept = keep_top_fraction_from_sketch(
-            batch_scores, state_sk, keep_frac, score_col
-        ).select(F.col(id_col).alias("_q_id"))
-        if unscored == "drop":
-            fresh = fresh.join(
-                kept, F.col(id_col) == F.col("_q_id"), "left_semi"
-            )
-        else:
-            rejected = batch_scores.select(
-                F.col(id_col).alias("_q_id")
-            ).join(kept, "_q_id", "left_anti")
-            fresh = fresh.join(
-                rejected, F.col(id_col) == F.col("_q_id"), "left_anti"
-            )
-
     counts_path = f"{state_dir}/group_counts"
-    if group_cap is not None:
-        from pyspark.sql.window import Window
-
-        cap_col, cap_k = group_cap
-        if cap_k <= 0:
-            raise ValueError(f"group_cap k must be positive, got {cap_k}")
-        slim = fresh.select(id_col, cap_col)
-        if scores is not None:
-            slim = slim.join(
-                scores.select(
-                    F.col(id_col).alias("_s_id"), F.col(score_col)
-                ),
-                F.col(id_col) == F.col("_s_id"),
-                "left",
-            ).drop("_s_id")
-            order = [F.col(score_col).desc_nulls_last(), F.col(id_col)]
-        else:
-            order = [F.col(id_col)]
-        # per-group remaining slots = k - already-admitted count; the
-        # batch ranks its members and fills only those slots.  The
-        # variable limit rules out the WindowGroupLimit rewrite, but
-        # the window partitions by group over BATCH rows only —
-        # bounded by batch group size, never corpus
-        ranked = slim.withColumn(
-            "_rk",
-            F.row_number().over(Window.partitionBy(cap_col).orderBy(*order)),
-        )
-        if _table_exists(spark, counts_path):
-            used = (
+    if keep_frac is not None or group_cap is not None:
+        state_sk = None
+        if keep_frac is not None:
+            if scores is None:
+                raise ValueError("keep_frac needs a scores frame")
+            # gate against the corpus-so-far's retained distribution;
+            # the bootstrap batch (no state yet) gates against its
+            # own — the scores of its ELIGIBLE rows (semi-joined to
+            # the decontaminated batch, not the whole caller-supplied
+            # frame, which may span the corpus or score-correlated
+            # dropped docs)
+            state_sk = (
+                spark.read.parquet(sketch_path)
+                if _table_exists(spark, sketch_path)
+                else score_sketch(
+                    scores.select(id_col, score_col).join(
+                        fresh.select(id_col), id_col, "left_semi"
+                    ),
+                    score_col=score_col,
+                )
+            )
+        # the shared eligibility stage (KLL-state cutoff,
+        # remaining-slots cap against the persisted admitted counts)
+        fresh = eligibility_filter(
+            fresh,
+            id_col,
+            scores,
+            score_col,
+            keep_frac=keep_frac,
+            unscored=unscored,
+            gate_sketches=state_sk,
+            group_cap=group_cap,
+            used_counts=(
                 spark.read.parquet(counts_path)
-                .groupBy(cap_col)
-                .agg(F.sum("n_admitted").alias("_used"))
-            )
-            ranked = ranked.join(used, cap_col, "left").withColumn(
-                "_used", F.coalesce("_used", F.lit(0))
-            )
-        else:
-            ranked = ranked.withColumn("_used", F.lit(0))
-        cap_ids = ranked.where(
-            F.col("_rk") <= F.lit(cap_k) - F.col("_used")
-        ).select(F.col(id_col).alias("_cap_id"))
-        fresh = fresh.join(
-            cap_ids, F.col(id_col) == F.col("_cap_id"), "left_semi"
+                if group_cap is not None and _table_exists(spark, counts_path)
+                else None
+            ),
         )
 
     # within-batch dedup: exact FIRST (minhash pairs do NOT subsume
@@ -303,22 +343,30 @@ def ingest_batch(
     # survivors.  The published corpus and the fingerprint table stay
     # one-row-per-text consistent.
     surv = dedup_corpus(fresh, text_col, id_col, method="fingerprint")
+    if text_method == "minhash":
+        method_kwargs = dict(
+            threshold=threshold, n=n, num_perm=num_perm, bands=bands,
+            max_bucket=max_bucket,
+        )
+    elif text_method == "simhash":
+        method_kwargs = dict(
+            n=n, max_hamming=max_hamming, n_chunks=n_chunks,
+        )
+    else:
+        method_kwargs = dict(threshold=threshold, n=n)
     surv = dedup_corpus(
         surv,
         text_col,
         id_col,
-        method="minhash",
-        threshold=threshold,
+        method=text_method,
         scores=scores,
         score_col=score_col,
         checkpoint_dir=checkpoint_dir,
-        n=n,
-        num_perm=num_perm,
-        bands=bands,
-        max_bucket=max_bucket,
+        **method_kwargs,
     )
 
     ivf_path = f"{state_dir}/ivf"
+    text_surv_path = None
     if embeddings is not None:
         # materialize the text-plane survivors BEFORE the semantic
         # stage: semantic_dedup runs several independent actions
@@ -376,6 +424,11 @@ def ingest_batch(
     # re-running the filter chain — and the fingerprint append no
     # longer reads the table it writes
     surv.write.mode("overwrite").parquet(batch_path)
+    if text_surv_path is not None:
+        # the text-survivors staging table fed the semantic stage and
+        # the batch_path write above; done with it — without this, the
+        # tmp dir accrues one full survivors copy per batch forever
+        _delete_path(spark, text_surv_path)
     surv_m = spark.read.parquet(batch_path)
 
     write_mode = "overwrite" if bootstrap else "append"
@@ -400,10 +453,25 @@ def ingest_batch(
             write_mode
         ).parquet(sketch_path)
     fingerprint_write(surv_m, state_dir, text_col, id_col, mode=write_mode)
-    minhash_write_signatures(
-        surv_m, state_dir, text_col, id_col, n=n, num_perm=num_perm,
-        mode=write_mode,
-    )
+    if text_method == "minhash":
+        minhash_write_signatures(
+            surv_m, plane_path, text_col, id_col, n=n, num_perm=num_perm,
+            mode=write_mode,
+        )
+    elif text_method == "simhash":
+        simhash_write_signatures(
+            surv_m, plane_path, text_col, id_col, n=n, mode=write_mode
+        )
+    elif bootstrap:
+        ngram_write_index(
+            surv_m, plane_path, text_col, id_col, n=n, threshold=threshold
+        )
+    else:
+        # the append cross-checks n/threshold against the stored meta
+        ngram_append_index(
+            spark, plane_path, surv_m, text_col, id_col, n=n,
+            threshold=threshold,
+        )
     if embeddings is not None:
         emb_m = embeddings.select(
             F.col(id_col).alias("_eid"), F.col(embedding_col)
@@ -428,3 +496,129 @@ def ingest_batch(
                 spark, ivf_path, emb_m, vec_col=embedding_col, id_col=id_col
             )
     return surv_m
+
+
+def rebuild_state(
+    spark,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    text_method: str = "minhash",
+    n: int = 3,
+    num_perm: int = 64,
+    threshold: float = 0.8,
+    scores: DataFrame | None = None,
+    score_col: str = "quality_score",
+    group_cap_col: str | None = None,
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    nlist: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Rebuild the ingest state under ``state_dir`` from its immutable
+    per-batch survivors snapshots (``{state_dir}/batches/*``) — the
+    crash-recovery recipe of :func:`ingest_batch`'s durability note,
+    as code.
+
+    :func:`ingest_batch` materializes each batch's survivors BEFORE
+    any state append, so after a crash between appends the snapshots
+    are the single source of truth: this re-runs every writer over
+    their union with ``mode="overwrite"``, producing the state a
+    crash-free run would hold (signature/fingerprint tables equal
+    row-for-row — chaos-tested).  A snapshot directory without a
+    parquet ``_SUCCESS`` marker is a batch that crashed DURING its
+    own materialization — before any state append ran — so it was
+    never ingested: the partial directory is deleted (freeing the
+    batch name for a clean re-ingest) and excluded from the rebuild.
+
+    Pass the SAME ``text_method``/``n``/``num_perm``/``threshold`` the
+    corpus was ingested with.  The policy states rebuild only when
+    their inputs are supplied, since survivors snapshots hold
+    documents, not scores: ``scores`` (a corpus-wide ``(id, score)``
+    frame) rebuilds ``score_sketches`` — one consolidated sketch row
+    whose quantiles equal the incrementally-appended state's (exactly
+    below the sketch's exact regime, within rank error above);
+    ``group_cap_col`` rebuilds ``group_counts`` (same per-group totals,
+    consolidated to one row per group); ``embeddings`` rebuilds the
+    IVF index over the surviving vectors — with freshly fitted
+    centroids (often better than the bootstrap batch's frozen ones;
+    probe exactness needs only internal consistency, so subsequent
+    :func:`ingest_batch` calls compose as before).  Omitting an input
+    leaves that state table untouched — rebuild it later or accept
+    the documented accrual caveat.
+
+    Returns the unioned survivors frame (read back from the
+    snapshots).
+    """
+    if text_method not in ("minhash", "simhash", "ngram"):
+        raise ValueError(
+            "text_method must be 'minhash', 'simhash' or 'ngram', "
+            f"got {text_method!r}"
+        )
+    batch_dirs = _list_child_dirs(spark, f"{state_dir}/batches")
+    complete = []
+    for b in batch_dirs:
+        if _table_exists(spark, f"{b}/_SUCCESS"):
+            complete.append(b)
+        else:
+            _delete_path(spark, b)
+    if not complete:
+        raise ValueError(
+            f"no complete batch snapshots under {state_dir}/batches — "
+            "nothing to rebuild from"
+        )
+    union = spark.read.parquet(complete[0])
+    for b in complete[1:]:
+        union = union.unionByName(
+            spark.read.parquet(b), allowMissingColumns=True
+        )
+    fingerprint_write(union, state_dir, text_col, id_col, mode="overwrite")
+    if text_method == "minhash":
+        minhash_write_signatures(
+            union, state_dir, text_col, id_col, n=n, num_perm=num_perm,
+            mode="overwrite",
+        )
+    elif text_method == "simhash":
+        simhash_write_signatures(
+            union, f"{state_dir}/simhash", text_col, id_col, n=n,
+            mode="overwrite",
+        )
+    else:
+        ngram_write_index(
+            union, f"{state_dir}/ngram", text_col, id_col, n=n,
+            threshold=threshold,
+        )
+    if scores is not None:
+        surv_scores = (
+            scores.groupBy(id_col)
+            .agg(F.max(score_col).alias(score_col))
+            .join(
+                union.select(F.col(id_col).alias("_sid")),
+                F.col(id_col) == F.col("_sid"),
+                "left_semi",
+            )
+        )
+        score_sketch(surv_scores, score_col=score_col).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/score_sketches")
+    if group_cap_col is not None:
+        (
+            union.groupBy(group_cap_col)
+            .agg(F.count("*").cast("bigint").alias("n_admitted"))
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/group_counts")
+        )
+    if embeddings is not None:
+        emb = embeddings.select(
+            F.col(id_col).alias("_eid"), F.col(embedding_col)
+        ).join(
+            union.select(F.col(id_col).alias("_eid")), "_eid", "left_semi"
+        ).select(F.col("_eid").alias(id_col), embedding_col)
+        n_emb = emb.count()
+        if n_emb:
+            fit_nlist = nlist or max(16, int(4 * n_emb**0.5))
+            ivf_write_index(
+                emb, f"{state_dir}/ivf", nlist=fit_nlist,
+                vec_col=embedding_col, id_col=id_col, seed=seed,
+            )
+    return union

@@ -98,3 +98,31 @@ def global_running_sum(
         .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
         .drop("_pid", "_local_cum", "_offset")
     )
+
+
+def delete_path(spark, path: str) -> bool:
+    """Recursively delete ``path`` on the session's Hadoop filesystem
+    (staging-table cleanup).  Returns True when something was deleted;
+    a missing path is not an error."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    return fs.delete(hpath, True)
+
+
+def list_child_dirs(spark, path: str) -> list[str]:
+    """Child directory paths directly under ``path`` on the session's
+    Hadoop filesystem (e.g. the per-batch survivors snapshots under an
+    ingest state's ``batches/``).  Missing parent -> empty list."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        str(st.getPath().toUri().getPath())
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    )

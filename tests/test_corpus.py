@@ -1292,3 +1292,46 @@ def test_overlap_sketch_null_text_counting(spark):
     }
     # Z's sketch is null (no fingerprints) -> estimates coalesce to 0
     assert got == {("A", "Z"): (1, 0, 0, 0.0)}
+
+
+def test_kll_gate_rank_error_above_exact_regime(spark):
+    """r7 verdict #6: above the sketch's exact regime (N >> k=200),
+    the realized kept fraction of keep_top_fraction_from_sketch must
+    track keep_frac within the documented ~1.7% normalized rank error
+    (corpus.score_sketch docstring), across distribution shapes —
+    uniform, heavy-tailed, and heavy ties, where ties AT the cutoff
+    all survive by contract and widen only the upper bound.
+
+    The sketch state is built SHARDED and merged (the lifecycle a real
+    pipeline uses).  The 1.7% figure is a 99%-confidence bound and KLL
+    compaction is internally randomized, so the assertion allows 1.5x
+    headroom to keep the test deterministic in practice."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    N = 5000
+    dists = {
+        "uniform": rng.uniform(0.0, 1.0, N),
+        "lognormal": rng.lognormal(0.0, 2.0, N),
+        "ties": np.round(rng.uniform(0.0, 1.0, N), 1),
+    }
+    err = 0.017 * 1.5
+    for name, vals in dists.items():
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "doc_id LONG, quality_score DOUBLE",
+        )
+        sk = corpus.score_sketch(
+            df.withColumn("_shard", F.col("doc_id") % 4),
+            group_cols=["_shard"],
+        )
+        for keep_frac in (0.25, 0.75):
+            kept = corpus.keep_top_fraction_from_sketch(
+                df, sk, keep_frac
+            ).collect()
+            frac = len(kept) / N
+            cutoff = min(r.quality_score for r in kept)
+            tie_mass = float((vals == cutoff).sum()) / N
+            assert keep_frac - err <= frac <= keep_frac + err + tie_mass, (
+                name, keep_frac, frac, tie_mass
+            )

@@ -423,3 +423,183 @@ def test_two_batch_ingest_with_embeddings(spark, docs, embs, tmp_path):
     assert idx_ids == (s1 | s2) & emb_ids, (
         "IVF index holds exactly the surviving embedded docs"
     )
+
+
+@pytest.mark.parametrize(
+    "method,kwargs",
+    [
+        ("simhash", {"max_hamming": 3}),
+        ("ngram", {"threshold": 0.8}),
+    ],
+)
+def test_two_batch_ingest_other_text_methods(
+    spark, docs, tmp_path, method, kwargs
+):
+    """text_method routing (r7 verdict #2): the two-batch ingest on
+    the simhash and exact-ngram planes equals the from-scratch
+    dedup_corpus of the union, exactly as the minhash plane does —
+    same ascending-id/first-arrival argument.  A later call with a
+    different text_method must refuse (the state holds no such
+    plane)."""
+    state = str(tmp_path / f"state_{method}")
+    cut = 250
+    b1 = docs.where(F.col("doc_id") < cut)
+    b2 = docs.where(F.col("doc_id") >= cut)
+    s1 = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, state, b1, "b1", text_method=method, **kwargs
+        ).collect()
+    }
+    s2 = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, state, b2, "b2", text_method=method, **kwargs
+        ).collect()
+    }
+    assert s1 and s2 and not (s1 & s2)
+    want = {
+        r.doc_id
+        for r in dedup.dedup_corpus(docs, method=method, **kwargs).collect()
+    }
+    assert s1 | s2 == want
+    # idempotence: re-ingesting the corpus survives nothing (exact
+    # copies die on fingerprints, near-dups on the plane probe)
+    assert ingest_batch(
+        spark, state, docs, "b3", text_method=method, **kwargs
+    ).count() == 0
+    # plane mismatch refused — the state was built under `method`
+    other = "minhash" if method != "minhash" else "simhash"
+    with pytest.raises(ValueError, match="different text_method"):
+        ingest_batch(spark, state, docs, "b4", text_method=other)
+    if method == "ngram":
+        # parameter drift refused BEFORE any state append commits
+        with pytest.raises(ValueError, match="match the stored"):
+            ingest_batch(
+                spark, state, docs, "b5", text_method="ngram",
+                threshold=0.9,
+            )
+
+
+def test_ngram_append_probe_stays_exact(spark, docs, tmp_path):
+    """The frozen-df append argument: after ngram_append_index, a
+    probe against the two-generation index still equals the exact
+    cross-corpus slice of a full self-pairing — the appended prefixes
+    share the bootstrap's total (df, shingle) order, so the WWW'07
+    bound holds across generations."""
+    path = str(tmp_path / "ng")
+    gen1 = docs.where(F.col("doc_id") < 150)
+    gen2 = docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    batch = docs.where(F.col("doc_id") >= 300)
+    dedup.ngram_write_index(gen1, path, threshold=0.8)
+    dedup.ngram_append_index(spark, path, gen2)
+    got = {
+        (r.id_new, r.id_old, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs_between(spark, path, batch).collect()
+    }
+    corpus_ids = {
+        r.doc_id for r in docs.where(F.col("doc_id") < 300).collect()
+    }
+    want = set()
+    for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect():
+        if (r.id_a in corpus_ids) != (r.id_b in corpus_ids):
+            new, old = (
+                (r.id_b, r.id_a) if r.id_a in corpus_ids else (r.id_a, r.id_b)
+            )
+            want.add((new, old, round(r.jaccard, 9)))
+    assert got == want and got
+    # append guards: wrong threshold / n / missing index all refuse
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.ngram_append_index(spark, path, batch, threshold=0.9)
+    with pytest.raises(ValueError, match="n=4"):
+        dedup.ngram_append_index(spark, path, batch, n=4)
+    with pytest.raises(ValueError, match="bootstrap"):
+        dedup.ngram_append_index(spark, str(tmp_path / "nowhere"), batch)
+
+
+def test_rebuild_state_after_crash(spark, docs, tmp_path, monkeypatch):
+    """Chaos test (r7 verdict #3): crash between the fingerprint and
+    signature appends, rebuild from the batch snapshots, and the state
+    must equal a crash-free run's row-for-row; a subsequent ingest
+    then agrees with the crash-free timeline.  A partial snapshot
+    (no _SUCCESS) is deleted and excluded."""
+    from hadoop__spark.operators import ingest as ingest_mod
+
+    slim = docs.select("doc_id", "text")
+    b1 = slim.where(F.col("doc_id") < 200)
+    b2 = slim.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    b3 = slim.where(F.col("doc_id") >= 400)
+
+    clean, crashed = str(tmp_path / "clean"), str(tmp_path / "crashed")
+    ingest_batch(spark, clean, b1, "b1")
+    ingest_batch(spark, clean, b2, "b2")
+
+    ingest_batch(spark, crashed, b1, "b1")
+    real_writer = ingest_mod.minhash_write_signatures
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash between state appends")
+
+    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ingest_batch(spark, crashed, b2, "b2")
+    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", real_writer)
+    # the crash left the planes at different frontiers: fingerprints
+    # saw b2, signatures did not
+    fp_n = spark.read.parquet(f"{crashed}/fingerprints").count()
+    sig_n = spark.read.parquet(f"{crashed}/signatures").count()
+    assert fp_n > sig_n
+
+    # a partial snapshot dir (no _SUCCESS) must be swept, not unioned
+    ghost = tmp_path / "crashed" / "batches" / "ghost"
+    ghost.mkdir(parents=True)
+    (ghost / "part-00000.parquet.tmp").write_bytes(b"partial")
+
+    from hadoop__spark.operators.ingest import rebuild_state
+
+    rebuilt = rebuild_state(spark, crashed)
+    assert not ghost.exists()
+
+    def rows(path, cols):
+        return {
+            tuple(getattr(r, c) for c in cols)
+            for r in spark.read.parquet(path).select(*cols).collect()
+        }
+
+    for tbl, cols in [
+        ("fingerprints", ["fp", "keep_id", "n_copies"]),
+        ("signatures", ["_id", "mh_0", "mh_63"]),
+        ("shingles", ["_id"]),
+    ]:
+        assert rows(f"{crashed}/{tbl}", cols) == rows(
+            f"{clean}/{tbl}", cols
+        ), tbl
+    assert {r.doc_id for r in rebuilt.collect()} == {
+        r.doc_id
+        for r in spark.read.parquet(f"{clean}/batches/*").collect()
+    }
+    # the timelines stay in agreement after the next ingest
+    s_clean = {
+        r.doc_id for r in ingest_batch(spark, clean, b3, "b3").collect()
+    }
+    s_rebuilt = {
+        r.doc_id for r in ingest_batch(spark, crashed, b3, "b3").collect()
+    }
+    assert s_clean == s_rebuilt
+
+
+def test_ingest_tmp_staging_cleaned(spark, docs, embs, tmp_path):
+    """ADVICE r7: the text-survivors staging table written for the
+    semantic stage must not outlive its batch — the tmp dir is empty
+    after every ingest."""
+    import os
+
+    state = str(tmp_path / "state")
+    demb = embs.select(F.col("vec_id").alias("doc_id"), "embedding")
+    for name, pred in [("b1", F.col("doc_id") < 250), ("b2", F.col("doc_id") >= 250)]:
+        ingest_batch(
+            spark, state, docs.where(pred), name,
+            embeddings=demb.where(pred),
+        )
+        tmp = os.path.join(state, "tmp")
+        assert not os.path.isdir(tmp) or not os.listdir(tmp), name
