@@ -603,3 +603,33 @@ def test_ingest_tmp_staging_cleaned(spark, docs, embs, tmp_path):
         )
         tmp = os.path.join(state, "tmp")
         assert not os.path.isdir(tmp) or not os.listdir(tmp), name
+
+
+@pytest.mark.parametrize("method", ["simhash", "ngram"])
+def test_rebuild_state_other_planes(spark, docs, tmp_path, method):
+    """rebuild_state routes per text_method: rebuilding a simhash/
+    ngram corpus from its snapshots leaves a state a further ingest
+    composes with exactly as the un-rebuilt timeline would."""
+    from hadoop__spark.operators.ingest import rebuild_state
+
+    kwargs = {"max_hamming": 3} if method == "simhash" else {}
+    slim = docs.select("doc_id", "text")
+    b1 = slim.where(F.col("doc_id") < 250)
+    b2 = slim.where(F.col("doc_id") >= 250)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for state in (a, b):
+        ingest_batch(spark, state, b1, "b1", text_method=method, **kwargs)
+    rebuild_state(spark, b, text_method=method)
+    s_a = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, a, b2, "b2", text_method=method, **kwargs
+        ).collect()
+    }
+    s_b = {
+        r.doc_id
+        for r in ingest_batch(
+            spark, b, b2, "b2", text_method=method, **kwargs
+        ).collect()
+    }
+    assert s_a == s_b and s_a
