@@ -633,3 +633,63 @@ def test_rebuild_state_other_planes(spark, docs, tmp_path, method):
         ).collect()
     }
     assert s_a == s_b and s_a
+
+
+def test_rebuild_state_policy_tables(spark, tmp_path):
+    """rebuild_state reconsolidates the policy states when given their
+    inputs: group_counts totals equal the incremental state's, and the
+    rebuilt score sketch's quantiles equal the incrementally-appended
+    state's in the exact regime."""
+    from hadoop__spark.operators import corpus
+    from hadoop__spark.operators.ingest import rebuild_state
+
+    b1 = spark.createDataFrame(
+        [(i, f"wholly unique body number {i}", "g" if i % 2 else "h")
+         for i in range(1, 21)],
+        "doc_id LONG, text STRING, src STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, f"second wave body number {i}", "g") for i in range(1, 11)],
+        "doc_id LONG, text STRING, src STRING",
+    )
+    scores = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(1, 21)]
+        + [(100 + i, float(i)) for i in range(1, 11)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    state = str(tmp_path / "state")
+    for name, b in [("b1", b1), ("b2", b2)]:
+        ingest_batch(
+            spark, state, b, name, scores=scores, keep_frac=0.5,
+            group_cap=("src", 8),
+        )
+    counts_before = {
+        r.src: r.n
+        for r in spark.read.parquet(f"{state}/group_counts")
+        .groupBy("src").agg(F.sum("n_admitted").alias("n")).collect()
+    }
+    q_before = corpus.score_quantiles(
+        corpus.merge_score_sketches(
+            spark.read.parquet(f"{state}/score_sketches")
+        ),
+        from_sketches=True,
+    ).first()
+    rebuild_state(
+        spark, state, scores=scores, group_cap_col="src",
+    )
+    counts_after = {
+        r.src: r.n
+        for r in spark.read.parquet(f"{state}/group_counts")
+        .groupBy("src").agg(F.sum("n_admitted").alias("n")).collect()
+    }
+    q_after = corpus.score_quantiles(
+        corpus.merge_score_sketches(
+            spark.read.parquet(f"{state}/score_sketches")
+        ),
+        from_sketches=True,
+    ).first()
+    assert counts_after == counts_before
+    assert q_after.n_scores == q_before.n_scores
+    # exact regime (n << k=200): merged-incremental == consolidated
+    assert q_after.q_0_5 == q_before.q_0_5
+    assert q_after.q_0_99 == q_before.q_0_99
