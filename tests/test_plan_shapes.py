@@ -364,3 +364,32 @@ def test_embedding_pairs_against_index_partition_pruned(spark, tmp_path):
     assert pruned, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_eligibility_filter_cap_plan_both_sources(spark):
+    """r8: the shared eligibility stage keeps the WindowGroupLimit
+    rewrite on the fixed-k route (cap_per_group underneath — this is
+    what ingest's BOOTSTRAP cap now gets, an upgrade over the old
+    always-ranked path), while the persisted-counts route accepts the
+    plain row-number window (variable limit k - used; it partitions
+    over the batch's rows only, so state is bounded by batch group
+    size)."""
+    from hadoop__spark.operators import corpus
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    fixed = _plan(
+        corpus.eligibility_filter(
+            docs, "doc_id", None, "quality_score", group_cap=("source", 3)
+        )
+    )
+    assert "WindowGroupLimit" in fixed, fixed
+    used = spark.createDataFrame(
+        [("s1", 2)], "source STRING, n_admitted LONG"
+    )
+    ranked = _plan(
+        corpus.eligibility_filter(
+            docs, "doc_id", None, "quality_score",
+            group_cap=("source", 3), used_counts=used,
+        )
+    )
+    assert "row_number" in ranked and "WindowGroupLimit" not in ranked, ranked

@@ -277,6 +277,32 @@ def run_at(spark, sf_dir: str, mult: int, workdir: str) -> dict:
         ).count(),
         out,
     )
+
+    # round-8: the SAME flat-in-corpus-size claim on the other two
+    # text planes now routed through ingest_batch (text-only — the
+    # embedding plane is orthogonal and measured above).  simhash at
+    # max_hamming=3 (inside the pigeonhole-certain band), ngram at
+    # the exact 0.8 bound.
+    for meth, kw in (
+        ("simhash", {"max_hamming": 3}),
+        ("ngram", {}),
+    ):
+        st = f"{workdir}/ingest_state_{meth}_x{mult}"
+        shutil.rmtree(st, ignore_errors=True)
+        phase(
+            f"ingest_bootstrap_{meth}",
+            lambda st=st, meth=meth, kw=kw: ingest_ops.ingest_batch(
+                spark, st, docs, "base", text_method=meth, **kw
+            ).count(),
+            out,
+        )
+        phase(
+            f"ingest_fixed_batch_{meth}",
+            lambda st=st, meth=meth, kw=kw: ingest_ops.ingest_batch(
+                spark, st, fixed_batch, "delta", text_method=meth, **kw
+            ).count(),
+            out,
+        )
     return out
 
 
@@ -307,7 +333,9 @@ def main() -> None:
     for ph in ("fingerprint_dedup", "minhash_lsh_pairs", "dedup_clusters",
                "ivf_topk", "semantic_dedup", "corpus_accounting",
                "prepare_chain_lazy", "prepare_chain_mat",
-               "ingest_bootstrap", "ingest_fixed_batch"):
+               "ingest_bootstrap", "ingest_fixed_batch",
+               "ingest_bootstrap_simhash", "ingest_fixed_batch_simhash",
+               "ingest_bootstrap_ngram", "ingest_fixed_batch_ngram"):
         b, g = base[ph], big[ph]
         ratio = lambda k: (
             round(g[k] / b[k], 1) if b[k] else float("inf") if g[k] else 0.0
