@@ -693,3 +693,48 @@ def test_rebuild_state_policy_tables(spark, tmp_path):
     # exact regime (n << k=200): merged-incremental == consolidated
     assert q_after.q_0_5 == q_before.q_0_5
     assert q_after.q_0_99 == q_before.q_0_99
+
+
+def test_ngram_plane_composes_with_embeddings(spark, tmp_path):
+    """The text_method routing is orthogonal to the embedding plane:
+    an ngram-plane ingest still drops a batch-2 doc whose TEXT is
+    novel but whose embedding exactly copies an indexed batch-1
+    vector (the frozen-centroid probe), while the ngram probe drops
+    the near-dup texts."""
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy sleeping dog in the warm morning sun today"),
+            (2, "an entirely different second document body here now"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    e1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "doc_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    s1 = ingest_batch(
+        spark, state, b1, "b1", text_method="ngram", embeddings=e1,
+        semantic_threshold=0.999,
+    )
+    assert {r.doc_id for r in s1.collect()} == {1, 2}
+    b2 = spark.createDataFrame(
+        [
+            # near-dup TEXT of doc 1 (one token changed) -> ngram probe
+            (10, "the quick brown fox jumps over the lazy sleeping dog in the warm morning sun tonight"),
+            # novel text, EXACT COPY of doc 2's vector -> semantic probe
+            (11, "wholly novel planted text that matches nothing else"),
+            # novel text, novel vector -> survives
+            (12, "a fresh survivor document with its own content"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    e2 = spark.createDataFrame(
+        [(10, [0.5, 0.5, 0.0]), (11, [0.0, 1.0, 0.0]), (12, [0.0, 0.0, 1.0])],
+        "doc_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    s2 = ingest_batch(
+        spark, state, b2, "b2", text_method="ngram", embeddings=e2,
+        semantic_threshold=0.999,
+    )
+    assert {r.doc_id for r in s2.collect()} == {12}
