@@ -555,6 +555,43 @@ def rebuild_state(
             "text_method must be 'minhash', 'simhash' or 'ngram', "
             f"got {text_method!r}"
         )
+    # refuse a text_method that contradicts the surviving state layout:
+    # rebuilding the WRONG plane would leave the corpus's real plane
+    # stale, and every later ingest_batch would probe it and silently
+    # admit near-dups of the rebuilt-over batches.  (After a crash the
+    # plane tables may be behind, but their layout markers survive —
+    # only a state dir with NO recognizable plane skips the check.)
+    markers = {
+        "minhash": f"{state_dir}/signatures",
+        "simhash": f"{state_dir}/simhash/signatures",
+        "ngram": f"{state_dir}/ngram/meta",
+    }
+    present = [m for m, p in markers.items() if _table_exists(spark, p)]
+    if present and text_method not in present:
+        raise ValueError(
+            f"state at {state_dir} holds a {present[0]!r} plane but "
+            f"rebuild was asked for {text_method!r} — pass the "
+            "text_method the corpus was ingested with"
+        )
+    if text_method == "minhash" and _table_exists(spark, markers["minhash"]):
+        stored_perm = sum(
+            c.startswith("mh_")
+            for c in spark.read.parquet(markers["minhash"]).columns
+        )
+        if stored_perm != num_perm:
+            raise ValueError(
+                f"rebuild with num_perm={num_perm} onto a corpus signed "
+                f"with num_perm={stored_perm} — a silent downgrade would "
+                "make every later append refuse; pass the stored value"
+            )
+    if text_method == "ngram" and _table_exists(spark, markers["ngram"]):
+        meta = spark.read.parquet(markers["ngram"]).first()
+        if n != meta.n or abs(threshold - meta.threshold) > 1e-12:
+            raise ValueError(
+                f"rebuild with n={n}, threshold={threshold} onto an "
+                f"index written with n={meta.n}, "
+                f"threshold={meta.threshold} — pass the stored values"
+            )
     batch_dirs = _list_child_dirs(spark, f"{state_dir}/batches")
     complete = []
     for b in batch_dirs:

@@ -738,3 +738,25 @@ def test_ngram_plane_composes_with_embeddings(spark, tmp_path):
         semantic_threshold=0.999,
     )
     assert {r.doc_id for r in s2.collect()} == {12}
+
+
+def test_rebuild_state_refuses_wrong_plane_or_params(spark, docs, tmp_path):
+    """Round-8 review finding: rebuilding the WRONG plane (or the
+    right plane at the wrong num_perm/meta) would leave the corpus's
+    real state stale — every later ingest would probe it and silently
+    admit near-dups.  rebuild_state must detect the surviving layout
+    and refuse."""
+    from hadoop__spark.operators.ingest import rebuild_state
+
+    slim = docs.select("doc_id", "text").where(F.col("doc_id") < 100)
+    st_mh = str(tmp_path / "mh")
+    ingest_batch(spark, st_mh, slim, "b1")
+    with pytest.raises(ValueError, match="holds a 'minhash' plane"):
+        rebuild_state(spark, st_mh, text_method="simhash")
+    with pytest.raises(ValueError, match="num_perm=128"):
+        rebuild_state(spark, st_mh, num_perm=128)
+
+    st_ng = str(tmp_path / "ng")
+    ingest_batch(spark, st_ng, slim, "b1", text_method="ngram")
+    with pytest.raises(ValueError, match="pass the stored values"):
+        rebuild_state(spark, st_ng, text_method="ngram", threshold=0.9)
