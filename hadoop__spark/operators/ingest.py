@@ -7,11 +7,17 @@ each new batch against that state:
 
 1. exact:    :func:`~hadoop__spark.operators.dedup.fingerprint_filter_new`
 2. near-dup: :func:`~hadoop__spark.operators.dedup.minhash_lsh_pairs_between`
+   (or the SimHash / exact-ngram probes, per ``text_method``)
 3. semantic: :func:`~hadoop__spark.operators.dedup.embedding_pairs_against_index`
 4. within-batch dedup of what remains, then append the survivors to
    every state table (:func:`~hadoop__spark.operators.dedup.fingerprint_write`,
-   :func:`~hadoop__spark.operators.dedup.minhash_write_signatures`,
+   :func:`~hadoop__spark.operators.dedup.minhash_write_signatures` /
+   :func:`~hadoop__spark.operators.dedup.simhash_write_signatures` /
+   :func:`~hadoop__spark.operators.dedup.ngram_append_index`,
    :func:`~hadoop__spark.operators.similarity.ivf_append_index`).
+
+A crash between appends is recovered by :func:`rebuild_state` from
+the immutable per-batch survivors snapshots.
 
 :func:`ingest_batch` is that loop as one call.  Each primitive's
 docstring argues its own composition claim; the end-to-end claim — a
