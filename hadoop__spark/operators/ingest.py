@@ -48,8 +48,10 @@ from hadoop__spark.operators.dedup import (
     simhash_write_signatures,
 )
 from hadoop__spark.operators.corpus import (
+    corpus_stats_sketch,
     decontaminate,
     eligibility_filter,
+    overlap_sketch,
     score_sketch,
 )
 from hadoop__spark.operators.similarity import (
@@ -101,6 +103,7 @@ def ingest_batch(
     assign: str = "jvm",
     seed: int = 42,
     checkpoint_dir: str | None = None,
+    accounting_col: str | None = None,
 ) -> DataFrame:
     """Ingest one document batch against the persisted dedup state
     under ``state_dir``, returning the batch's SURVIVING rows (already
@@ -194,6 +197,24 @@ def ingest_batch(
     bootstrap IVF fit
     (default: the faiss ``max(16, 4√N)`` rule via
     :func:`~hadoop__spark.operators.dedup.semantic_dedup`'s sizing).
+
+    ``accounting_col`` keeps the corpus-accounting state current
+    without ever rescanning retained text: each batch appends its
+    SURVIVORS' per-group sketch rows —
+    :func:`~hadoop__spark.operators.corpus.corpus_stats_sketch` (HLL
+    content/vocab) at ``{state_dir}/accounting/stats`` and
+    :func:`~hadoop__spark.operators.corpus.overlap_sketch` (theta) at
+    ``{state_dir}/accounting/overlap``.  Read them back through the
+    standard mergers
+    (:func:`~hadoop__spark.operators.corpus.merge_corpus_stats` →
+    :func:`~hadoop__spark.operators.corpus.corpus_stats`;
+    :func:`~hadoop__spark.operators.corpus.merge_overlap_sketches` →
+    :func:`~hadoop__spark.operators.corpus.corpus_overlap`) — merged
+    shard estimates equal the single-pass estimate exactly, so the
+    dashboard numbers match a from-scratch scan of the retained
+    corpus (tested).  Like the other policy states, the accounting
+    accrues only on calls that pass the option — use it on every
+    batch of a corpus or the state under-counts.
 
     Durability note: each state append is atomic per table (parquet
     commit protocol), but the appends are NOT atomic as a group — a
@@ -458,6 +479,18 @@ def ingest_batch(
         score_sketch(surv_scores, score_col=score_col).write.mode(
             write_mode
         ).parquet(sketch_path)
+    if accounting_col is not None:
+        # append the SURVIVORS' accounting sketches — kilobytes per
+        # group, merged at read time; cache=False so a daily loop
+        # leaves no CacheManager residency behind (the base frame is
+        # batch-sized; tokenizing it twice is cheaper than a leak)
+        corpus_stats_sketch(
+            surv_m, group_cols=[accounting_col], text_col=text_col,
+            id_col=id_col, cache=False,
+        ).write.mode(write_mode).parquet(f"{state_dir}/accounting/stats")
+        overlap_sketch(
+            surv_m, group_col=accounting_col, text_col=text_col
+        ).write.mode(write_mode).parquet(f"{state_dir}/accounting/overlap")
     fingerprint_write(surv_m, state_dir, text_col, id_col, mode=write_mode)
     if text_method == "minhash":
         minhash_write_signatures(
@@ -520,6 +553,7 @@ def rebuild_state(
     embedding_col: str = "embedding",
     nlist: int | None = None,
     seed: int = 42,
+    accounting_col: str | None = None,
 ) -> DataFrame:
     """Rebuild the ingest state under ``state_dir`` from its immutable
     per-batch survivors snapshots (``{state_dir}/batches/*``) — the
@@ -549,9 +583,12 @@ def rebuild_state(
     IVF index over the surviving vectors — with freshly fitted
     centroids (often better than the bootstrap batch's frozen ones;
     probe exactness needs only internal consistency, so subsequent
-    :func:`ingest_batch` calls compose as before).  Omitting an input
-    leaves that state table untouched — rebuild it later or accept
-    the documented accrual caveat.
+    :func:`ingest_batch` calls compose as before);
+    ``accounting_col`` rebuilds the accounting sketches (no external
+    input needed — the snapshots hold the documents; the consolidated
+    rows are merge-equivalent to the per-batch ones).  Omitting an
+    input leaves that state table untouched — rebuild it later or
+    accept the documented accrual caveat.
 
     Returns the unioned survivors frame (read back from the
     snapshots).
@@ -650,6 +687,19 @@ def rebuild_state(
             .agg(F.count("*").cast("bigint").alias("n_admitted"))
             .write.mode("overwrite")
             .parquet(f"{state_dir}/group_counts")
+        )
+    if accounting_col is not None:
+        # snapshots hold the documents themselves, so the accounting
+        # sketches rebuild without external inputs — consolidated to
+        # one row per group (merge-equivalent, tested)
+        corpus_stats_sketch(
+            union, group_cols=[accounting_col], text_col=text_col,
+            id_col=id_col, cache=False,
+        ).write.mode("overwrite").parquet(f"{state_dir}/accounting/stats")
+        overlap_sketch(
+            union, group_col=accounting_col, text_col=text_col
+        ).write.mode("overwrite").parquet(
+            f"{state_dir}/accounting/overlap"
         )
     if embeddings is not None:
         emb = embeddings.select(

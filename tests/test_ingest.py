@@ -760,3 +760,71 @@ def test_rebuild_state_refuses_wrong_plane_or_params(spark, docs, tmp_path):
     ingest_batch(spark, st_ng, slim, "b1", text_method="ngram")
     with pytest.raises(ValueError, match="pass the stored values"):
         rebuild_state(spark, st_ng, text_method="ngram", threshold=0.9)
+
+
+def test_ingest_accounting_state(spark, docs, tmp_path):
+    """accounting_col: each batch appends its survivors' HLL/theta
+    sketch rows; the merged state must equal a single accounting pass
+    over the retained corpus EXACTLY (HLL union is per-register max,
+    theta union a set union — merge == single-pass at fixture
+    cardinalities), and rebuild_state reconsolidates identically."""
+    from hadoop__spark.operators import corpus
+    from hadoop__spark.operators.ingest import rebuild_state
+
+    slim = docs.select(
+        "doc_id", "text",
+        F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")).alias(
+            "src"
+        ),
+    )
+    state = str(tmp_path / "state")
+    for name, pred in [
+        ("b1", F.col("doc_id") < 250),
+        ("b2", F.col("doc_id") >= 250),
+    ]:
+        ingest_batch(
+            spark, state, slim.where(pred), name, accounting_col="src"
+        )
+
+    retained = spark.read.parquet(f"{state}/batches/*")
+
+    def stats_of(source, from_sketches):
+        return {
+            r.src: (r.n_docs, r.n_tokens, r.distinct_content_est, r.vocab_est)
+            for r in corpus.corpus_stats(
+                source, group_cols=["src"], from_sketches=from_sketches
+            ).collect()
+        }
+
+    def overlap_of(source, from_sketches):
+        return {
+            (r.group_a, r.group_b): (r.distinct_a, r.overlap_est)
+            for r in corpus.corpus_overlap(
+                source, group_col="src", from_sketches=from_sketches
+            ).collect()
+        }
+
+    want_stats = stats_of(retained, False)
+    want_overlap = overlap_of(retained, False)
+
+    def read_state():
+        st = corpus.merge_corpus_stats(
+            spark.read.parquet(f"{state}/accounting/stats"),
+            group_cols=["src"],
+        )
+        ov = corpus.merge_overlap_sketches(
+            spark.read.parquet(f"{state}/accounting/overlap"),
+            group_col="src",
+        )
+        return stats_of(st, True), overlap_of(ov, True)
+
+    got_stats, got_overlap = read_state()
+    assert got_stats == want_stats and len(want_stats) == 3
+    assert got_overlap == want_overlap and len(want_overlap) == 3
+
+    rebuild_state(spark, state, accounting_col="src")
+    got_stats, got_overlap = read_state()
+    assert got_stats == want_stats
+    assert got_overlap == want_overlap
+    # consolidated: one row per group after the rebuild
+    assert spark.read.parquet(f"{state}/accounting/stats").count() == 3
