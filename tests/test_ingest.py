@@ -828,3 +828,23 @@ def test_ingest_accounting_state(spark, docs, tmp_path):
     assert got_overlap == want_overlap
     # consolidated: one row per group after the rebuild
     assert spark.read.parquet(f"{state}/accounting/stats").count() == 3
+
+
+def test_bootstrap_from_prepared_corpus_is_lossless(spark, docs, tmp_path):
+    """The README recipe: feeding prepare_corpus's survivors to the
+    first ingest_batch call bootstraps the incremental state without
+    losing a document — the self-dedup is a no-op on an
+    already-deduped corpus (same method and threshold)."""
+    from hadoop__spark.operators import corpus
+    from tests.conftest import SF_DIR  # noqa: F401  (fixture parity)
+
+    prepped = corpus.prepare_corpus(
+        docs.select("doc_id", "text"),
+        redact=False,
+        dedup_method="minhash",
+    )
+    state = str(tmp_path / "state")
+    surv = ingest_batch(spark, state, prepped, "bootstrap")
+    assert {r.doc_id for r in surv.collect()} == {
+        r.doc_id for r in prepped.collect()
+    }
