@@ -567,3 +567,74 @@ def test_cluster_keepers_equals_python_argmax(spark, members, string_ids):
         if c not in want or key < want[c][0]:
             want[c] = (key, to_id(i), s)
     assert got == {c: (i, s) for c, (_, i, s) in want.items()}
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=4,
+        max_size=10,
+    ),
+    data=st.data(),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ingest_survivors_pairwise_clean_any_id_order(spark, texts, data):
+    """r8 property: for ANY corpus, ANY batch split, and ANY id
+    assignment (ids need NOT ascend across batches — the docstring
+    only promises min-id parity for ascending ids, but pairwise
+    cleanliness must hold unconditionally): after a two-batch ingest,
+    (1) no two survivors share a normalized-text fingerprint, (2) no
+    survivor pair reaches the Jaccard threshold, and (3) re-ingesting
+    the whole corpus admits nothing."""
+    import shutil
+    import tempfile
+
+    ids = data.draw(
+        st.permutations(list(range(100, 100 + len(texts)))),
+        label="ids",
+    )
+    mask = data.draw(
+        st.lists(
+            st.booleans(), min_size=len(texts), max_size=len(texts)
+        ).filter(lambda m: any(m) and not all(m)),
+        label="batch mask",
+    )
+    from hadoop__spark.operators.ingest import ingest_batch
+
+    rows = list(zip(ids, texts))
+    b1 = [r for r, m in zip(rows, mask) if m]
+    b2 = [r for r, m in zip(rows, mask) if not m]
+    state = tempfile.mkdtemp(prefix="ingest_prop_") + "/state"
+    try:
+        surv = []
+        for name, part in [("b1", b1), ("b2", b2)]:
+            df = spark.createDataFrame(part, "doc_id LONG, text STRING")
+            surv += ingest_batch(spark, state, df, name).collect()
+        assert surv
+        # (1) exact plane: fingerprints unique among survivors
+        norm = [" ".join(r.text.lower().split()) for r in surv]
+        assert len(set(norm)) == len(norm), norm
+        # (2) near-dup plane: exact 3-gram Jaccard below threshold
+        def sh(t):
+            w = t.split()
+            return {tuple(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        for i in range(len(norm)):
+            for j in range(i + 1, len(norm)):
+                a, b = sh(norm[i]), sh(norm[j])
+                if a and b:
+                    jac = len(a & b) / len(a | b)
+                    assert jac < 0.8, (norm[i], norm[j], jac)
+        # (3) idempotence for any id order
+        everything = spark.createDataFrame(
+            rows, "doc_id LONG, text STRING"
+        )
+        assert ingest_batch(spark, state, everything, "b3").count() == 0
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
