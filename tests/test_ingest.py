@@ -848,3 +848,65 @@ def test_bootstrap_from_prepared_corpus_is_lossless(spark, docs, tmp_path):
     assert {r.doc_id for r in surv.collect()} == {
         r.doc_id for r in prepped.collect()
     }
+
+
+def test_streaming_quality_gated_ingest(spark, tmp_path):
+    """The KLL quality gate inside the STREAMING ingest loop: each
+    micro-batch gates against the corpus-so-far's retained score
+    distribution read from the persisted sketch state — the second
+    arrival file's low scores all die against the first file's
+    cutoff, exactly as the batch loop pins."""
+    import glob
+    import shutil
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    scores = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)]
+        + [(100 + i, float(i)) for i in range(1, 6)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+
+    def ing(batch_df, batch_id):
+        if batch_df.count():
+            ingest_batch(
+                spark, state, batch_df, f"mb{batch_id}", scores=scores,
+                keep_frac=0.25,
+            )
+
+    waves = (
+        spark.createDataFrame(
+            [(i, f"one unique document body number {i}") for i in range(1, 21)],
+            "doc_id LONG, text STRING",
+        ),
+        spark.createDataFrame(
+            [(100 + i, f"second wave body number {i}") for i in range(1, 6)],
+            "doc_id LONG, text STRING",
+        ),
+    )
+    for i, wave in enumerate(waves):
+        d = tmp_path / f"wave{i}"
+        wave.coalesce(1).write.parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0],
+            src_dir / f"f{i}.parquet",
+        )
+        stream = spark.readStream.schema(waves[0].schema).parquet(
+            str(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ing)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/batches/*").collect()
+    }
+    # wave 1 gates against its own distribution (cutoff 15); wave 2's
+    # scores 1..5 are all below the RETAINED cutoff -> nothing admitted
+    assert got == {15, 16, 17, 18, 19, 20}
