@@ -715,3 +715,69 @@ def rebuild_state(
                 vec_col=embedding_col, id_col=id_col, seed=seed,
             )
     return union
+
+
+def retract_documents(
+    spark,
+    state_dir: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    **rebuild_kwargs,
+) -> DataFrame:
+    """Remove documents from an ingested corpus — the takedown /
+    right-to-be-forgotten operation a long-lived training corpus
+    needs.  ``ids`` is a one-column frame (or a frame whose
+    ``id_col`` is used) of document ids to retract.
+
+    The per-batch survivors snapshots are the corpus's source of
+    truth (:func:`rebuild_state` rebuilds every state table from
+    them), so retraction is: rewrite each snapshot WITHOUT the
+    retracted ids (write-new / swap — a parquet table cannot be
+    overwritten while it is being read), then rebuild the state from
+    the surviving snapshots via :func:`rebuild_state`, forwarding
+    ``rebuild_kwargs`` (``text_method``, ``num_perm``, ``scores``,
+    ``group_cap_col``, ``embeddings``, ``accounting_col``, … — pass
+    the same parameters the corpus was ingested with; the layout
+    guards refuse mismatches).  Returns the rebuilt survivors union.
+
+    Retraction semantics are the inverse of first-arrival: once a
+    document is retracted, it is GONE from every plane — a later
+    arrival of the same text (or vector) is ADMITTED again, because
+    nothing in the corpus duplicates it anymore (tested).  Documents
+    that were DROPPED as duplicates of a retracted keeper are not
+    resurrected — they were never published, and their content
+    re-enters with the next arrival.
+
+    Scale shape: one anti-join + rewrite per batch snapshot that
+    actually contains a retracted id (checked with a cheap semi-join
+    count; untouched snapshots are not rewritten), then the rebuild's
+    one pass over the retained corpus.  At 100 TB, prefer a lakehouse
+    DELETE on the snapshot tables and the same rebuild.
+    """
+    retract = ids.select(F.col(id_col).alias("_retract")).distinct()
+    batch_dirs = _list_child_dirs(spark, f"{state_dir}/batches")
+    if not batch_dirs:
+        raise ValueError(f"no batch snapshots under {state_dir}/batches")
+    for b in batch_dirs:
+        if not _table_exists(spark, f"{b}/_SUCCESS"):
+            continue  # partial snapshot; rebuild_state sweeps it
+        snap = spark.read.parquet(b)
+        hit = snap.join(
+            retract, F.col(id_col) == F.col("_retract"), "left_semi"
+        ).limit(1).count()
+        if not hit:
+            continue
+        kept = snap.join(
+            retract, F.col(id_col) == F.col("_retract"), "left_anti"
+        )
+        tmp = f"{b}__retract_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        _delete_path(spark, b)
+        # same-filesystem rename: atomic on HDFS/local, metadata-only
+        jvm = spark._jvm
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        dst = jvm.org.apache.hadoop.fs.Path(b)
+        fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.rename(src, dst):
+            raise IOError(f"rename {tmp} -> {b} failed")
+    return rebuild_state(spark, state_dir, id_col=id_col, **rebuild_kwargs)

@@ -910,3 +910,57 @@ def test_streaming_quality_gated_ingest(spark, tmp_path):
     # wave 1 gates against its own distribution (cutoff 15); wave 2's
     # scores 1..5 are all below the RETAINED cutoff -> nothing admitted
     assert got == {15, 16, 17, 18, 19, 20}
+
+
+def test_retract_documents_takedown_semantics(spark, tmp_path):
+    """Takedown: retracted ids vanish from every state table AND the
+    snapshots (the rebuild source of truth), untouched snapshots are
+    not rewritten, and a LATER arrival of the retracted text is
+    admitted again — nothing in the corpus duplicates it anymore."""
+    from hadoop__spark.operators.ingest import retract_documents
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [
+            (1, "the first unique document body lives here"),
+            (2, "a second wholly distinct body of text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "third body unlike either predecessor entirely"),
+            # exact copy of doc 1 -> dropped on the fingerprint plane
+            (11, "the first unique document body lives here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, state, b1, "b1")
+    s2 = ingest_batch(spark, state, b2, "b2")
+    assert {r.doc_id for r in s2.collect()} == {10}
+
+    import os
+
+    b2_mtime = os.path.getmtime(f"{state}/batches/b2/_SUCCESS")
+    retract = spark.createDataFrame(
+        [(1,), (999,)], "doc_id LONG"  # 999: retracting a ghost is a no-op
+    )
+    remaining = retract_documents(spark, state, retract)
+    assert {r.doc_id for r in remaining.collect()} == {2, 10}
+    # untouched snapshot not rewritten; hit snapshot rewritten
+    assert os.path.getmtime(f"{state}/batches/b2/_SUCCESS") == b2_mtime
+    assert {r.doc_id for r in spark.read.parquet(f"{state}/batches/b1").collect()} == {2}
+    assert {
+        r._id for r in spark.read.parquet(f"{state}/signatures").collect()
+    } == {2, 10}
+    assert 1 not in {
+        r.keep_id
+        for r in spark.read.parquet(f"{state}/fingerprints").collect()
+    }
+    # the retracted text re-enters with the next arrival
+    b3 = spark.createDataFrame(
+        [(20, "the first unique document body lives here")],
+        "doc_id LONG, text STRING",
+    )
+    s3 = ingest_batch(spark, state, b3, "b3")
+    assert {r.doc_id for r in s3.collect()} == {20}
