@@ -781,3 +781,66 @@ def retract_documents(
         if not fs.rename(src, dst):
             raise IOError(f"rename {tmp} -> {b} failed")
     return rebuild_state(spark, state_dir, id_col=id_col, **rebuild_kwargs)
+
+
+def compact_state(
+    spark,
+    state_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Compact the ingest state's append-grown tables in place — the
+    operational counterpart of appending per batch: every
+    :func:`ingest_batch` call adds at least one parquet file per
+    state table, and after thousands of batches the probes' scan cost
+    is task-launch and footer reads, not I/O (the classic small-files
+    failure).  Run this periodically from the maintenance window; it
+    must not race a concurrent ingest (the swap deletes tables a
+    reader may hold open — same single-writer discipline as the
+    appends themselves).
+
+    Each table present is rewritten right-sized via
+    :func:`~hadoop__spark.sources.io.compact_parquet` (sorted by its
+    probe key, so row-group stats cluster) and swapped in
+    (write-new / delete / rename).  Row CONTENT is untouched — probes
+    read the same state, just from fewer files (tested).  Skipped on
+    purpose: ``batches/*`` (immutable snapshots — the rebuild and
+    retraction source of truth) and ``ivf/`` (partitioned by
+    centroid; compacting would flatten the partition pruning the
+    probes rely on).
+
+    Returns ``{table: files_written}`` for the tables that existed.
+    """
+    from hadoop__spark.sources.io import compact_parquet
+
+    tables = {
+        "fingerprints": ["fp"],
+        "shingles": ["_id"],
+        "signatures": ["_id"],
+        "simhash/signatures": ["_id"],
+        "ngram/shingle_sets": ["_id"],
+        "ngram/prefix": ["_s"],
+        "ngram/doc_freq": ["_s"],
+        "score_sketches": None,
+        "group_counts": None,
+        "accounting/stats": None,
+        "accounting/overlap": None,
+    }
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    done: dict[str, int] = {}
+    for rel, sort_by in tables.items():
+        path = f"{state_dir}/{rel}"
+        if not _table_exists(spark, path):
+            continue
+        tmp = f"{path}__compact_tmp"
+        n = compact_parquet(
+            spark, path, tmp, target_file_bytes=target_file_bytes,
+            sort_by=sort_by,
+        )
+        _delete_path(spark, path)
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        dst = jvm.org.apache.hadoop.fs.Path(path)
+        if not src.getFileSystem(fs_conf).rename(src, dst):
+            raise IOError(f"rename {tmp} -> {path} failed")
+        done[rel] = n
+    return done

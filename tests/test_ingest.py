@@ -964,3 +964,48 @@ def test_retract_documents_takedown_semantics(spark, tmp_path):
     )
     s3 = ingest_batch(spark, state, b3, "b3")
     assert {r.doc_id for r in s3.collect()} == {20}
+
+
+def test_compact_state_preserves_probes(spark, tmp_path):
+    """Maintenance compaction: after several append-grown batches the
+    state tables collapse to right-sized files with identical row
+    content — the next ingest still dedups against them exactly."""
+    import glob
+
+    from hadoop__spark.operators.ingest import compact_state
+
+    state = str(tmp_path / "state")
+    for i in range(3):
+        b = spark.createDataFrame(
+            [
+                (10 * i + j, f"wave {i} unique body number {j} here")
+                for j in range(3)
+            ],
+            "doc_id LONG, text STRING",
+        )
+        ingest_batch(spark, state, b, f"b{i}")
+    frag = len(glob.glob(f"{state}/fingerprints/*.parquet"))
+    assert frag >= 3, "appends fragment the table"
+    before = {
+        r.keep_id
+        for r in spark.read.parquet(f"{state}/fingerprints").collect()
+    }
+    done = compact_state(spark, state)
+    assert done["fingerprints"] == 1 and "signatures" in done
+    assert len(glob.glob(f"{state}/fingerprints/*.parquet")) == 1
+    after = {
+        r.keep_id
+        for r in spark.read.parquet(f"{state}/fingerprints").collect()
+    }
+    assert after == before
+    # the compacted state still dedups: an exact copy dies, novelty
+    # survives, and the append-after-compact composes
+    b = spark.createDataFrame(
+        [
+            (100, "wave 0 unique body number 0 here"),
+            (101, "an entirely new survivor body"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    s = ingest_batch(spark, state, b, "b_post")
+    assert {r.doc_id for r in s.collect()} == {101}
