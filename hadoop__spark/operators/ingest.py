@@ -62,7 +62,12 @@ from hadoop__spark.operators.util import (
     delete_path as _delete_path,
     list_child_dirs as _list_child_dirs,
     table_exists as _table_exists,
+    touch_file as _touch_file,
 )
+
+# written into a batch snapshot as the LAST step of ingest_batch: its
+# presence proves every state append completed for that batch
+_COMMIT_MARKER = "_INGEST_COMMITTED"
 
 
 def _drop_ids(df: DataFrame, id_col: str, bad_ids: DataFrame) -> DataFrame:
@@ -104,6 +109,7 @@ def ingest_batch(
     seed: int = 42,
     checkpoint_dir: str | None = None,
     accounting_col: str | None = None,
+    on_existing: str = "fail",
 ) -> DataFrame:
     """Ingest one document batch against the persisted dedup state
     under ``state_dir``, returning the batch's SURVIVING rows (already
@@ -216,6 +222,15 @@ def ingest_batch(
     accrues only on calls that pass the option — use it on every
     batch of a corpus or the state under-counts.
 
+    ``on_existing`` governs a replayed ``batch_name`` (default
+    ``"fail"`` — loud).  ``"skip"`` is the foreachBatch exactly-once
+    mode: a retried micro-batch re-runs with the SAME batch_id, and a
+    batch whose commit marker exists (written as the loop's last
+    step, after every state append) returns its stored survivors
+    without touching state; a snapshot WITHOUT the marker crashed
+    mid-append and still refuses — :func:`rebuild_state` restores the
+    markers it re-covers.
+
     Durability note: each state append is atomic per table (parquet
     commit protocol), but the appends are NOT atomic as a group — a
     crash between them leaves the state tables at different batch
@@ -227,15 +242,34 @@ def ingest_batch(
     tests/test_ingest.py).  At 100 TB wrap the appends in the
     lakehouse transaction layer of the deployment instead.
     """
+    if on_existing not in ("fail", "skip"):
+        raise ValueError(
+            f"on_existing must be 'fail' or 'skip', got {on_existing!r}"
+        )
     batch_path = f"{state_dir}/batches/{batch_name}"
     if _table_exists(spark, batch_path):
         # fail FAST (before any dedup compute): a reused name would
         # overwrite this staging table while the earlier run's state
-        # appends remain — a silent double-append; idempotent REPLAY
-        # of a batch is a state rebuild, not a re-ingest
+        # appends remain — a silent double-append.  With
+        # on_existing="skip" a COMMITTED batch (marker present = every
+        # state append finished) is returned as-is — the idempotent
+        # no-op a foreachBatch retry needs; a snapshot WITHOUT the
+        # marker crashed mid-append and still refuses (replaying it
+        # would double-append — run rebuild_state first).
+        if on_existing == "skip" and _table_exists(
+            spark, f"{batch_path}/{_COMMIT_MARKER}"
+        ):
+            return spark.read.parquet(batch_path)
         raise ValueError(
             f"batch {batch_name!r} was already ingested into "
-            f"{state_dir} (staging table exists); pick a new name"
+            f"{state_dir} (staging table exists"
+            + (
+                " without a commit marker — it crashed mid-append; "
+                "rebuild_state, then re-ingest under a new name)"
+                if on_existing == "skip"
+                else "); pick a new name, or pass on_existing='skip' "
+                "for idempotent stream replays"
+            )
         )
     if text_method not in ("minhash", "simhash", "ngram"):
         raise ValueError(
@@ -522,6 +556,7 @@ def ingest_batch(
             if n_emb == 0:
                 # no embedded survivors to fit on — leave the index
                 # unwritten; a later batch with embeddings bootstraps
+                _touch_file(spark, f"{batch_path}/{_COMMIT_MARKER}")
                 return surv_m
             fit_nlist = nlist
             if fit_nlist is None:
@@ -534,6 +569,9 @@ def ingest_batch(
             ivf_append_index(
                 spark, ivf_path, emb_m, vec_col=embedding_col, id_col=id_col
             )
+    # LAST step: the batch's commit marker — every state append above
+    # completed, so an on_existing="skip" replay may safely no-op
+    _touch_file(spark, f"{batch_path}/{_COMMIT_MARKER}")
     return surv_m
 
 
@@ -714,6 +752,13 @@ def rebuild_state(
                 emb, f"{state_dir}/ivf", nlist=fit_nlist,
                 vec_col=embedding_col, id_col=id_col, seed=seed,
             )
+    # after a rebuild the state covers every complete snapshot by
+    # construction, so each one is (re-)marked committed — including
+    # snapshots whose original ingest crashed mid-append, and
+    # retraction-rewritten snapshots whose marker the swap dropped;
+    # on_existing="skip" replays then no-op correctly again
+    for b in complete:
+        _touch_file(spark, f"{b}/{_COMMIT_MARKER}")
     return union
 
 

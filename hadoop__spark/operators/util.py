@@ -126,3 +126,13 @@ def list_child_dirs(spark, path: str) -> list[str]:
         for st in fs.listStatus(hpath)
         if st.isDirectory()
     )
+
+
+def touch_file(spark, path: str) -> None:
+    """Create an empty marker file at ``path`` (overwrite if present)
+    on the session's Hadoop filesystem — commit markers for multi-step
+    state protocols."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(hpath, True).close()

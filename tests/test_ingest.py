@@ -1009,3 +1009,50 @@ def test_compact_state_preserves_probes(spark, tmp_path):
     )
     s = ingest_batch(spark, state, b, "b_post")
     assert {r.doc_id for r in s.collect()} == {101}
+
+
+def test_on_existing_skip_exactly_once(spark, tmp_path, monkeypatch):
+    """foreachBatch retries replay the SAME batch_id: with
+    on_existing="skip" a COMMITTED batch no-ops (stored survivors
+    returned, state untouched), a mid-append crash still refuses
+    (replay would double-append), and rebuild_state restores the
+    marker so the retry then no-ops."""
+    from hadoop__spark.operators import ingest as ingest_mod
+    from hadoop__spark.operators.ingest import rebuild_state
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "first unique body of text here"),
+         (2, "second wholly distinct body there")],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, state, b1, "b1")
+    sig_n = spark.read.parquet(f"{state}/signatures").count()
+    replay = ingest_batch(spark, state, b1, "b1", on_existing="skip")
+    assert {r.doc_id for r in replay.collect()} == {1, 2}
+    assert spark.read.parquet(f"{state}/signatures").count() == sig_n
+    # default mode still refuses, and suggests the skip knob
+    with pytest.raises(ValueError, match="on_existing='skip'"):
+        ingest_batch(spark, state, b1, "b1")
+
+    # crash batch 2 between appends -> snapshot exists, marker doesn't
+    b2 = spark.createDataFrame(
+        [(10, "third novel body appears now")], "doc_id LONG, text STRING"
+    )
+    real = ingest_mod.minhash_write_signatures
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", boom)
+    with pytest.raises(RuntimeError):
+        ingest_batch(spark, state, b2, "b2")
+    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", real)
+    with pytest.raises(ValueError, match="crashed mid-append"):
+        ingest_batch(spark, state, b2, "b2", on_existing="skip")
+    rebuild_state(spark, state)
+    replay2 = ingest_batch(spark, state, b2, "b2", on_existing="skip")
+    assert {r.doc_id for r in replay2.collect()} == {10}
+    assert {
+        r._id for r in spark.read.parquet(f"{state}/signatures").collect()
+    } == {1, 2, 10}
