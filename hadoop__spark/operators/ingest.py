@@ -889,3 +889,58 @@ def compact_state(
             raise IOError(f"rename {tmp} -> {path} failed")
         done[rel] = n
     return done
+
+
+def state_summary(spark, state_dir: str) -> dict:
+    """Operational snapshot of an ingest state dir — what an on-call
+    engineer checks before touching it: which text plane the corpus
+    uses, per-table row counts, and every batch snapshot with its
+    commit status (an uncommitted snapshot means a mid-append crash —
+    run :func:`rebuild_state`).
+
+    Driver-side metadata only (listings + parquet count jobs); no
+    corpus-scale shuffle.  Returns::
+
+        {"text_method": "minhash" | "simhash" | "ngram" | None,
+         "tables": {relpath: row_count, ...},
+         "batches": [{"name", "rows", "committed"}, ...],
+         "needs_rebuild": bool}   # any complete-but-uncommitted batch
+    """
+    markers = {
+        "minhash": f"{state_dir}/signatures",
+        "simhash": f"{state_dir}/simhash/signatures",
+        "ngram": f"{state_dir}/ngram/meta",
+    }
+    method = next(
+        (m for m, p in markers.items() if _table_exists(spark, p)), None
+    )
+    tables = {}
+    for rel in (
+        "fingerprints", "shingles", "signatures", "simhash/signatures",
+        "ngram/shingle_sets", "ngram/prefix", "ngram/doc_freq",
+        "score_sketches", "group_counts", "accounting/stats",
+        "accounting/overlap", "ivf/assigned",
+    ):
+        if _table_exists(spark, f"{state_dir}/{rel}"):
+            tables[rel] = spark.read.parquet(f"{state_dir}/{rel}").count()
+    batches = []
+    needs_rebuild = False
+    for b in _list_child_dirs(spark, f"{state_dir}/batches"):
+        name = b.rstrip("/").rsplit("/", 1)[-1]
+        complete = _table_exists(spark, f"{b}/_SUCCESS")
+        committed = _table_exists(spark, f"{b}/{_COMMIT_MARKER}")
+        batches.append(
+            {
+                "name": name,
+                "rows": spark.read.parquet(b).count() if complete else None,
+                "committed": committed,
+            }
+        )
+        if complete and not committed:
+            needs_rebuild = True
+    return {
+        "text_method": method,
+        "tables": tables,
+        "batches": batches,
+        "needs_rebuild": needs_rebuild,
+    }

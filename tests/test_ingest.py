@@ -1056,3 +1056,44 @@ def test_on_existing_skip_exactly_once(spark, tmp_path, monkeypatch):
     assert {
         r._id for r in spark.read.parquet(f"{state}/signatures").collect()
     } == {1, 2, 10}
+
+
+def test_state_summary_reports_crash(spark, tmp_path, monkeypatch):
+    """state_summary names the plane, counts the tables, and flags a
+    complete-but-uncommitted snapshot as needing a rebuild."""
+    from hadoop__spark.operators import ingest as ingest_mod
+    from hadoop__spark.operators.ingest import rebuild_state, state_summary
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "first unique body here"), (2, "second distinct body there")],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, state, b1, "b1")
+    s = state_summary(spark, state)
+    assert s["text_method"] == "minhash"
+    assert s["tables"]["fingerprints"] == 2
+    assert s["batches"] == [
+        {"name": "b1", "rows": 2, "committed": True}
+    ]
+    assert not s["needs_rebuild"]
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash")
+
+    real = ingest_mod.minhash_write_signatures
+    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", boom)
+    with pytest.raises(RuntimeError):
+        ingest_batch(
+            spark, state,
+            spark.createDataFrame(
+                [(10, "third novel body appears")], "doc_id LONG, text STRING"
+            ),
+            "b2",
+        )
+    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", real)
+    s = state_summary(spark, state)
+    assert s["needs_rebuild"]
+    rebuild_state(spark, state)
+    s = state_summary(spark, state)
+    assert not s["needs_rebuild"] and len(s["batches"]) == 2
