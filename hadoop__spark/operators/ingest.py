@@ -69,6 +69,38 @@ from hadoop__spark.operators.util import (
 # presence proves every state append completed for that batch
 _COMMIT_MARKER = "_INGEST_COMMITTED"
 
+# advisory maintenance lock at {state_dir}/_MAINTENANCE_LOCK: held by
+# compact_state / retract_documents while they delete-and-swap tables
+# a concurrent reader may hold open; ingest_batch refuses to start
+# while it exists.  Advisory — it turns the race into a loud refusal,
+# not a transaction; a crashed maintenance run leaves a stale lock to
+# delete by hand (the error message says so).
+_MAINT_LOCK = "_MAINTENANCE_LOCK"
+
+
+class _maintenance_lock:
+    """Context manager: exclusively create the state's maintenance
+    lock file, refusing when another run holds it; always released."""
+
+    def __init__(self, spark, state_dir: str):
+        self.spark = spark
+        self.path = f"{state_dir}/{_MAINT_LOCK}"
+
+    def __enter__(self):
+        from hadoop__spark.operators.util import create_exclusive
+
+        if not create_exclusive(self.spark, self.path):
+            raise RuntimeError(
+                f"maintenance lock {self.path} is held — another "
+                "compact/retract run is active (or crashed and left it "
+                "stale; delete the file after confirming nothing runs)"
+            )
+        return self
+
+    def __exit__(self, *exc):
+        _delete_path(self.spark, self.path)
+        return False
+
 
 def _drop_ids(df: DataFrame, id_col: str, bad_ids: DataFrame) -> DataFrame:
     """Anti-join ``df`` against a one-column frame of ids to remove."""
@@ -245,6 +277,15 @@ def ingest_batch(
     if on_existing not in ("fail", "skip"):
         raise ValueError(
             f"on_existing must be 'fail' or 'skip', got {on_existing!r}"
+        )
+    if _table_exists(spark, f"{state_dir}/{_MAINT_LOCK}"):
+        # a compact/retract run is deleting-and-swapping the tables
+        # this ingest would read and append — refuse loudly instead of
+        # racing the swap (advisory; see _MAINT_LOCK)
+        raise RuntimeError(
+            f"state at {state_dir} is under maintenance "
+            f"({_MAINT_LOCK} present) — retry after it completes, or "
+            "delete a stale lock by hand"
         )
     batch_path = f"{state_dir}/batches/{batch_name}"
     if _table_exists(spark, batch_path):
@@ -771,8 +812,8 @@ def retract_documents(
 ) -> DataFrame:
     """Remove documents from an ingested corpus — the takedown /
     right-to-be-forgotten operation a long-lived training corpus
-    needs.  ``ids`` is a one-column frame (or a frame whose
-    ``id_col`` is used) of document ids to retract.
+    needs.  ``ids`` is a frame with an ``id_col`` column of
+    document ids to retract (other columns are ignored).
 
     The per-batch survivors snapshots are the corpus's source of
     truth (:func:`rebuild_state` rebuilds every state table from
@@ -803,29 +844,33 @@ def retract_documents(
     batch_dirs = _list_child_dirs(spark, f"{state_dir}/batches")
     if not batch_dirs:
         raise ValueError(f"no batch snapshots under {state_dir}/batches")
-    for b in batch_dirs:
-        if not _table_exists(spark, f"{b}/_SUCCESS"):
-            continue  # partial snapshot; rebuild_state sweeps it
-        snap = spark.read.parquet(b)
-        hit = snap.join(
-            retract, F.col(id_col) == F.col("_retract"), "left_semi"
-        ).limit(1).count()
-        if not hit:
-            continue
-        kept = snap.join(
-            retract, F.col(id_col) == F.col("_retract"), "left_anti"
-        )
-        tmp = f"{b}__retract_tmp"
-        kept.write.mode("overwrite").parquet(tmp)
-        _delete_path(spark, b)
-        # same-filesystem rename: atomic on HDFS/local, metadata-only
-        jvm = spark._jvm
-        src = jvm.org.apache.hadoop.fs.Path(tmp)
-        dst = jvm.org.apache.hadoop.fs.Path(b)
-        fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.rename(src, dst):
-            raise IOError(f"rename {tmp} -> {b} failed")
-    return rebuild_state(spark, state_dir, id_col=id_col, **rebuild_kwargs)
+    with _maintenance_lock(spark, state_dir):
+        for b in batch_dirs:
+            if not _table_exists(spark, f"{b}/_SUCCESS"):
+                continue  # partial snapshot; rebuild_state sweeps it
+            snap = spark.read.parquet(b)
+            hit = snap.join(
+                retract, F.col(id_col) == F.col("_retract"), "left_semi"
+            ).limit(1).count()
+            if not hit:
+                continue
+            kept = snap.join(
+                retract, F.col(id_col) == F.col("_retract"), "left_anti"
+            )
+            tmp = f"{b}__retract_tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            _delete_path(spark, b)
+            # same-filesystem rename: atomic on HDFS/local,
+            # metadata-only; a crash between the delete and the rename
+            # leaves the data at {snapshot}__retract_tmp — rename it
+            # back by hand before rebuilding
+            jvm = spark._jvm
+            src = jvm.org.apache.hadoop.fs.Path(tmp)
+            dst = jvm.org.apache.hadoop.fs.Path(b)
+            fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.rename(src, dst):
+                raise IOError(f"rename {tmp} -> {b} failed")
+        return rebuild_state(spark, state_dir, id_col=id_col, **rebuild_kwargs)
 
 
 def compact_state(
@@ -838,10 +883,10 @@ def compact_state(
     :func:`ingest_batch` call adds at least one parquet file per
     state table, and after thousands of batches the probes' scan cost
     is task-launch and footer reads, not I/O (the classic small-files
-    failure).  Run this periodically from the maintenance window; it
-    must not race a concurrent ingest (the swap deletes tables a
-    reader may hold open — same single-writer discipline as the
-    appends themselves).
+    failure).  Run this periodically from the maintenance window; the
+    advisory maintenance lock (``_MAINTENANCE_LOCK`` in the state
+    dir, shared with :func:`retract_documents`) makes a concurrent
+    :func:`ingest_batch` refuse loudly instead of racing the swap.
 
     Each table present is rewritten right-sized via
     :func:`~hadoop__spark.sources.io.compact_parquet` (sorted by its
@@ -873,21 +918,24 @@ def compact_state(
     jvm = spark._jvm
     fs_conf = spark._jsc.hadoopConfiguration()
     done: dict[str, int] = {}
-    for rel, sort_by in tables.items():
-        path = f"{state_dir}/{rel}"
-        if not _table_exists(spark, path):
-            continue
-        tmp = f"{path}__compact_tmp"
-        n = compact_parquet(
-            spark, path, tmp, target_file_bytes=target_file_bytes,
-            sort_by=sort_by,
-        )
-        _delete_path(spark, path)
-        src = jvm.org.apache.hadoop.fs.Path(tmp)
-        dst = jvm.org.apache.hadoop.fs.Path(path)
-        if not src.getFileSystem(fs_conf).rename(src, dst):
-            raise IOError(f"rename {tmp} -> {path} failed")
-        done[rel] = n
+    with _maintenance_lock(spark, state_dir):
+        for rel, sort_by in tables.items():
+            path = f"{state_dir}/{rel}"
+            if not _table_exists(spark, path):
+                continue
+            tmp = f"{path}__compact_tmp"
+            n = compact_parquet(
+                spark, path, tmp, target_file_bytes=target_file_bytes,
+                sort_by=sort_by,
+            )
+            _delete_path(spark, path)
+            # a crash between this delete and the rename leaves the
+            # data at {table}__compact_tmp — rename it back by hand
+            src = jvm.org.apache.hadoop.fs.Path(tmp)
+            dst = jvm.org.apache.hadoop.fs.Path(path)
+            if not src.getFileSystem(fs_conf).rename(src, dst):
+                raise IOError(f"rename {tmp} -> {path} failed")
+            done[rel] = n
     return done
 
 

@@ -136,3 +136,14 @@ def touch_file(spark, path: str) -> None:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.create(hpath, True).close()
+
+
+def create_exclusive(spark, path: str) -> bool:
+    """Atomically create ``path`` if and only if it does not exist
+    (Hadoop ``createNewFile`` — atomic on local FS and HDFS; object
+    stores emulate it).  Returns False when the file already exists —
+    the primitive behind advisory maintenance locks."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.createNewFile(hpath))

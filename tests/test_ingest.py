@@ -1097,3 +1097,42 @@ def test_state_summary_reports_crash(spark, tmp_path, monkeypatch):
     rebuild_state(spark, state)
     s = state_summary(spark, state)
     assert not s["needs_rebuild"] and len(s["batches"]) == 2
+
+
+def test_maintenance_lock_excludes_ingest(spark, tmp_path):
+    """The advisory maintenance lock: an ingest refuses while
+    compact/retract hold it, a second maintenance run refuses too,
+    and the lock is released afterwards (including on failure)."""
+    from hadoop__spark.operators.ingest import (
+        _MAINT_LOCK,
+        compact_state,
+        retract_documents,
+    )
+    from hadoop__spark.operators.util import touch_file
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "first unique body here"), (2, "second distinct body there")],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, state, b1, "b1")
+    # simulate a concurrent maintenance run
+    touch_file(spark, f"{state}/{_MAINT_LOCK}")
+    b2 = spark.createDataFrame(
+        [(10, "third novel body now")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        ingest_batch(spark, state, b2, "b2")
+    with pytest.raises(RuntimeError, match="lock .* is held"):
+        compact_state(spark, state)
+    import os
+
+    os.remove(f"{state}/{_MAINT_LOCK}")
+    # lock released after a successful maintenance run: both compose
+    compact_state(spark, state)
+    retract_documents(
+        spark, state, spark.createDataFrame([(1,)], "doc_id LONG")
+    )
+    assert not os.path.exists(f"{state}/{_MAINT_LOCK}")
+    s = ingest_batch(spark, state, b2, "b2")
+    assert {r.doc_id for r in s.collect()} == {10}
