@@ -61,12 +61,22 @@ from hadoop__spark.operators.similarity import (
 from hadoop__spark.operators.util import (
     delete_path as _delete_path,
     list_child_dirs as _list_child_dirs,
+    read_text_file as _read_text_file,
+    rename_path as _rename_path,
     table_exists as _table_exists,
     touch_file as _touch_file,
+    write_text_file as _write_text_file,
 )
 
 # written into a batch snapshot as the LAST step of ingest_batch: its
-# presence proves every state append completed for that batch
+# presence proves every state append completed for that batch.  The
+# marker's CONTENT is the sorted comma-separated set of state planes
+# it covers ("accounting,embeddings,fingerprints,gate,group_counts,
+# text") — so a rebuild that omitted an input (leaving e.g. the IVF
+# index without that batch's vectors) re-marks the snapshot WITHOUT
+# claiming the un-rebuilt plane, and an on_existing="skip" replay that
+# needs it refuses instead of silently no-opping.  An EMPTY marker is
+# the pre-coverage legacy format, read as covering everything.
 _COMMIT_MARKER = "_INGEST_COMMITTED"
 
 # advisory maintenance lock at {state_dir}/_MAINTENANCE_LOCK: held by
@@ -77,13 +87,78 @@ _COMMIT_MARKER = "_INGEST_COMMITTED"
 # delete by hand (the error message says so).
 _MAINT_LOCK = "_MAINTENANCE_LOCK"
 
+# the OTHER side of the advisory protocol: ingest_batch holds this
+# in-progress marker for its whole run, and _maintenance_lock refuses
+# while it exists — so a compact/retract started while an ingest is
+# mid-flight cannot delete-and-swap a table between the ingest's read
+# and append (which would silently lose that batch's appended rows).
+# Each side creates its own flag FIRST and then checks the other's,
+# so the two can never both proceed (both may refuse — advisory, not
+# a scheduler).  A crashed ingest leaves the marker; rebuild_state
+# (the crash-recovery path) clears it.
+_INGEST_MARKER = "_INGEST_INPROGRESS"
+
+# sketch states that cannot subtract (KLL quantiles, HLL/theta
+# accounting): a fast-path retraction leaves them overstating and
+# records which ones here (comma-separated relpaths); rebuild_state
+# clears the entries it rebuilds and state_summary reports the rest.
+_STALE_MARKER = "_STALE_SKETCHES"
+
+# near-dup text plane state layout: subdir under state_dir ("" = the
+# state root, minhash's original layout) and the layout-marker table
+# whose existence identifies the plane a corpus was bootstrapped with
+_PLANE_LAYOUT = {
+    "minhash": ("", "signatures"),
+    "simhash": ("simhash", "simhash/signatures"),
+    "ngram": ("ngram", "ngram/meta"),
+}
+
+
+# every flat state table (relpath → compaction sort keys; None =
+# unsorted, the kilobyte sketch tables) — the registry compact_state
+# rewrites, fsck_state checks for swap orphans, and state_summary
+# counts.  batches/* (immutable snapshots) and ivf/ (centroid-
+# partitioned) are deliberately absent: compacting them would destroy
+# the rebuild source of truth / the partition pruning.
+_STATE_TABLES = {
+    "fingerprints": ["fp"],
+    "shingles": ["_id"],
+    "signatures": ["_id"],
+    "simhash/signatures": ["_id"],
+    "ngram/shingle_sets": ["_id"],
+    "ngram/prefix": ["_s"],
+    "ngram/doc_freq": ["_s"],
+    "score_sketches": None,
+    "group_counts": None,
+    "accounting/stats": None,
+    "accounting/overlap": None,
+}
+
+
+def _plane_paths(state_dir: str, text_method: str) -> tuple[str, str]:
+    """(plane state path, layout-marker table path) for a method."""
+    sub, marker = _PLANE_LAYOUT[text_method]
+    plane = state_dir if not sub else f"{state_dir}/{sub}"
+    return plane, f"{state_dir}/{marker}"
+
+
+def _detect_plane(spark, state_dir: str) -> str | None:
+    """The text plane a state dir holds, from its layout markers."""
+    for method in _PLANE_LAYOUT:
+        if _table_exists(spark, _plane_paths(state_dir, method)[1]):
+            return method
+    return None
+
 
 class _maintenance_lock:
     """Context manager: exclusively create the state's maintenance
-    lock file, refusing when another run holds it; always released."""
+    lock file, refusing when another run holds it OR an ingest is
+    mid-flight (two-sided advisory locking; see _INGEST_MARKER);
+    always released."""
 
     def __init__(self, spark, state_dir: str):
         self.spark = spark
+        self.state_dir = state_dir
         self.path = f"{state_dir}/{_MAINT_LOCK}"
 
     def __enter__(self):
@@ -95,11 +170,141 @@ class _maintenance_lock:
                 "compact/retract run is active (or crashed and left it "
                 "stale; delete the file after confirming nothing runs)"
             )
+        # own flag first, then the other side's — if an ingest slipped
+        # in between our existence check and our create, one of us
+        # sees the other and backs off
+        if _table_exists(self.spark, f"{self.state_dir}/{_INGEST_MARKER}"):
+            _delete_path(self.spark, self.path)
+            raise RuntimeError(
+                f"an ingest_batch run is in flight on {self.state_dir} "
+                f"({_INGEST_MARKER} present) — retry after it completes "
+                "(a crashed ingest leaves the marker stale; "
+                "rebuild_state clears it, or delete the file by hand)"
+            )
         return self
 
     def __exit__(self, *exc):
         _delete_path(self.spark, self.path)
         return False
+
+
+# ---------------------------------------------------------------------------
+# persisted ingest policy: the bootstrap call's structural and policy
+# parameters, stored at {state_dir}/policy and enforced on every later
+# call — the same stored-meta refusal pattern the text planes already
+# use, extended to the knobs whose silent drift under-counts a state
+# (the documented "use the same policy on every batch" contract, now
+# refused instead of trusted).
+
+_POLICY_SCHEMA = (
+    "text_method STRING, n INT, num_perm INT, threshold DOUBLE, "
+    "max_hamming INT, n_chunks INT, bands INT, "
+    "has_quality_gate BOOLEAN, group_cap_col STRING, group_cap_k INT, "
+    "accounting_col STRING, has_embeddings BOOLEAN, "
+    "semantic_threshold DOUBLE"
+)
+_POLICY_FIELDS = [f.split()[0] for f in _POLICY_SCHEMA.split(", ")]
+# refused on drift (structural parameters that shape the stored state,
+# plus the presence/identity of each policy state — a batch ingested
+# without keep_frac/group_cap/accounting silently under-counts those
+# states; a batch without embeddings leaves the IVF index blind to its
+# vectors).  The rest (bands, max_hamming, n_chunks,
+# semantic_threshold) are query-time probe knobs: recorded for
+# observability, drift allowed.
+_POLICY_ENFORCED = (
+    "text_method", "n", "num_perm", "threshold", "has_quality_gate",
+    "group_cap_col", "group_cap_k", "accounting_col", "has_embeddings",
+)
+
+
+def _write_policy(spark, state_dir: str, pol: dict) -> None:
+    spark.createDataFrame(
+        [tuple(pol.get(f) for f in _POLICY_FIELDS)], _POLICY_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/policy")
+
+
+def _read_policy(spark, state_dir: str) -> dict | None:
+    if not _table_exists(spark, f"{state_dir}/policy"):
+        return None
+    return spark.read.parquet(f"{state_dir}/policy").first().asDict()
+
+
+def _policy_drift(stored: dict, current: dict) -> list[str]:
+    """Human-readable drift descriptions for the ENFORCED fields."""
+    drift = []
+    for f in _POLICY_ENFORCED:
+        s, c = stored.get(f), current.get(f)
+        if isinstance(s, float) and isinstance(c, float):
+            if abs(s - c) <= 1e-12:
+                continue
+        elif s == c:
+            continue
+        drift.append(f"{f}: stored {s!r}, this call {c!r}")
+    return drift
+
+
+def _required_planes(
+    write_gate: bool,
+    group_cap_col: str | None,
+    accounting_col: str | None,
+    has_embeddings: bool,
+) -> set[str]:
+    """The coverage-marker plane set a call's option surface needs."""
+    planes = {"fingerprints", "text"}
+    if write_gate:
+        planes.add("gate")
+    if group_cap_col is not None:
+        planes.add("group_counts")
+    if accounting_col is not None:
+        planes.add("accounting")
+    if has_embeddings:
+        planes.add("embeddings")
+    return planes
+
+
+def _write_commit_marker(spark, batch_path: str, covered: set[str]) -> None:
+    _write_text_file(
+        spark, f"{batch_path}/{_COMMIT_MARKER}", ",".join(sorted(covered))
+    )
+
+
+def _read_commit_marker(spark, batch_path: str) -> set[str] | None:
+    """Covered planes of a batch's commit marker; None when absent;
+    an empty (legacy) marker reads as covering everything."""
+    path = f"{batch_path}/{_COMMIT_MARKER}"
+    if not _table_exists(spark, path):
+        return None
+    content = _read_text_file(spark, path).strip()
+    if not content:
+        return {"fingerprints", "text", "gate", "group_counts",
+                "accounting", "embeddings"}
+    return set(content.split(","))
+
+
+def _mark_stale(spark, state_dir: str, tables: set[str]) -> None:
+    """Record sketch states left overstating by a fast-path
+    retraction (union with any already-recorded entries)."""
+    path = f"{state_dir}/{_STALE_MARKER}"
+    prior = _read_stale(spark, state_dir)
+    _write_text_file(spark, path, ",".join(sorted(prior | tables)))
+
+
+def _read_stale(spark, state_dir: str) -> set[str]:
+    path = f"{state_dir}/{_STALE_MARKER}"
+    if not _table_exists(spark, path):
+        return set()
+    content = _read_text_file(spark, path).strip()
+    return set(content.split(",")) if content else set()
+
+
+def _clear_stale(spark, state_dir: str, rebuilt: set[str]) -> None:
+    """Drop rebuilt entries from the stale-sketches marker."""
+    remaining = _read_stale(spark, state_dir) - rebuilt
+    path = f"{state_dir}/{_STALE_MARKER}"
+    if remaining:
+        _write_text_file(spark, path, ",".join(sorted(remaining)))
+    else:
+        _delete_path(spark, path)
 
 
 def _drop_ids(df: DataFrame, id_col: str, bad_ids: DataFrame) -> DataFrame:
@@ -109,6 +314,144 @@ def _drop_ids(df: DataFrame, id_col: str, bad_ids: DataFrame) -> DataFrame:
         F.col(id_col) == F.col("_bad"),
         "left_anti",
     )
+
+
+def _write_state_tables(
+    spark,
+    state_dir: str,
+    surv: DataFrame,
+    *,
+    mode: str,
+    text_col: str,
+    id_col: str,
+    text_method: str,
+    n: int,
+    num_perm: int,
+    threshold: float,
+    scores: DataFrame | None = None,
+    score_col: str = "quality_score",
+    write_gate: bool = False,
+    group_cap_col: str | None = None,
+    accounting_col: str | None = None,
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    nlist: int | None = None,
+    seed: int = 42,
+) -> set[str]:
+    """THE survivors→state-table mapping, shared by
+    :func:`ingest_batch`'s append section and :func:`rebuild_state`'s
+    writer section — one implementation of (plane → writer,
+    policy → writer), so the two routes cannot drift (the same drift
+    class the shared ``eligibility_filter`` retired for the gate/cap
+    logic in round 8).
+
+    ``mode``: ``"bootstrap"`` / ``"rebuild"`` overwrite every table;
+    ``"append"`` adds the batch's rows (the ingest loop) — the ngram
+    plane appends through
+    :func:`~hadoop__spark.operators.dedup.ngram_append_index` (frozen
+    df-order) and the IVF index through
+    :func:`~hadoop__spark.operators.similarity.ivf_append_index`
+    (frozen centroids) when an index exists; both bootstrap/rebuild
+    routes (re-)fit.
+
+    ``surv`` must already be MATERIALIZED (both callers read it back
+    from a written snapshot) — every writer below scans it, and a lazy
+    chain would re-run the whole dedup per table.
+
+    Returns the set of coverage-marker plane names actually written
+    (``"embeddings"`` is claimed even when zero survivors carried a
+    vector — a replay would find nothing to add either, so coverage
+    is vacuously true and the index bootstraps on a later batch).
+    """
+    if mode not in ("bootstrap", "append", "rebuild"):
+        raise ValueError(f"unknown state-writer mode {mode!r}")
+    write_mode = "append" if mode == "append" else "overwrite"
+    covered = {"fingerprints", "text"}
+    if group_cap_col is not None:
+        # the survivors' per-group admitted counts — the cap state
+        # counts what the corpus retains, not what was offered
+        (
+            surv.groupBy(group_cap_col)
+            .agg(F.count("*").cast("bigint").alias("n_admitted"))
+            .write.mode(write_mode)
+            .parquet(f"{state_dir}/group_counts")
+        )
+        covered.add("group_counts")
+    if write_gate:
+        if scores is None:
+            raise ValueError("gate state needs a scores frame")
+        # the SURVIVORS' score sketch: the gate state tracks the
+        # distribution of what the corpus actually retains (collapse
+        # to one row per id first — idempotent when already collapsed)
+        surv_scores = (
+            scores.groupBy(id_col)
+            .agg(F.max(score_col).alias(score_col))
+            .join(
+                surv.select(F.col(id_col).alias("_sid")),
+                F.col(id_col) == F.col("_sid"),
+                "left_semi",
+            )
+        )
+        score_sketch(surv_scores, score_col=score_col).write.mode(
+            write_mode
+        ).parquet(f"{state_dir}/score_sketches")
+        covered.add("gate")
+    if accounting_col is not None:
+        # kilobytes per group, merged at read time; cache=False so a
+        # daily loop leaves no CacheManager residency behind (the base
+        # frame is batch-sized; tokenizing twice is cheaper than a leak)
+        corpus_stats_sketch(
+            surv, group_cols=[accounting_col], text_col=text_col,
+            id_col=id_col, cache=False,
+        ).write.mode(write_mode).parquet(f"{state_dir}/accounting/stats")
+        overlap_sketch(
+            surv, group_col=accounting_col, text_col=text_col
+        ).write.mode(write_mode).parquet(f"{state_dir}/accounting/overlap")
+        covered.add("accounting")
+    fingerprint_write(surv, state_dir, text_col, id_col, mode=write_mode)
+    plane_path, _ = _plane_paths(state_dir, text_method)
+    if text_method == "minhash":
+        minhash_write_signatures(
+            surv, plane_path, text_col, id_col, n=n, num_perm=num_perm,
+            mode=write_mode,
+        )
+    elif text_method == "simhash":
+        simhash_write_signatures(
+            surv, plane_path, text_col, id_col, n=n, mode=write_mode
+        )
+    elif mode == "append":
+        # the append cross-checks n/threshold against the stored meta
+        ngram_append_index(
+            spark, plane_path, surv, text_col, id_col, n=n,
+            threshold=threshold,
+        )
+    else:
+        ngram_write_index(
+            surv, plane_path, text_col, id_col, n=n, threshold=threshold
+        )
+    if embeddings is not None:
+        ivf_path = f"{state_dir}/ivf"
+        emb = embeddings.select(
+            F.col(id_col).alias("_eid"), F.col(embedding_col)
+        ).join(
+            surv.select(F.col(id_col).alias("_eid")), "_eid", "left_semi"
+        ).select(F.col("_eid").alias(id_col), embedding_col)
+        if mode == "append" and _table_exists(spark, f"{ivf_path}/centroids"):
+            ivf_append_index(
+                spark, ivf_path, emb, vec_col=embedding_col, id_col=id_col
+            )
+        else:
+            n_emb = emb.count()
+            if n_emb:
+                fit_nlist = nlist or max(16, int(4 * n_emb**0.5))
+                ivf_write_index(
+                    emb, ivf_path, nlist=fit_nlist, vec_col=embedding_col,
+                    id_col=id_col, seed=seed,
+                )
+            # n_emb == 0: no embedded survivors to fit on — leave the
+            # index unwritten; a later batch with embeddings bootstraps
+        covered.add("embeddings")
+    return covered
 
 
 def ingest_batch(
@@ -142,6 +485,7 @@ def ingest_batch(
     checkpoint_dir: str | None = None,
     accounting_col: str | None = None,
     on_existing: str = "fail",
+    allow_policy_change: bool = False,
 ) -> DataFrame:
     """Ingest one document batch against the persisted dedup state
     under ``state_dir``, returning the batch's SURVIVING rows (already
@@ -194,9 +538,21 @@ def ingest_batch(
     order, so a group may end under-filled when cap survivors turn
     out to be duplicates — the cap bounds volume, it does not
     guarantee fill.  Both gate states (score sketches, group counts)
-    accrue ONLY on calls that pass the corresponding option — use the
-    same ``keep_frac``/``group_cap`` policy on every batch of a
-    corpus, or the state under-counts what was admitted.  With
+    accrue ONLY on calls that pass the corresponding option, so the
+    bootstrap call's choices are PERSISTED at ``{state_dir}/policy``
+    and a later call that drops or changes them is REFUSED with the
+    stored values named (same stored-meta pattern as ``text_method``
+    and the ngram parameters) — silent policy drift is the
+    state-under-count class this retires.  Enforced: ``text_method``,
+    ``n``, ``num_perm``, ``threshold``, gate presence
+    (``keep_frac is not None``), ``group_cap`` column and k,
+    ``accounting_col``, embeddings presence.  Probe-time knobs
+    (``bands``, ``max_hamming``, ``n_chunks``,
+    ``semantic_threshold``) are recorded but free to vary.  Pass
+    ``allow_policy_change=True`` for a DELIBERATE policy change: the
+    stored policy is rewritten to this call's values and earlier
+    batches remain governed by the old one (their state rows are not
+    revised — rebuild for a uniform re-application).  With
     ascending ids across batches this matches the from-scratch
     min-id keeper exactly (tested); with out-of-order ids the
     surviving SET differs only by which clique member represents
@@ -278,6 +634,11 @@ def ingest_batch(
         raise ValueError(
             f"on_existing must be 'fail' or 'skip', got {on_existing!r}"
         )
+    if text_method not in ("minhash", "simhash", "ngram"):
+        raise ValueError(
+            "text_method must be 'minhash', 'simhash' or 'ngram', "
+            f"got {text_method!r}"
+        )
     if _table_exists(spark, f"{state_dir}/{_MAINT_LOCK}"):
         # a compact/retract run is deleting-and-swapping the tables
         # this ingest would read and append — refuse loudly instead of
@@ -287,6 +648,52 @@ def ingest_batch(
             f"({_MAINT_LOCK} present) — retry after it completes, or "
             "delete a stale lock by hand"
         )
+    from hadoop__spark.operators.util import create_exclusive
+
+    in_progress = f"{state_dir}/{_INGEST_MARKER}"
+    if not create_exclusive(spark, in_progress):
+        raise RuntimeError(
+            f"another ingest_batch run is in flight on {state_dir} "
+            f"({_INGEST_MARKER} present) — two concurrent ingests "
+            "would race the state appends; retry after it completes "
+            "(a crashed ingest leaves the marker stale — rebuild_state "
+            "clears it, or delete the file by hand)"
+        )
+    try:
+        if _table_exists(spark, f"{state_dir}/{_MAINT_LOCK}"):
+            # re-check after planting our flag: a maintenance run may
+            # have taken the lock between our first check and our
+            # create — each side checks the other's flag AFTER its
+            # own, so the two can never both proceed (two-sided
+            # advisory locking; both backing off is fine)
+            raise RuntimeError(
+                f"state at {state_dir} is under maintenance "
+                f"({_MAINT_LOCK} present) — retry after it completes, "
+                "or delete a stale lock by hand"
+            )
+        return _ingest_batch_inner(
+            spark, state_dir, batch, batch_name, text_col, id_col,
+            text_method, threshold, n, num_perm, bands, max_bucket,
+            max_hamming, n_chunks, scores, score_col, keep_frac,
+            unscored, benchmark, group_cap, embeddings, embedding_col,
+            semantic_threshold, nlist, n_assign, assign, seed,
+            checkpoint_dir, accounting_col, on_existing,
+            allow_policy_change,
+        )
+    finally:
+        _delete_path(spark, in_progress)
+
+
+def _ingest_batch_inner(
+    spark, state_dir, batch, batch_name, text_col, id_col, text_method,
+    threshold, n, num_perm, bands, max_bucket, max_hamming, n_chunks,
+    scores, score_col, keep_frac, unscored, benchmark, group_cap,
+    embeddings, embedding_col, semantic_threshold, nlist, n_assign,
+    assign, seed, checkpoint_dir, accounting_col, on_existing,
+    allow_policy_change,
+) -> DataFrame:
+    """:func:`ingest_batch`'s body, run while the in-progress marker
+    is held (the public wrapper owns acquisition and release)."""
     batch_path = f"{state_dir}/batches/{batch_name}"
     if _table_exists(spark, batch_path):
         # fail FAST (before any dedup compute): a reused name would
@@ -294,13 +701,31 @@ def ingest_batch(
         # appends remain — a silent double-append.  With
         # on_existing="skip" a COMMITTED batch (marker present = every
         # state append finished) is returned as-is — the idempotent
-        # no-op a foreachBatch retry needs; a snapshot WITHOUT the
-        # marker crashed mid-append and still refuses (replaying it
-        # would double-append — run rebuild_state first).
-        if on_existing == "skip" and _table_exists(
-            spark, f"{batch_path}/{_COMMIT_MARKER}"
-        ):
-            return spark.read.parquet(batch_path)
+        # no-op a foreachBatch retry needs — provided the marker's
+        # coverage includes every plane THIS call's options touch; a
+        # snapshot WITHOUT the marker crashed mid-append and still
+        # refuses (replaying it would double-append — run
+        # rebuild_state first).
+        if on_existing == "skip":
+            covered = _read_commit_marker(spark, batch_path)
+            if covered is not None:
+                required = _required_planes(
+                    keep_frac is not None,
+                    group_cap[0] if group_cap is not None else None,
+                    accounting_col,
+                    embeddings is not None,
+                )
+                missing = required - covered
+                if missing:
+                    raise ValueError(
+                        f"batch {batch_name!r} is committed covering "
+                        f"planes {sorted(covered)}, but this replay "
+                        f"also needs {sorted(missing)} — those state "
+                        "tables are missing the batch's rows (a "
+                        "rebuild omitted the input); rebuild_state "
+                        "with the full inputs first"
+                    )
+                return spark.read.parquet(batch_path)
         raise ValueError(
             f"batch {batch_name!r} was already ingested into "
             f"{state_dir} (staging table exists"
@@ -312,19 +737,7 @@ def ingest_batch(
                 "for idempotent stream replays"
             )
         )
-    if text_method not in ("minhash", "simhash", "ngram"):
-        raise ValueError(
-            "text_method must be 'minhash', 'simhash' or 'ngram', "
-            f"got {text_method!r}"
-        )
-    # the near-dup plane's state location per method; minhash keeps
-    # its original layout at the state root, the later planes nest
-    plane_state = {
-        "minhash": (state_dir, f"{state_dir}/signatures"),
-        "simhash": (f"{state_dir}/simhash", f"{state_dir}/simhash/signatures"),
-        "ngram": (f"{state_dir}/ngram", f"{state_dir}/ngram/meta"),
-    }
-    plane_path, plane_marker = plane_state[text_method]
+    plane_path, plane_marker = _plane_paths(state_dir, text_method)
     bootstrap = not _table_exists(spark, f"{state_dir}/fingerprints")
     if not bootstrap and not _table_exists(spark, plane_marker):
         # the corpus was bootstrapped under a DIFFERENT text_method —
@@ -335,6 +748,48 @@ def ingest_batch(
             "built with a different text_method; use the original "
             "method or rebuild the state"
         )
+    # persisted-policy consistency — fail FAST, before any compute
+    # (see the docstring's policy paragraph; _POLICY_ENFORCED lists
+    # the refused fields)
+    current_pol = {
+        "text_method": text_method,
+        "n": int(n),
+        "num_perm": int(num_perm) if text_method == "minhash" else None,
+        "threshold": (
+            float(threshold)
+            if text_method in ("minhash", "ngram")
+            else None
+        ),
+        "max_hamming": int(max_hamming),
+        "n_chunks": int(n_chunks),
+        "bands": int(bands),
+        "has_quality_gate": keep_frac is not None,
+        "group_cap_col": group_cap[0] if group_cap is not None else None,
+        "group_cap_k": int(group_cap[1]) if group_cap is not None else None,
+        "accounting_col": accounting_col,
+        "has_embeddings": embeddings is not None,
+        "semantic_threshold": float(semantic_threshold),
+    }
+    if bootstrap:
+        _write_policy(spark, state_dir, current_pol)
+    else:
+        stored = _read_policy(spark, state_dir)
+        if stored is None:
+            # pre-policy legacy state: adopt this call's parameters as
+            # the corpus policy (enforced from the next call on)
+            _write_policy(spark, state_dir, current_pol)
+        else:
+            drift = _policy_drift(stored, current_pol)
+            if drift and not allow_policy_change:
+                raise ValueError(
+                    f"ingest policy drift on {state_dir} — "
+                    + "; ".join(drift)
+                    + " — match the stored policy, or pass "
+                    "allow_policy_change=True for a deliberate change "
+                    "(earlier batches stay governed by the old policy)"
+                )
+            if drift:
+                _write_policy(spark, state_dir, current_pol)
     if not bootstrap and text_method == "ngram":
         # fail FAST on a parameter drift the end-of-batch append would
         # refuse anyway — by then the fingerprint/gate appends would
@@ -533,87 +988,135 @@ def ingest_batch(
         _delete_path(spark, text_surv_path)
     surv_m = spark.read.parquet(batch_path)
 
-    write_mode = "overwrite" if bootstrap else "append"
-    if group_cap is not None:
-        # append the survivors' per-group admitted counts — the cap
-        # state counts what the corpus retains, not what was offered
-        (
-            surv_m.groupBy(group_cap[0])
-            .agg(F.count("*").cast("bigint").alias("n_admitted"))
-            .write.mode(write_mode)
-            .parquet(counts_path)
-        )
-    if keep_frac is not None:
-        # append the SURVIVORS' score sketch: the gate state tracks
-        # the distribution of what the corpus actually retains
-        surv_scores = scores.select(id_col, score_col).join(
-            surv_m.select(F.col(id_col).alias("_sid")),
-            F.col(id_col) == F.col("_sid"),
-            "left_semi",
-        )
-        score_sketch(surv_scores, score_col=score_col).write.mode(
-            write_mode
-        ).parquet(sketch_path)
-    if accounting_col is not None:
-        # append the SURVIVORS' accounting sketches — kilobytes per
-        # group, merged at read time; cache=False so a daily loop
-        # leaves no CacheManager residency behind (the base frame is
-        # batch-sized; tokenizing it twice is cheaper than a leak)
-        corpus_stats_sketch(
-            surv_m, group_cols=[accounting_col], text_col=text_col,
-            id_col=id_col, cache=False,
-        ).write.mode(write_mode).parquet(f"{state_dir}/accounting/stats")
-        overlap_sketch(
-            surv_m, group_col=accounting_col, text_col=text_col
-        ).write.mode(write_mode).parquet(f"{state_dir}/accounting/overlap")
-    fingerprint_write(surv_m, state_dir, text_col, id_col, mode=write_mode)
-    if text_method == "minhash":
-        minhash_write_signatures(
-            surv_m, plane_path, text_col, id_col, n=n, num_perm=num_perm,
-            mode=write_mode,
-        )
-    elif text_method == "simhash":
-        simhash_write_signatures(
-            surv_m, plane_path, text_col, id_col, n=n, mode=write_mode
-        )
-    elif bootstrap:
-        ngram_write_index(
-            surv_m, plane_path, text_col, id_col, n=n, threshold=threshold
-        )
-    else:
-        # the append cross-checks n/threshold against the stored meta
-        ngram_append_index(
-            spark, plane_path, surv_m, text_col, id_col, n=n,
-            threshold=threshold,
-        )
-    if embeddings is not None:
-        emb_m = embeddings.select(
-            F.col(id_col).alias("_eid"), F.col(embedding_col)
-        ).join(
-            surv_m.select(F.col(id_col).alias("_eid")), "_eid", "left_semi"
-        ).select(F.col("_eid").alias(id_col), embedding_col)
-        if bootstrap or not _table_exists(spark, f"{ivf_path}/centroids"):
-            n_emb = emb_m.count()
-            if n_emb == 0:
-                # no embedded survivors to fit on — leave the index
-                # unwritten; a later batch with embeddings bootstraps
-                _touch_file(spark, f"{batch_path}/{_COMMIT_MARKER}")
-                return surv_m
-            fit_nlist = nlist
-            if fit_nlist is None:
-                fit_nlist = max(16, int(4 * n_emb**0.5))
-            ivf_write_index(
-                emb_m, ivf_path, nlist=fit_nlist, vec_col=embedding_col,
-                id_col=id_col, seed=seed,
-            )
-        else:
-            ivf_append_index(
-                spark, ivf_path, emb_m, vec_col=embedding_col, id_col=id_col
-            )
+    covered = _write_state_tables(
+        spark,
+        state_dir,
+        surv_m,
+        mode="bootstrap" if bootstrap else "append",
+        text_col=text_col,
+        id_col=id_col,
+        text_method=text_method,
+        n=n,
+        num_perm=num_perm,
+        threshold=threshold,
+        scores=scores,
+        score_col=score_col,
+        write_gate=keep_frac is not None,
+        group_cap_col=group_cap[0] if group_cap is not None else None,
+        accounting_col=accounting_col,
+        embeddings=embeddings,
+        embedding_col=embedding_col,
+        nlist=nlist,
+        seed=seed,
+    )
     # LAST step: the batch's commit marker — every state append above
-    # completed, so an on_existing="skip" replay may safely no-op
-    _touch_file(spark, f"{batch_path}/{_COMMIT_MARKER}")
+    # completed, so an on_existing="skip" replay may safely no-op; the
+    # marker content records WHICH planes it covers
+    _write_commit_marker(spark, batch_path, covered)
     return surv_m
+
+
+def _resolve_rebuild_params(
+    pol: dict | None,
+    detected_plane: str | None,
+    text_method: str | None,
+    n: int | None,
+    num_perm: int | None,
+    threshold: float | None,
+) -> tuple[str, int, int, float]:
+    """Resolve the rebuild's structural parameters: explicit values
+    win but are REFUSED when they contradict the stored policy (a
+    wrong value would rebuild the wrong plane shape and strand the
+    real state stale — the class of mistake retract_documents used to
+    surface only AFTER its destructive rewrite); omitted values
+    default from the policy, then the detected plane layout, then the
+    ingest defaults (legacy pre-policy states)."""
+    resolved = []
+    defaults = {
+        "text_method": detected_plane or "minhash",
+        "n": 3,
+        "num_perm": 64,
+        "threshold": 0.8,
+    }
+    for name, explicit in (
+        ("text_method", text_method),
+        ("n", n),
+        ("num_perm", num_perm),
+        ("threshold", threshold),
+    ):
+        stored = pol.get(name) if pol is not None else None
+        if explicit is None:
+            resolved.append(stored if stored is not None else defaults[name])
+        else:
+            if stored is not None:
+                same = (
+                    abs(stored - explicit) <= 1e-12
+                    if isinstance(stored, float)
+                    else stored == explicit
+                )
+                if not same:
+                    raise ValueError(
+                        f"rebuild with {name}={explicit!r} contradicts "
+                        f"the stored ingest policy ({name}={stored!r}) "
+                        "— omit it to use the stored value, or fix the "
+                        "call"
+                    )
+            resolved.append(explicit)
+    return tuple(resolved)
+
+
+def _validate_rebuild_layout(
+    spark, state_dir: str, text_method: str, n: int, num_perm: int,
+    threshold: float,
+) -> None:
+    """The plane-layout and stored-parameter guards shared by
+    :func:`rebuild_state` and — BEFORE its first destructive snapshot
+    rewrite — :func:`retract_documents`: a wrong ``text_method`` /
+    ``num_perm`` / ngram parameters must refuse while the state is
+    still intact, not after the snapshots have been rewritten."""
+    if text_method not in ("minhash", "simhash", "ngram"):
+        raise ValueError(
+            "text_method must be 'minhash', 'simhash' or 'ngram', "
+            f"got {text_method!r}"
+        )
+    # refuse a text_method that contradicts the surviving state layout:
+    # rebuilding the WRONG plane would leave the corpus's real plane
+    # stale, and every later ingest_batch would probe it and silently
+    # admit near-dups of the rebuilt-over batches.  (After a crash the
+    # plane tables may be behind, but their layout markers survive —
+    # only a state dir with NO recognizable plane skips the check.)
+    present = [
+        m
+        for m in _PLANE_LAYOUT
+        if _table_exists(spark, _plane_paths(state_dir, m)[1])
+    ]
+    if present and text_method not in present:
+        raise ValueError(
+            f"state at {state_dir} holds a {present[0]!r} plane but "
+            f"rebuild was asked for {text_method!r} — pass the "
+            "text_method the corpus was ingested with"
+        )
+    mh_marker = _plane_paths(state_dir, "minhash")[1]
+    if text_method == "minhash" and _table_exists(spark, mh_marker):
+        stored_perm = sum(
+            c.startswith("mh_")
+            for c in spark.read.parquet(mh_marker).columns
+        )
+        if stored_perm != num_perm:
+            raise ValueError(
+                f"rebuild with num_perm={num_perm} onto a corpus signed "
+                f"with num_perm={stored_perm} — a silent downgrade would "
+                "make every later append refuse; pass the stored value"
+            )
+    ng_marker = _plane_paths(state_dir, "ngram")[1]
+    if text_method == "ngram" and _table_exists(spark, ng_marker):
+        meta = spark.read.parquet(ng_marker).first()
+        if n != meta.n or abs(threshold - meta.threshold) > 1e-12:
+            raise ValueError(
+                f"rebuild with n={n}, threshold={threshold} onto an "
+                f"index written with n={meta.n}, "
+                f"threshold={meta.threshold} — pass the stored values"
+            )
 
 
 def rebuild_state(
@@ -621,10 +1124,10 @@ def rebuild_state(
     state_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    text_method: str = "minhash",
-    n: int = 3,
-    num_perm: int = 64,
-    threshold: float = 0.8,
+    text_method: str | None = None,
+    n: int | None = None,
+    num_perm: int | None = None,
+    threshold: float | None = None,
     scores: DataFrame | None = None,
     score_col: str = "quality_score",
     group_cap_col: str | None = None,
@@ -650,11 +1153,22 @@ def rebuild_state(
     never ingested: the partial directory is deleted (freeing the
     batch name for a clean re-ingest) and excluded from the rebuild.
 
-    Pass the SAME ``text_method``/``n``/``num_perm``/``threshold`` the
-    corpus was ingested with.  The policy states rebuild only when
-    their inputs are supplied, since survivors snapshots hold
-    documents, not scores: ``scores`` (a corpus-wide ``(id, score)``
-    frame) rebuilds ``score_sketches`` — one consolidated sketch row
+    ``text_method``/``n``/``num_perm``/``threshold`` default from the
+    persisted ingest policy (``{state_dir}/policy``) — omit them and
+    the rebuild uses exactly what the corpus was bootstrapped with;
+    an explicit value that CONTRADICTS the stored policy is refused
+    (and the layout guards re-check against the surviving state
+    tables, so even a legacy pre-policy state refuses a wrong plane).
+    ``group_cap_col``/``accounting_col`` also default from the policy
+    (their states rebuild from the snapshots alone).  The swap-window
+    orphans of a crashed retract/compact are repaired first
+    (:func:`fsck_state`) and a crashed ingest's in-progress marker is
+    cleared — this IS the recovery path those point at.
+
+    The external-input states rebuild only when their inputs are
+    supplied, since survivors snapshots hold documents, not scores:
+    ``scores`` (a corpus-wide ``(id, score)`` frame) rebuilds
+    ``score_sketches`` — one consolidated sketch row
     whose quantiles equal the incrementally-appended state's (exactly
     below the sketch's exact regime, within rank error above);
     ``group_cap_col`` rebuilds ``group_counts`` (same per-group totals,
@@ -672,48 +1186,25 @@ def rebuild_state(
     Returns the unioned survivors frame (read back from the
     snapshots).
     """
-    if text_method not in ("minhash", "simhash", "ngram"):
-        raise ValueError(
-            "text_method must be 'minhash', 'simhash' or 'ngram', "
-            f"got {text_method!r}"
-        )
-    # refuse a text_method that contradicts the surviving state layout:
-    # rebuilding the WRONG plane would leave the corpus's real plane
-    # stale, and every later ingest_batch would probe it and silently
-    # admit near-dups of the rebuilt-over batches.  (After a crash the
-    # plane tables may be behind, but their layout markers survive —
-    # only a state dir with NO recognizable plane skips the check.)
-    markers = {
-        "minhash": f"{state_dir}/signatures",
-        "simhash": f"{state_dir}/simhash/signatures",
-        "ngram": f"{state_dir}/ngram/meta",
-    }
-    present = [m for m, p in markers.items() if _table_exists(spark, p)]
-    if present and text_method not in present:
-        raise ValueError(
-            f"state at {state_dir} holds a {present[0]!r} plane but "
-            f"rebuild was asked for {text_method!r} — pass the "
-            "text_method the corpus was ingested with"
-        )
-    if text_method == "minhash" and _table_exists(spark, markers["minhash"]):
-        stored_perm = sum(
-            c.startswith("mh_")
-            for c in spark.read.parquet(markers["minhash"]).columns
-        )
-        if stored_perm != num_perm:
-            raise ValueError(
-                f"rebuild with num_perm={num_perm} onto a corpus signed "
-                f"with num_perm={stored_perm} — a silent downgrade would "
-                "make every later append refuse; pass the stored value"
-            )
-    if text_method == "ngram" and _table_exists(spark, markers["ngram"]):
-        meta = spark.read.parquet(markers["ngram"]).first()
-        if n != meta.n or abs(threshold - meta.threshold) > 1e-12:
-            raise ValueError(
-                f"rebuild with n={n}, threshold={threshold} onto an "
-                f"index written with n={meta.n}, "
-                f"threshold={meta.threshold} — pass the stored values"
-            )
+    # repair swap-window orphans first (a crash inside
+    # retract/compact's delete→rename protocol leaves data at a tmp
+    # path — restored or swept here, never hand-renamed at 3 a.m.),
+    # and clear a crashed ingest's in-progress marker: rebuild IS the
+    # recovery path that marker's error message points to
+    fsck_state(spark, state_dir)
+    _delete_path(spark, f"{state_dir}/{_INGEST_MARKER}")
+    pol = _read_policy(spark, state_dir)
+    text_method, n, num_perm, threshold = _resolve_rebuild_params(
+        pol, _detect_plane(spark, state_dir), text_method, n, num_perm,
+        threshold,
+    )
+    if group_cap_col is None and pol is not None:
+        group_cap_col = pol.get("group_cap_col")
+    if accounting_col is None and pol is not None:
+        accounting_col = pol.get("accounting_col")
+    _validate_rebuild_layout(
+        spark, state_dir, text_method, n, num_perm, threshold
+    )
     batch_dirs = _list_child_dirs(spark, f"{state_dir}/batches")
     complete = []
     for b in batch_dirs:
@@ -731,76 +1222,112 @@ def rebuild_state(
         union = union.unionByName(
             spark.read.parquet(b), allowMissingColumns=True
         )
-    fingerprint_write(union, state_dir, text_col, id_col, mode="overwrite")
-    if text_method == "minhash":
-        minhash_write_signatures(
-            union, state_dir, text_col, id_col, n=n, num_perm=num_perm,
-            mode="overwrite",
+    covered = _write_state_tables(
+        spark,
+        state_dir,
+        union,
+        mode="rebuild",
+        text_col=text_col,
+        id_col=id_col,
+        text_method=text_method,
+        n=n,
+        num_perm=num_perm,
+        threshold=threshold,
+        scores=scores,
+        score_col=score_col,
+        write_gate=scores is not None,
+        group_cap_col=group_cap_col,
+        accounting_col=accounting_col,
+        embeddings=embeddings,
+        embedding_col=embedding_col,
+        nlist=nlist,
+        seed=seed,
+    )
+    if pol is None:
+        # pre-policy legacy state: record the rebuild's resolved
+        # parameters so later ingests are policy-checked
+        _write_policy(
+            spark,
+            state_dir,
+            {
+                "text_method": text_method,
+                "n": int(n),
+                "num_perm": (
+                    int(num_perm) if text_method == "minhash" else None
+                ),
+                "threshold": (
+                    float(threshold)
+                    if text_method in ("minhash", "ngram")
+                    else None
+                ),
+                "has_quality_gate": scores is not None,
+                "group_cap_col": group_cap_col,
+                "accounting_col": accounting_col,
+                "has_embeddings": embeddings is not None,
+            },
         )
-    elif text_method == "simhash":
-        simhash_write_signatures(
-            union, f"{state_dir}/simhash", text_col, id_col, n=n,
-            mode="overwrite",
-        )
-    else:
-        ngram_write_index(
-            union, f"{state_dir}/ngram", text_col, id_col, n=n,
-            threshold=threshold,
-        )
+    rebuilt = set()
     if scores is not None:
-        surv_scores = (
-            scores.groupBy(id_col)
-            .agg(F.max(score_col).alias(score_col))
-            .join(
-                union.select(F.col(id_col).alias("_sid")),
-                F.col(id_col) == F.col("_sid"),
-                "left_semi",
-            )
-        )
-        score_sketch(surv_scores, score_col=score_col).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/score_sketches")
-    if group_cap_col is not None:
-        (
-            union.groupBy(group_cap_col)
-            .agg(F.count("*").cast("bigint").alias("n_admitted"))
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/group_counts")
-        )
+        rebuilt.add("score_sketches")
     if accounting_col is not None:
-        # snapshots hold the documents themselves, so the accounting
-        # sketches rebuild without external inputs — consolidated to
-        # one row per group (merge-equivalent, tested)
-        corpus_stats_sketch(
-            union, group_cols=[accounting_col], text_col=text_col,
-            id_col=id_col, cache=False,
-        ).write.mode("overwrite").parquet(f"{state_dir}/accounting/stats")
-        overlap_sketch(
-            union, group_col=accounting_col, text_col=text_col
-        ).write.mode("overwrite").parquet(
-            f"{state_dir}/accounting/overlap"
-        )
-    if embeddings is not None:
-        emb = embeddings.select(
-            F.col(id_col).alias("_eid"), F.col(embedding_col)
-        ).join(
-            union.select(F.col(id_col).alias("_eid")), "_eid", "left_semi"
-        ).select(F.col("_eid").alias(id_col), embedding_col)
-        n_emb = emb.count()
-        if n_emb:
-            fit_nlist = nlist or max(16, int(4 * n_emb**0.5))
-            ivf_write_index(
-                emb, f"{state_dir}/ivf", nlist=fit_nlist,
-                vec_col=embedding_col, id_col=id_col, seed=seed,
-            )
+        rebuilt.add("accounting")
+    _clear_stale(spark, state_dir, rebuilt)
     # after a rebuild the state covers every complete snapshot by
     # construction, so each one is (re-)marked committed — including
     # snapshots whose original ingest crashed mid-append, and
-    # retraction-rewritten snapshots whose marker the swap dropped;
-    # on_existing="skip" replays then no-op correctly again
+    # retraction-rewritten snapshots whose marker the swap dropped.
+    # The marker claims ONLY the planes this rebuild actually wrote:
+    # omitted inputs (scores/embeddings) leave those state tables
+    # stale, and a claim of coverage would make on_existing="skip"
+    # replays no-op over e.g. an IVF index missing the batch's vectors
     for b in complete:
-        _touch_file(spark, f"{b}/{_COMMIT_MARKER}")
+        _write_commit_marker(spark, b, covered)
     return union
+
+
+def _rewrite_snapshots_without(
+    spark, state_dir: str, retract: DataFrame, id_col: str
+) -> list[str]:
+    """Rewrite every COMPLETE batch snapshot without the retracted
+    ids (``retract``: one ``_retract`` column), via write-new / swap —
+    a parquet table cannot be overwritten while it is being read.
+    Untouched snapshots are skipped via a cheap semi-join probe.
+    Returns the rewritten snapshot paths.
+
+    The swap tmp lives OUTSIDE ``batches/`` (``{state_dir}/tmp/
+    retract/{name}``): a crash after the tmp write completes but
+    before the old snapshot's delete must never leave TWO complete
+    snapshots for :func:`rebuild_state` to union (retracted ids would
+    survive and kept rows silently duplicate).  :func:`fsck_state`
+    sweeps or restores whatever a crash leaves at either side of the
+    delete→rename window."""
+    rewritten = []
+    for b in _list_child_dirs(spark, f"{state_dir}/batches"):
+        if not _table_exists(spark, f"{b}/_SUCCESS"):
+            continue  # partial snapshot; rebuild_state sweeps it
+        snap = spark.read.parquet(b)
+        hit = snap.join(
+            retract, F.col(id_col) == F.col("_retract"), "left_semi"
+        ).limit(1).count()
+        if not hit:
+            continue
+        kept = snap.join(
+            retract, F.col(id_col) == F.col("_retract"), "left_anti"
+        )
+        name = b.rstrip("/").rsplit("/", 1)[-1]
+        # preserve the commit marker's coverage across the swap (the
+        # fast path re-marks the rewritten snapshot itself; the
+        # rebuild path re-marks from its own covered set)
+        covered = _read_commit_marker(spark, b)
+        tmp = f"{state_dir}/tmp/retract/{name}"
+        _delete_path(spark, tmp)
+        kept.write.mode("overwrite").parquet(tmp)
+        if covered is not None:
+            _write_commit_marker(spark, tmp, covered)
+        _delete_path(spark, b)
+        _rename_path(spark, tmp, b)
+        rewritten.append(b)
+    return rewritten
 
 
 def retract_documents(
@@ -808,6 +1335,7 @@ def retract_documents(
     state_dir: str,
     ids: DataFrame,
     id_col: str = "doc_id",
+    mode: str = "auto",
     **rebuild_kwargs,
 ) -> DataFrame:
     """Remove documents from an ingested corpus — the takedown /
@@ -816,61 +1344,317 @@ def retract_documents(
     document ids to retract (other columns are ignored).
 
     The per-batch survivors snapshots are the corpus's source of
-    truth (:func:`rebuild_state` rebuilds every state table from
-    them), so retraction is: rewrite each snapshot WITHOUT the
-    retracted ids (write-new / swap — a parquet table cannot be
-    overwritten while it is being read), then rebuild the state from
-    the surviving snapshots via :func:`rebuild_state`, forwarding
-    ``rebuild_kwargs`` (``text_method``, ``num_perm``, ``scores``,
-    ``group_cap_col``, ``embeddings``, ``accounting_col``, … — pass
-    the same parameters the corpus was ingested with; the layout
-    guards refuse mismatches).  Returns the rebuilt survivors union.
+    truth, and every mode starts by rewriting the snapshots that
+    contain a retracted id (write-new / swap, untouched snapshots
+    skipped via a cheap semi-join probe).  What happens to the STATE
+    tables is the mode:
+
+    * ``"fast"`` (the 100 TB path): plane-local deletes — the
+      retracted ids are anti-joined out of ``fingerprints`` and the
+      text plane's signature/shingle/prefix tables by rewriting ONLY
+      the parquet files that contain a hit (file-local surgery; after
+      :func:`compact_state`'s probe-key sort, a small takedown
+      touches a handful of files), the IVF index rewrites only the
+      centroid partitions holding a retracted vector, and
+      ``group_counts`` appends exact NEGATIVE per-group rows.  Cost
+      is proportional to the retracted set's file/bucket footprint,
+      never the corpus.  The subtract-incapable sketch states
+      (``score_sketches``, ``accounting/*``) are left OVERSTATING and
+      recorded in the ``_STALE_SKETCHES`` marker —
+      :func:`state_summary` reports them and the next
+      :func:`rebuild_state` with the matching inputs clears them.
+      The ngram plane's frozen ``doc_freq`` also stays (stale df only
+      lengthens prefixes — recall-safe, the
+      :func:`~hadoop__spark.operators.dedup.ngram_append_index`
+      argument).  Requires a persisted ingest policy (to know the
+      plane and cap column); refuses otherwise.
+    * ``"rebuild"``: rewrite snapshots, then :func:`rebuild_state`
+      over the survivors, forwarding ``rebuild_kwargs`` (``scores``,
+      ``embeddings``, … — parameters default from the stored policy).
+      The full corpus pass; the fallback when the fast path cannot
+      run and the repair for any state the fast path left stale.
+    * ``"auto"``: ``"fast"`` when a policy table exists, else
+      ``"rebuild"`` (legacy states).
+
+    Every rebuild parameter and the plane layout are validated BEFORE
+    the first destructive snapshot rewrite — a typo'd kwarg or a
+    wrong ``text_method``/``num_perm`` refuses while the state is
+    still intact instead of stranding retracted ids probe-visible
+    after a half-done rewrite.
 
     Retraction semantics are the inverse of first-arrival: once a
     document is retracted, it is GONE from every plane — a later
     arrival of the same text (or vector) is ADMITTED again, because
-    nothing in the corpus duplicates it anymore (tested).  Documents
-    that were DROPPED as duplicates of a retracted keeper are not
-    resurrected — they were never published, and their content
-    re-enters with the next arrival.
+    nothing in the corpus duplicates it anymore (tested, both modes).
+    Documents that were DROPPED as duplicates of a retracted keeper
+    are not resurrected — they were never published, and their
+    content re-enters with the next arrival.
 
-    Scale shape: one anti-join + rewrite per batch snapshot that
-    actually contains a retracted id (checked with a cheap semi-join
-    count; untouched snapshots are not rewritten), then the rebuild's
-    one pass over the retained corpus.  At 100 TB, prefer a lakehouse
-    DELETE on the snapshot tables and the same rebuild.
+    Returns the retained survivors union (read from the snapshots).
     """
-    retract = ids.select(F.col(id_col).alias("_retract")).distinct()
-    batch_dirs = _list_child_dirs(spark, f"{state_dir}/batches")
-    if not batch_dirs:
+    if mode not in ("auto", "fast", "rebuild"):
+        raise ValueError(
+            f"mode must be 'auto', 'fast' or 'rebuild', got {mode!r}"
+        )
+    pol = _read_policy(spark, state_dir)
+    if mode == "auto":
+        mode = "fast" if pol is not None else "rebuild"
+    if mode == "fast" and pol is None:
+        raise ValueError(
+            f"no ingest policy at {state_dir}/policy — the fast path "
+            "needs it to know the text plane and cap column; use "
+            "mode='rebuild' with explicit parameters"
+        )
+    if not _list_child_dirs(spark, f"{state_dir}/batches"):
         raise ValueError(f"no batch snapshots under {state_dir}/batches")
-    with _maintenance_lock(spark, state_dir):
-        for b in batch_dirs:
-            if not _table_exists(spark, f"{b}/_SUCCESS"):
-                continue  # partial snapshot; rebuild_state sweeps it
-            snap = spark.read.parquet(b)
-            hit = snap.join(
-                retract, F.col(id_col) == F.col("_retract"), "left_semi"
-            ).limit(1).count()
-            if not hit:
-                continue
-            kept = snap.join(
-                retract, F.col(id_col) == F.col("_retract"), "left_anti"
+    # validate BEFORE any destructive rewrite: a bad kwarg must refuse
+    # while the snapshots and state are still intact
+    if mode == "rebuild":
+        import inspect
+
+        valid = set(
+            inspect.signature(rebuild_state).parameters
+        ) - {"spark", "state_dir", "id_col"}
+        unknown = set(rebuild_kwargs) - valid
+        if unknown:
+            raise TypeError(
+                f"unknown rebuild_state arguments {sorted(unknown)} — "
+                f"valid: {sorted(valid)} (checked before the snapshot "
+                "rewrite; a post-rewrite failure would leave retracted "
+                "documents probe-visible in the state tables)"
             )
-            tmp = f"{b}__retract_tmp"
-            kept.write.mode("overwrite").parquet(tmp)
-            _delete_path(spark, b)
-            # same-filesystem rename: atomic on HDFS/local,
-            # metadata-only; a crash between the delete and the rename
-            # leaves the data at {snapshot}__retract_tmp — rename it
-            # back by hand before rebuilding
-            jvm = spark._jvm
-            src = jvm.org.apache.hadoop.fs.Path(tmp)
-            dst = jvm.org.apache.hadoop.fs.Path(b)
-            fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
-            if not fs.rename(src, dst):
-                raise IOError(f"rename {tmp} -> {b} failed")
-        return rebuild_state(spark, state_dir, id_col=id_col, **rebuild_kwargs)
+        rb_method, rb_n, rb_perm, rb_thresh = _resolve_rebuild_params(
+            pol,
+            _detect_plane(spark, state_dir),
+            rebuild_kwargs.get("text_method"),
+            rebuild_kwargs.get("n"),
+            rebuild_kwargs.get("num_perm"),
+            rebuild_kwargs.get("threshold"),
+        )
+        _validate_rebuild_layout(
+            spark, state_dir, rb_method, rb_n, rb_perm, rb_thresh
+        )
+    elif rebuild_kwargs:
+        raise TypeError(
+            "rebuild_kwargs only apply to mode='rebuild' — the fast "
+            "path takes everything from the stored policy, got "
+            f"{sorted(rebuild_kwargs)}"
+        )
+    retract = ids.select(F.col(id_col).alias("_retract")).distinct()
+    with _maintenance_lock(spark, state_dir):
+        if mode == "rebuild":
+            _rewrite_snapshots_without(spark, state_dir, retract, id_col)
+            return rebuild_state(
+                spark, state_dir, id_col=id_col, **rebuild_kwargs
+            )
+        return _retract_fast(spark, state_dir, retract, id_col, pol)
+
+
+def _retract_fast(
+    spark, state_dir: str, retract: DataFrame, id_col: str, pol: dict
+) -> DataFrame:
+    """The plane-local fast path of :func:`retract_documents`, run
+    under the maintenance lock.  ``retract`` has one ``_retract``
+    column, already distinct."""
+    text_method = pol["text_method"]
+    # exact NEGATIVE per-group cap rows FIRST, while the snapshots
+    # still hold the retracted rows (the counts are exact integers —
+    # the one policy state that CAN subtract); only ids actually
+    # present decrement, so retracting an unknown id is a no-op
+    cap_col = pol.get("group_cap_col")
+    if cap_col is not None and _table_exists(
+        spark, f"{state_dir}/group_counts"
+    ):
+        batch_dirs = [
+            b
+            for b in _list_child_dirs(spark, f"{state_dir}/batches")
+            if _table_exists(spark, f"{b}/_SUCCESS")
+        ]
+        union = spark.read.parquet(batch_dirs[0])
+        for b in batch_dirs[1:]:
+            union = union.unionByName(
+                spark.read.parquet(b), allowMissingColumns=True
+            )
+        removed = union.join(
+            retract, F.col(id_col) == F.col("_retract"), "left_semi"
+        )
+        neg = removed.groupBy(cap_col).agg(
+            (-F.count("*")).cast("bigint").alias("n_admitted")
+        )
+        if neg.limit(1).count():
+            neg.write.mode("append").parquet(f"{state_dir}/group_counts")
+    rewritten = _rewrite_snapshots_without(spark, state_dir, retract, id_col)
+    if not rewritten:
+        # no snapshot held any of the ids — nothing to do anywhere
+        return _read_snapshots_union(spark, state_dir)
+    # plane-local deletes: file-local surgery on the flat tables
+    # (only files containing a hit are rewritten) …
+    _delete_keys_file_local(
+        spark, f"{state_dir}/fingerprints", "keep_id", retract
+    )
+    if text_method == "minhash":
+        plane_path, _ = _plane_paths(state_dir, "minhash")
+        for rel in ("shingles", "signatures"):
+            _delete_keys_file_local(
+                spark, f"{plane_path}/{rel}", "_id", retract
+            )
+    elif text_method == "simhash":
+        _delete_keys_file_local(
+            spark, f"{state_dir}/simhash/signatures", "_id", retract
+        )
+    else:
+        for rel in ("shingle_sets", "prefix"):
+            _delete_keys_file_local(
+                spark, f"{state_dir}/ngram/{rel}", "_id", retract
+            )
+        # ngram doc_freq stays FROZEN — stale df only lengthens
+        # prefixes (recall-safe; the ngram_append_index argument)
+    # … and a bucket-local rewrite of ONLY the IVF partitions holding
+    # a retracted vector
+    if _table_exists(spark, f"{state_dir}/ivf/assigned"):
+        _retract_ivf_partitions(spark, f"{state_dir}/ivf", retract, id_col)
+    # the subtract-incapable sketch states now OVERSTATE — record it
+    stale = set()
+    if _table_exists(spark, f"{state_dir}/score_sketches"):
+        stale.add("score_sketches")
+    if _table_exists(spark, f"{state_dir}/accounting/stats"):
+        stale.add("accounting")
+    if stale:
+        _mark_stale(spark, state_dir, stale)
+    return _read_snapshots_union(spark, state_dir)
+
+
+def _read_snapshots_union(spark, state_dir: str) -> DataFrame:
+    dirs = [
+        b
+        for b in _list_child_dirs(spark, f"{state_dir}/batches")
+        if _table_exists(spark, f"{b}/_SUCCESS")
+    ]
+    union = spark.read.parquet(dirs[0])
+    for b in dirs[1:]:
+        union = union.unionByName(
+            spark.read.parquet(b), allowMissingColumns=True
+        )
+    return union
+
+
+def _delete_keys_file_local(
+    spark, table_path: str, key_col: str, retract: DataFrame
+) -> int:
+    """Delete rows whose ``key_col`` matches a retracted id from a
+    flat parquet state table by rewriting ONLY the files that contain
+    a hit — takedown cost ∝ the retracted set's file footprint, not
+    the table (after :func:`compact_state`'s probe-key sort, hits
+    cluster into few files).  Returns the number of files rewritten.
+
+    Protocol (crash-safe via the snapshots being the source of
+    truth): a ``_RETRACT_SURGERY`` marker is planted in the table
+    before any mutation and removed after — a crash in between leaves
+    replacement files and hit files coexisting (duplicate rows, which
+    the probes tolerate: fingerprint/anti-join and pair-candidate
+    reads are set-semantics) and the marker makes
+    :func:`state_summary` report the table as needing
+    :func:`rebuild_state`.  Replacement rows are ADDED before the hit
+    files are deleted, so no window ever loses kept rows."""
+    from hadoop__spark.operators.util import list_files
+
+    if not _table_exists(spark, table_path):
+        return 0
+    df = spark.read.parquet(table_path)
+    tagged = df.withColumn("_file", F.input_file_name())
+    hit_files = [
+        r._file
+        for r in tagged.join(
+            F.broadcast(retract),
+            F.col(key_col) == F.col("_retract"),
+            "left_semi",
+        )
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    if not hit_files:
+        return 0
+    kept = (
+        spark.read.parquet(*hit_files)
+        .join(
+            F.broadcast(retract),
+            F.col(key_col) == F.col("_retract"),
+            "left_anti",
+        )
+    )
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    add_tmp = f"{table_path}__retract_add"
+    _delete_path(spark, add_tmp)
+    kept.write.mode("overwrite").parquet(add_tmp)
+    surgery = f"{table_path}/_RETRACT_SURGERY"
+    _touch_file(spark, surgery)
+    # adds in first (a crash now duplicates rows — probe-safe, and
+    # flagged via the surgery marker), hit files deleted after
+    for i, f in enumerate(list_files(spark, add_tmp, suffix=".parquet")):
+        _rename_path(
+            spark, f, f"{table_path}/part-retract-{tag}-{i:05d}.parquet"
+        )
+    for f in hit_files:
+        _delete_path(spark, f)
+    _delete_path(spark, add_tmp)
+    _delete_path(spark, surgery)
+    return len(hit_files)
+
+
+def _retract_ivf_partitions(
+    spark, ivf_path: str, retract: DataFrame, id_col: str
+) -> list:
+    """Rewrite ONLY the IVF ``centroid_id`` partitions that hold a
+    retracted vector (dynamic partition overwrite — untouched buckets
+    keep their files byte-for-byte), deleting outright any affected
+    bucket left empty (dynamic overwrite only replaces partitions
+    present in the written data).  Centroids stay frozen — probe
+    exactness needs only internal consistency.  Returns the affected
+    centroid ids."""
+    assigned = spark.read.parquet(f"{ivf_path}/assigned")
+    affected = [
+        r.centroid_id
+        for r in assigned.join(
+            F.broadcast(retract),
+            F.col(id_col) == F.col("_retract"),
+            "left_semi",
+        )
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return []
+    bucket = assigned.where(F.col("centroid_id").isin(affected))
+    kept = bucket.join(
+        F.broadcast(retract), F.col(id_col) == F.col("_retract"), "left_anti"
+    )
+    # stage the kept bucket rows (∝ affected buckets, not the index)
+    # before overwriting — Spark cannot overwrite a path it is
+    # reading, and the dynamic overwrite must not scan its own target
+    tmp = f"{ivf_path}/__retract_kept_tmp"
+    _delete_path(spark, tmp)
+    kept.write.mode("overwrite").parquet(tmp)
+    kept_m = spark.read.parquet(tmp)
+    remaining = {
+        r.centroid_id
+        for r in kept_m.select("centroid_id").distinct().collect()
+    }
+    if remaining:
+        (
+            kept_m.repartition("centroid_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id")
+            .parquet(f"{ivf_path}/assigned")
+        )
+    for cid in set(affected) - remaining:
+        _delete_path(spark, f"{ivf_path}/assigned/centroid_id={cid}")
+    _delete_path(spark, tmp)
+    return affected
 
 
 def compact_state(
@@ -902,24 +1686,9 @@ def compact_state(
     """
     from hadoop__spark.sources.io import compact_parquet
 
-    tables = {
-        "fingerprints": ["fp"],
-        "shingles": ["_id"],
-        "signatures": ["_id"],
-        "simhash/signatures": ["_id"],
-        "ngram/shingle_sets": ["_id"],
-        "ngram/prefix": ["_s"],
-        "ngram/doc_freq": ["_s"],
-        "score_sketches": None,
-        "group_counts": None,
-        "accounting/stats": None,
-        "accounting/overlap": None,
-    }
-    jvm = spark._jvm
-    fs_conf = spark._jsc.hadoopConfiguration()
     done: dict[str, int] = {}
     with _maintenance_lock(spark, state_dir):
-        for rel, sort_by in tables.items():
+        for rel, sort_by in _STATE_TABLES.items():
             path = f"{state_dir}/{rel}"
             if not _table_exists(spark, path):
                 continue
@@ -930,65 +1699,181 @@ def compact_state(
             )
             _delete_path(spark, path)
             # a crash between this delete and the rename leaves the
-            # data at {table}__compact_tmp — rename it back by hand
-            src = jvm.org.apache.hadoop.fs.Path(tmp)
-            dst = jvm.org.apache.hadoop.fs.Path(path)
-            if not src.getFileSystem(fs_conf).rename(src, dst):
-                raise IOError(f"rename {tmp} -> {path} failed")
+            # data at {table}__compact_tmp — fsck_state (run by
+            # rebuild_state, or standalone) restores it
+            _rename_path(spark, tmp, path)
             done[rel] = n
     return done
 
 
+def fsck_state(spark, state_dir: str) -> dict:
+    """Detect AND REPAIR the swap-window orphans of a crashed
+    :func:`retract_documents` / :func:`compact_state` — the recovery
+    step that used to be a prose "rename it back by hand" note, as
+    code (:func:`rebuild_state` runs it first, so a post-crash rebuild
+    needs no hand intervention; it is also safe standalone from a
+    maintenance window).
+
+    Both maintenance operations follow write-tmp / delete-target /
+    rename, so a crash leaves exactly one of two states per table:
+
+    * target MISSING, tmp complete → the crash hit between delete and
+      rename: finish it (rename the tmp into place) — ``restored``.
+    * target present, tmp also present → the crash hit before the
+      delete: the target is still authoritative; the tmp is a
+      half-adopted copy that must never be unioned or double-counted
+      — delete it — ``swept``.
+
+    Also sweeps incomplete (``_SUCCESS``-less) tmps and reports — but
+    does not repair — mid-surgery flat tables
+    (``_RETRACT_SURGERY`` marker: duplicate rows possible; run
+    :func:`rebuild_state`).
+
+    Returns ``{"restored": [...], "swept": [...],
+    "needs_rebuild": [...]}`` (paths relative to ``state_dir``).
+    """
+    restored, swept, needs_rebuild = [], [], []
+    for rel in _STATE_TABLES:
+        path = f"{state_dir}/{rel}"
+        tmp = f"{path}__compact_tmp"
+        if _table_exists(spark, tmp):
+            if _table_exists(spark, path):
+                _delete_path(spark, tmp)
+                swept.append(f"{rel}__compact_tmp")
+            elif _table_exists(spark, f"{tmp}/_SUCCESS"):
+                _rename_path(spark, tmp, path)
+                restored.append(rel)
+            else:
+                _delete_path(spark, tmp)
+                swept.append(f"{rel}__compact_tmp")
+        add_tmp = f"{path}__retract_add"
+        if _table_exists(spark, add_tmp):
+            # staged replacement rows never adopted (crash before the
+            # surgery marker, or mid-move with the marker below)
+            _delete_path(spark, add_tmp)
+            swept.append(f"{rel}__retract_add")
+        if _table_exists(spark, f"{path}/_RETRACT_SURGERY"):
+            needs_rebuild.append(rel)
+    for tmp in _list_child_dirs(spark, f"{state_dir}/tmp/retract"):
+        name = tmp.rstrip("/").rsplit("/", 1)[-1]
+        target = f"{state_dir}/batches/{name}"
+        if _table_exists(spark, target):
+            _delete_path(spark, tmp)
+            swept.append(f"tmp/retract/{name}")
+        elif _table_exists(spark, f"{tmp}/_SUCCESS"):
+            _rename_path(spark, tmp, target)
+            restored.append(f"batches/{name}")
+        else:
+            _delete_path(spark, tmp)
+            swept.append(f"tmp/retract/{name}")
+    ivf_tmp = f"{state_dir}/ivf/__retract_kept_tmp"
+    if _table_exists(spark, ivf_tmp):
+        # staging only — the dynamic overwrite either committed or
+        # not; the staged copy is never authoritative
+        _delete_path(spark, ivf_tmp)
+        swept.append("ivf/__retract_kept_tmp")
+    return {
+        "restored": restored,
+        "swept": swept,
+        "needs_rebuild": needs_rebuild,
+    }
+
+
 def state_summary(spark, state_dir: str) -> dict:
     """Operational snapshot of an ingest state dir — what an on-call
-    engineer checks before touching it: which text plane the corpus
-    uses, per-table row counts, and every batch snapshot with its
-    commit status (an uncommitted snapshot means a mid-append crash —
-    run :func:`rebuild_state`).
+    engineer (or a dashboard poller) checks before touching it: which
+    text plane the corpus uses, per-table row counts, every batch
+    snapshot with its commit status (an uncommitted snapshot means a
+    mid-append crash — run :func:`rebuild_state`), the stored ingest
+    policy, lock/marker status, swap orphans a crashed maintenance
+    run left (run :func:`fsck_state`; this call only REPORTS), and
+    sketch states left overstating by a fast-path retraction.
 
-    Driver-side metadata only (listings + parquet count jobs); no
-    corpus-scale shuffle.  Returns::
+    Driver-side ONLY: listings plus parquet FOOTER row counts
+    (:func:`~hadoop__spark.operators.util.parquet_row_count` — exact,
+    zero Spark jobs on a local/HDFS-style filesystem), so it is safe
+    to poll from monitoring.  The one exception: when the accounting
+    state is stale, its exact ``n_docs`` total is read back (a
+    kilobyte-table job) to quantify the overstatement against the
+    snapshots' retained-row total.  Returns::
 
-        {"text_method": "minhash" | "simhash" | "ngram" | None,
-         "tables": {relpath: row_count, ...},
-         "batches": [{"name", "rows", "committed"}, ...],
-         "needs_rebuild": bool}   # any complete-but-uncommitted batch
+        {"text_method": ..., "tables": {relpath: rows, ...},
+         "batches": [{"name", "rows", "committed", "covered"}, ...],
+         "needs_rebuild": bool,    # uncommitted batch or mid-surgery
+         "policy": dict | None,
+         "ingest_in_progress": bool, "maintenance_lock": bool,
+         "orphans": [...],         # fsck_state would repair these
+         "stale_sketches": [...],  # overstating since a retraction
+         "accounting_overstatement": {"n_docs": int,
+                                      "snapshot_rows": int} | None}
     """
-    markers = {
-        "minhash": f"{state_dir}/signatures",
-        "simhash": f"{state_dir}/simhash/signatures",
-        "ngram": f"{state_dir}/ngram/meta",
-    }
-    method = next(
-        (m for m, p in markers.items() if _table_exists(spark, p)), None
-    )
+    from hadoop__spark.operators.util import parquet_row_count
+
+    method = _detect_plane(spark, state_dir)
     tables = {}
-    for rel in (
-        "fingerprints", "shingles", "signatures", "simhash/signatures",
-        "ngram/shingle_sets", "ngram/prefix", "ngram/doc_freq",
-        "score_sketches", "group_counts", "accounting/stats",
-        "accounting/overlap", "ivf/assigned",
-    ):
+    for rel in list(_STATE_TABLES) + ["ivf/assigned"]:
         if _table_exists(spark, f"{state_dir}/{rel}"):
-            tables[rel] = spark.read.parquet(f"{state_dir}/{rel}").count()
+            tables[rel] = parquet_row_count(spark, f"{state_dir}/{rel}")
     batches = []
     needs_rebuild = False
+    snapshot_rows = 0
     for b in _list_child_dirs(spark, f"{state_dir}/batches"):
         name = b.rstrip("/").rsplit("/", 1)[-1]
         complete = _table_exists(spark, f"{b}/_SUCCESS")
-        committed = _table_exists(spark, f"{b}/{_COMMIT_MARKER}")
+        covered = _read_commit_marker(spark, b)
+        rows = parquet_row_count(spark, b) if complete else None
         batches.append(
             {
                 "name": name,
-                "rows": spark.read.parquet(b).count() if complete else None,
-                "committed": committed,
+                "rows": rows,
+                "committed": covered is not None,
+                "covered": sorted(covered) if covered is not None else None,
             }
         )
-        if complete and not committed:
+        if complete:
+            snapshot_rows += rows
+            if covered is None:
+                needs_rebuild = True
+    orphans = []
+    for rel in _STATE_TABLES:
+        for suffix in ("__compact_tmp", "__retract_add"):
+            if _table_exists(spark, f"{state_dir}/{rel}{suffix}"):
+                orphans.append(f"{rel}{suffix}")
+        if _table_exists(spark, f"{state_dir}/{rel}/_RETRACT_SURGERY"):
             needs_rebuild = True
+            orphans.append(f"{rel}/_RETRACT_SURGERY")
+    for tmp in _list_child_dirs(spark, f"{state_dir}/tmp/retract"):
+        orphans.append(f"tmp/retract/{tmp.rstrip('/').rsplit('/', 1)[-1]}")
+    stale = sorted(_read_stale(spark, state_dir))
+    overstatement = None
+    if "accounting" in stale and _table_exists(
+        spark, f"{state_dir}/accounting/stats"
+    ):
+        # sketches cannot subtract: quantify how far the accounting
+        # state overstates the retained corpus (exact — n_docs rows
+        # are exact per-batch counts, snapshots are the truth)
+        n_docs = (
+            spark.read.parquet(f"{state_dir}/accounting/stats")
+            .agg(F.sum("n_docs"))
+            .first()[0]
+        )
+        overstatement = {
+            "n_docs": int(n_docs or 0),
+            "snapshot_rows": snapshot_rows,
+        }
     return {
         "text_method": method,
         "tables": tables,
         "batches": batches,
         "needs_rebuild": needs_rebuild,
+        "policy": _read_policy(spark, state_dir),
+        "ingest_in_progress": _table_exists(
+            spark, f"{state_dir}/{_INGEST_MARKER}"
+        ),
+        "maintenance_lock": _table_exists(
+            spark, f"{state_dir}/{_MAINT_LOCK}"
+        ),
+        "orphans": orphans,
+        "stale_sketches": stale,
+        "accounting_overstatement": overstatement,
     }

@@ -138,6 +138,90 @@ def touch_file(spark, path: str) -> None:
     fs.create(hpath, True).close()
 
 
+def write_text_file(spark, path: str, content: str) -> None:
+    """Write ``content`` (UTF-8) to ``path`` on the session's Hadoop
+    filesystem, overwriting — marker files that carry a small payload
+    (e.g. which state planes a commit marker covers)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_file(spark, path: str) -> str:
+    """Read a small UTF-8 text file from the session's Hadoop
+    filesystem (marker payloads; not for data)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        return str(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+
+
+def rename_path(spark, src: str, dst: str) -> None:
+    """Same-filesystem rename (atomic on HDFS and the local FS,
+    metadata-only) — the swap step of write-new / delete / rename
+    table-replacement protocols.  Raises on failure."""
+    jvm = spark._jvm
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def list_files(spark, path: str, suffix: str = "") -> list[str]:
+    """Recursively list file paths under ``path`` on the session's
+    Hadoop filesystem, optionally filtered by ``suffix``.  Missing
+    path -> empty list."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = str(st.getPath().toUri().getPath())
+        if p.endswith(suffix):
+            out.append(p)
+    return sorted(out)
+
+
+def parquet_row_count(spark, path: str) -> int:
+    """Row count of a parquet table from file FOOTERS — driver-side
+    metadata, zero Spark jobs — so observability calls
+    (:func:`~hadoop__spark.operators.ingest.state_summary`) are safe
+    to poll from monitoring.  Footer row counts are exact (parquet
+    stores them per file); this never scans data pages.
+
+    Local-filesystem paths are read with pyarrow directly; any other
+    scheme falls back to a Spark ``count()`` (still correct, one
+    metadata-cheap job)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    scheme = fs.getUri().getScheme()
+    if scheme not in ("file", None, ""):
+        return spark.read.parquet(path).count()
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in list_files(spark, path, suffix=".parquet"):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 def create_exclusive(spark, path: str) -> bool:
     """Atomically create ``path`` if and only if it does not exist
     (Hadoop ``createNewFile`` — atomic on local FS and HDFS; object

@@ -191,7 +191,7 @@ def test_ingest_short_text_exact_dupes_and_dup_scores(spark, tmp_path):
         r.doc_id
         for r in ingest_batch(
             spark, state, b3, "b3", scores=dup_scores,
-            group_cap=("src", 2),
+            group_cap=("src", 2), allow_policy_change=True,
         ).collect()
     }
     # un-collapsed, doc 20's two rows would occupy ranks 1 AND 2 and
@@ -751,14 +751,22 @@ def test_rebuild_state_refuses_wrong_plane_or_params(spark, docs, tmp_path):
     slim = docs.select("doc_id", "text").where(F.col("doc_id") < 100)
     st_mh = str(tmp_path / "mh")
     ingest_batch(spark, st_mh, slim, "b1")
-    with pytest.raises(ValueError, match="holds a 'minhash' plane"):
+    with pytest.raises(ValueError, match="contradicts the stored"):
         rebuild_state(spark, st_mh, text_method="simhash")
     with pytest.raises(ValueError, match="num_perm=128"):
         rebuild_state(spark, st_mh, num_perm=128)
+    # a LEGACY state (no policy table) still refuses via the layout
+    # markers — delete the policy and the guard must come from the
+    # surviving state tables themselves
+    import shutil
+
+    shutil.rmtree(f"{st_mh}/policy")
+    with pytest.raises(ValueError, match="holds a 'minhash' plane"):
+        rebuild_state(spark, st_mh, text_method="simhash")
 
     st_ng = str(tmp_path / "ng")
     ingest_batch(spark, st_ng, slim, "b1", text_method="ngram")
-    with pytest.raises(ValueError, match="pass the stored values"):
+    with pytest.raises(ValueError, match="contradicts the stored"):
         rebuild_state(spark, st_ng, text_method="ngram", threshold=0.9)
 
 
@@ -1074,7 +1082,12 @@ def test_state_summary_reports_crash(spark, tmp_path, monkeypatch):
     assert s["text_method"] == "minhash"
     assert s["tables"]["fingerprints"] == 2
     assert s["batches"] == [
-        {"name": "b1", "rows": 2, "committed": True}
+        {
+            "name": "b1",
+            "rows": 2,
+            "committed": True,
+            "covered": ["fingerprints", "text"],
+        }
     ]
     assert not s["needs_rebuild"]
 
