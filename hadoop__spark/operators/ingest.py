@@ -104,6 +104,15 @@ _INGEST_MARKER = "_INGEST_INPROGRESS"
 # clears the entries it rebuilds and state_summary reports the rest.
 _STALE_MARKER = "_STALE_SKETCHES"
 
+# planted for the duration of a FAST-path retraction: its multi-table
+# mutations (negative cap rows, snapshot swaps, file surgeries) are
+# not atomic as a group, and a naive RETRY after a crash would
+# double-apply the parts that had committed (e.g. decrement a group's
+# cap twice).  A surviving marker therefore refuses further fast
+# retractions until rebuild_state — which reconsolidates every table
+# exactly from the snapshots — clears it.
+_RETRACT_MARKER = "_RETRACT_INPROGRESS"
+
 # near-dup text plane state layout: subdir under state_dir ("" = the
 # state root, minhash's original layout) and the layout-marker table
 # whose existence identifies the plane a corpus was bootstrapped with
@@ -1282,6 +1291,10 @@ def rebuild_state(
     # replays no-op over e.g. an IVF index missing the batch's vectors
     for b in complete:
         _write_commit_marker(spark, b, covered)
+    # LAST: every table is reconsolidated, so a crashed fast
+    # retraction's double-apply hazard is gone — clearing earlier
+    # would re-expose it if THIS rebuild crashed mid-write
+    _delete_path(spark, f"{state_dir}/{_RETRACT_MARKER}")
     return union
 
 
@@ -1457,6 +1470,15 @@ def _retract_fast(
     under the maintenance lock.  ``retract`` has one ``_retract``
     column, already distinct."""
     text_method = pol["text_method"]
+    marker = f"{state_dir}/{_RETRACT_MARKER}"
+    if _table_exists(spark, marker):
+        raise RuntimeError(
+            f"a previous fast retraction on {state_dir} crashed mid-run "
+            f"({_RETRACT_MARKER} present) — its partial mutations would "
+            "double-apply on a retry; run rebuild_state first (it "
+            "reconsolidates every table and clears the marker)"
+        )
+    _touch_file(spark, marker)
     # exact NEGATIVE per-group cap rows FIRST, while the snapshots
     # still hold the retracted rows (the counts are exact integers —
     # the one policy state that CAN subtract); only ids actually
@@ -1486,6 +1508,8 @@ def _retract_fast(
     rewritten = _rewrite_snapshots_without(spark, state_dir, retract, id_col)
     if not rewritten:
         # no snapshot held any of the ids — nothing to do anywhere
+        # (and nothing was mutated above: no hit rows, no neg counts)
+        _delete_path(spark, marker)
         return _read_snapshots_union(spark, state_dir)
     # plane-local deletes: file-local surgery on the flat tables
     # (only files containing a hit are rewritten) …
@@ -1521,6 +1545,7 @@ def _retract_fast(
         stale.add("accounting")
     if stale:
         _mark_stale(spark, state_dir, stale)
+    _delete_path(spark, marker)
     return _read_snapshots_union(spark, state_dir)
 
 
@@ -1772,6 +1797,10 @@ def fsck_state(spark, state_dir: str) -> dict:
         # not; the staged copy is never authoritative
         _delete_path(spark, ivf_tmp)
         swept.append("ivf/__retract_kept_tmp")
+    if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):
+        # a fast retraction crashed between its multi-table mutations
+        # — only a rebuild reconsolidates (and clears the marker)
+        needs_rebuild.append(_RETRACT_MARKER)
     return {
         "restored": restored,
         "swept": swept,
@@ -1844,6 +1873,9 @@ def state_summary(spark, state_dir: str) -> dict:
             orphans.append(f"{rel}/_RETRACT_SURGERY")
     for tmp in _list_child_dirs(spark, f"{state_dir}/tmp/retract"):
         orphans.append(f"tmp/retract/{tmp.rstrip('/').rsplit('/', 1)[-1]}")
+    if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):
+        needs_rebuild = True
+        orphans.append(_RETRACT_MARKER)
     stale = sorted(_read_stale(spark, state_dir))
     overstatement = None
     if "accounting" in stale and _table_exists(

@@ -1,0 +1,518 @@
+"""Round-9 ingest-lifecycle hardening: plane-local (fast) retraction
+equals the rebuild path, file-local delete surgery touches only the
+files holding a retracted key, fsck_state repairs the swap crash
+windows without hand intervention, the persisted policy refuses silent
+option drift, commit-marker coverage gates partial-rebuild replays,
+and the two-sided advisory lock keeps maintenance and ingest mutually
+exclusive."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop__spark.operators.ingest import (
+    _INGEST_MARKER,
+    _STALE_MARKER,
+    compact_state,
+    fsck_state,
+    ingest_batch,
+    rebuild_state,
+    retract_documents,
+    state_summary,
+)
+from hadoop__spark.operators.util import table_exists, touch_file
+
+
+def _docs(spark, ids, tag="body"):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                f"wholly unique {tag} document number {i} with its own "
+                f"content and phrasing variant {i * 7 % 13}",
+                "g" if i % 2 else "h",
+            )
+            for i in ids
+        ],
+        "doc_id LONG, text STRING, src STRING",
+    )
+
+
+def _embs(spark, ids, dim=48):
+    # strictly one-hot orthogonal vectors: retraction/readmission
+    # tests stay deterministic under ANY centroid set (exact copies
+    # always co-bucket; every other pair has cosine 0, never a
+    # near-dup regardless of which buckets the probe scans)
+    assert all(i < dim for i in ids)
+    return spark.createDataFrame(
+        [(i, [1.0 if d == i else 0.0 for d in range(dim)]) for i in ids],
+        "doc_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+
+def _scores(spark, ids):
+    return spark.createDataFrame(
+        [(i, float(i % 11)) for i in ids],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+
+
+def _full_opts(spark, ids):
+    return dict(
+        scores=_scores(spark, ids),
+        keep_frac=0.95,
+        group_cap=("src", 50),
+        embeddings=_embs(spark, ids),
+        accounting_col="src",
+        semantic_threshold=0.999,
+    )
+
+
+def _build_state(spark, state, batches):
+    """Ingest the batches with the full option surface; return the
+    admitted (gate-surviving) id set."""
+    all_ids = [i for ids in batches.values() for i in ids]
+    admitted = set()
+    for name, ids in batches.items():
+        opts = _full_opts(spark, all_ids)
+        surv = ingest_batch(spark, state, _docs(spark, ids), name, **opts)
+        admitted |= {r.doc_id for r in surv.collect()}
+    return admitted
+
+
+BATCHES = {"b1": range(1, 15), "b2": range(15, 30), "b3": range(30, 42)}
+
+
+def _rows(spark, path, cols):
+    return {
+        tuple(getattr(r, c) for c in cols)
+        for r in spark.read.parquet(path).select(*cols).collect()
+    }
+
+
+def test_fast_retract_equals_rebuild(spark, tmp_path):
+    """The plane-local fast path must leave the SAME durable state as
+    the full-rebuild path (text planes row-for-row, IVF id set, cap
+    counts) — and the next ingest must behave identically on both
+    timelines, including re-admitting the retracted text."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    admitted_a = _build_state(spark, a, BATCHES)
+    admitted_b = _build_state(spark, b, BATCHES)
+    assert admitted_a == admitted_b and {2, 16, 31} <= admitted_a
+    all_ids = [i for ids in BATCHES.values() for i in ids]
+    victims = spark.createDataFrame(
+        [(2,), (16,), (31,), (9999,)], "doc_id LONG"  # 9999 = ghost
+    )
+    left_a = retract_documents(spark, a, victims, mode="fast")
+    left_b = retract_documents(
+        spark, b, victims, mode="rebuild",
+        scores=_scores(spark, all_ids), embeddings=_embs(spark, all_ids),
+    )
+    want = admitted_a - {2, 16, 31}
+    assert {r.doc_id for r in left_a.collect()} == want
+    assert {r.doc_id for r in left_b.collect()} == want
+    # text-plane state equal row-for-row across the two routes
+    assert _rows(spark, f"{a}/fingerprints", ["fp", "keep_id"]) == _rows(
+        spark, f"{b}/fingerprints", ["fp", "keep_id"]
+    )
+    assert _rows(spark, f"{a}/signatures", ["_id", "mh_0", "mh_63"]) == (
+        _rows(spark, f"{b}/signatures", ["_id", "mh_0", "mh_63"])
+    )
+    assert _rows(spark, f"{a}/shingles", ["_id"]) == _rows(
+        spark, f"{b}/shingles", ["_id"]
+    )
+    # IVF: same surviving id set (fast keeps frozen centroids, rebuild
+    # refits — assignments may differ, membership must not)
+    ivf_a = {r.doc_id for r in spark.read.parquet(f"{a}/ivf/assigned").collect()}
+    ivf_b = {r.doc_id for r in spark.read.parquet(f"{b}/ivf/assigned").collect()}
+    assert ivf_a == ivf_b == want
+    # cap state: identical effective per-group totals (fast appends
+    # exact negative rows; rebuild reconsolidates)
+    def counts(state):
+        return {
+            r.src: r.n
+            for r in spark.read.parquet(f"{state}/group_counts")
+            .groupBy("src").agg(F.sum("n_admitted").alias("n")).collect()
+        }
+
+    assert counts(a) == counts(b)
+    # the fast path marked its subtract-incapable sketches stale; the
+    # rebuild path has nothing stale
+    sa, sb = state_summary(spark, a), state_summary(spark, b)
+    assert sa["stale_sketches"] == ["accounting", "score_sketches"]
+    over = sa["accounting_overstatement"]
+    assert over["n_docs"] == len(admitted_a)
+    assert over["n_docs"] - over["snapshot_rows"] == 3
+    assert sb["stale_sketches"] == [] and sb["accounting_overstatement"] is None
+    # both timelines ingest the next batch identically: doc 100 reuses
+    # the RETRACTED doc 2's text and vector (re-admitted — nothing in
+    # the corpus duplicates it anymore), doc 101 reuses a RETAINED
+    # doc's text (still dies on the fingerprint plane)
+    nxt = spark.createDataFrame(
+        [
+            (100,
+             "wholly unique body document number 2 with its own "
+             "content and phrasing variant 1", "g"),
+            (101,
+             "wholly unique body document number 3 with its own "
+             "content and phrasing variant 8", "g"),
+        ],
+        "doc_id LONG, text STRING, src STRING",
+    )
+    emb2 = _embs(spark, [2]).withColumn("doc_id", F.lit(100).cast("long"))
+    nxt_emb = emb2.unionByName(
+        spark.createDataFrame(
+            [(101, [1.0 if d == 45 else 0.0 for d in range(48)])],
+            "doc_id LONG, embedding ARRAY<DOUBLE>",
+        )
+    )
+    nxt_scores = spark.createDataFrame(
+        [(100, 9.0), (101, 9.0)], "doc_id LONG, quality_score DOUBLE"
+    )
+    surv = {}
+    for state in (a, b):
+        surv[state] = {
+            r.doc_id
+            for r in ingest_batch(
+                spark, state, nxt, "b_next",
+                scores=nxt_scores, keep_frac=0.95,
+                group_cap=("src", 50), embeddings=nxt_emb,
+                accounting_col="src", semantic_threshold=0.999,
+            ).collect()
+        }
+    assert surv[a] == surv[b] == {100}
+
+
+def test_fast_retract_is_file_local(spark, tmp_path):
+    """Takedown cost ∝ the retracted set's footprint: parquet files
+    (and IVF partitions) that hold no retracted key are not rewritten
+    — their paths and mtimes survive the fast retraction untouched."""
+    state = str(tmp_path / "state")
+    admitted = _build_state(spark, state, BATCHES)
+    assert 16 in admitted
+
+    def file_states(pattern):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(pattern, recursive=True)
+            if p.endswith(".parquet")
+        }
+
+    sig_before = file_states(f"{state}/signatures/*.parquet")
+    fp_before = file_states(f"{state}/fingerprints/*.parquet")
+    ivf_before = file_states(f"{state}/ivf/assigned/**/*.parquet")
+    snap_before = file_states(f"{state}/batches/*/*.parquet")
+    # victim 16 lives only in batch b2's appended files (and one IVF
+    # bucket) — everything else must be byte-level untouched
+    victims = spark.createDataFrame([(16,)], "doc_id LONG")
+    sig_victim_files = {
+        r._f
+        for r in spark.read.parquet(f"{state}/signatures")
+        .withColumn("_f", F.input_file_name())
+        .where(F.col("_id") == 16)
+        .select("_f").collect()
+    }
+    assert sig_victim_files, "victim must exist in the signature table"
+    retract_documents(spark, state, victims, mode="fast")
+    sig_after = file_states(f"{state}/signatures/*.parquet")
+    fp_after = file_states(f"{state}/fingerprints/*.parquet")
+    ivf_after = file_states(f"{state}/ivf/assigned/**/*.parquet")
+    snap_after = file_states(f"{state}/batches/*/*.parquet")
+    for before, after, label in [
+        (sig_before, sig_after, "signatures"),
+        (fp_before, fp_after, "fingerprints"),
+        (ivf_before, ivf_after, "ivf"),
+        (snap_before, snap_after, "snapshots"),
+    ]:
+        untouched = {
+            p: t for p, t in before.items() if p in after and after[p] == t
+        }
+        rewritten = set(before) - set(untouched)
+        assert rewritten != set(before), (
+            f"{label}: every file rewritten — not file-local"
+        )
+    # the victim's signature files are gone (rewritten), and the
+    # retained rows they held survived into replacement files
+    assert not (sig_victim_files & set(sig_after))
+    ids = {r._id for r in spark.read.parquet(f"{state}/signatures").collect()}
+    assert ids == admitted - {16}
+
+
+def test_fsck_restores_and_sweeps_swap_orphans(spark, tmp_path):
+    """Both sides of the delete→rename crash window, for both
+    maintenance operations: a tmp with a missing target is RESTORED
+    (the crash hit after the delete); a tmp whose target still exists
+    is SWEPT (the target is still authoritative).  No hand renames."""
+    state = str(tmp_path / "state")
+    ingest_batch(spark, state, _docs(spark, range(1, 10)), "b1")
+
+    # compact orphan, restore side: table vanished mid-swap
+    shutil.move(f"{state}/fingerprints", f"{state}/fingerprints__compact_tmp")
+    rep = fsck_state(spark, state)
+    assert rep["restored"] == ["fingerprints"]
+    assert table_exists(spark, f"{state}/fingerprints")
+    # compact orphan, sweep side: crash before the delete
+    shutil.copytree(f"{state}/signatures", f"{state}/signatures__compact_tmp")
+    rep = fsck_state(spark, state)
+    assert rep["swept"] == ["signatures__compact_tmp"]
+    assert not os.path.exists(f"{state}/signatures__compact_tmp")
+
+    # retraction snapshot orphan, restore side
+    os.makedirs(f"{state}/tmp/retract", exist_ok=True)
+    shutil.move(f"{state}/batches/b1", f"{state}/tmp/retract/b1")
+    rep = fsck_state(spark, state)
+    assert rep["restored"] == ["batches/b1"]
+    assert table_exists(spark, f"{state}/batches/b1/_SUCCESS")
+    # retraction snapshot orphan, sweep side
+    shutil.copytree(f"{state}/batches/b1", f"{state}/tmp/retract/b1")
+    rep = fsck_state(spark, state)
+    assert rep["swept"] == ["tmp/retract/b1"]
+    # a state_summary BEFORE repair only reports; it never mutates
+    shutil.copytree(f"{state}/batches/b1", f"{state}/tmp/retract/b1")
+    s = state_summary(spark, state)
+    assert s["orphans"] == ["tmp/retract/b1"]
+    assert os.path.exists(f"{state}/tmp/retract/b1")
+    fsck_state(spark, state)
+    assert state_summary(spark, state)["orphans"] == []
+
+
+def test_retract_crash_mid_swap_recovers_via_rebuild(spark, tmp_path,
+                                                    monkeypatch):
+    """True chaos: the retraction's snapshot swap crashes between the
+    delete and the rename.  rebuild_state (which runs fsck_state
+    first) must recover WITHOUT hand intervention, and the recovered
+    timeline must equal a crash-free retraction."""
+    from hadoop__spark.operators import ingest as ingest_mod
+
+    clean, crashed = str(tmp_path / "clean"), str(tmp_path / "crashed")
+    for st in (clean, crashed):
+        ingest_batch(spark, st, _docs(spark, range(1, 10)), "b1")
+        ingest_batch(spark, st, _docs(spark, range(10, 20)), "b2")
+    victims = spark.createDataFrame([(3,), (12,)], "doc_id LONG")
+
+    real_rename = ingest_mod._rename_path
+    calls = {"n": 0}
+
+    def crash_on_first_rename(spark_, src, dst):
+        if "/tmp/retract/" in src and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash between delete and rename")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(ingest_mod, "_rename_path", crash_on_first_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        retract_documents(spark, crashed, victims, mode="fast")
+    monkeypatch.setattr(ingest_mod, "_rename_path", real_rename)
+    # the crash left a deleted snapshot with its rewrite stranded in
+    # tmp/, and the maintenance lock held (the context manager released
+    # it on the exception — assert the state is the recoverable shape)
+    assert not table_exists(spark, f"{crashed}/batches/b1")
+    assert table_exists(spark, f"{crashed}/tmp/retract/b1")
+    # a retry WITHOUT a rebuild refuses — the crashed run's committed
+    # parts (e.g. negative cap rows) would double-apply
+    with pytest.raises(RuntimeError, match="previous fast retraction"):
+        retract_documents(spark, crashed, victims, mode="fast")
+    assert state_summary(spark, crashed)["needs_rebuild"]
+    rebuild_state(spark, crashed)
+    # finish the interrupted retraction (now a no-op for b1, which the
+    # restored tmp already rewrote; b2 still holds victim 12)
+    retract_documents(spark, crashed, victims, mode="fast")
+    retract_documents(spark, clean, victims, mode="fast")
+    for tbl, cols in [
+        ("fingerprints", ["fp", "keep_id"]),
+        ("signatures", ["_id", "mh_0", "mh_63"]),
+    ]:
+        assert _rows(spark, f"{crashed}/{tbl}", cols) == _rows(
+            spark, f"{clean}/{tbl}", cols
+        ), tbl
+    assert {r.doc_id for r in spark.read.parquet(f"{crashed}/batches/*").collect()} == {
+        r.doc_id for r in spark.read.parquet(f"{clean}/batches/*").collect()
+    }
+
+
+def test_policy_drift_refused_and_opt_out(spark, tmp_path):
+    """The persisted policy refuses dropped or changed policy knobs
+    with the stored values named; allow_policy_change=True rewrites
+    the stored policy; a legacy state (no policy table) adopts the
+    next call's parameters."""
+    state = str(tmp_path / "state")
+    ids = list(range(1, 10))
+    ingest_batch(
+        spark, state, _docs(spark, ids), "b1", **_full_opts(spark, ids)
+    )
+    nxt = _docs(spark, range(10, 15))
+    opts = _full_opts(spark, list(range(10, 15)))
+    # dropping the gate refuses, naming the stored choice
+    bad = dict(opts)
+    bad.pop("keep_frac")
+    with pytest.raises(ValueError, match="has_quality_gate: stored True"):
+        ingest_batch(spark, state, nxt, "b2", **bad)
+    # changing the cap k refuses
+    bad = dict(opts)
+    bad["group_cap"] = ("src", 7)
+    with pytest.raises(ValueError, match="group_cap_k: stored 50"):
+        ingest_batch(spark, state, nxt, "b2", **bad)
+    # dropping embeddings refuses (the IVF index would silently go
+    # blind to this batch's vectors)
+    bad = dict(opts)
+    bad.pop("embeddings")
+    with pytest.raises(ValueError, match="has_embeddings: stored True"):
+        ingest_batch(spark, state, nxt, "b2", **bad)
+    # structural drift refuses too
+    with pytest.raises(ValueError, match="num_perm: stored 64"):
+        ingest_batch(spark, state, nxt, "b2", num_perm=32, **opts)
+    # nothing was appended by any refused call
+    assert len(glob.glob(f"{state}/batches/*")) == 1
+    # deliberate change: opt out, stored policy rewritten
+    changed = dict(opts)
+    changed["group_cap"] = ("src", 7)
+    ingest_batch(
+        spark, state, nxt, "b2", allow_policy_change=True, **changed
+    )
+    assert state_summary(spark, state)["policy"]["group_cap_k"] == 7
+    # the NEW policy now enforces: the old cap refuses
+    with pytest.raises(ValueError, match="group_cap_k: stored 7"):
+        ingest_batch(
+            spark, state, _docs(spark, range(20, 24)), "b3", **opts
+        )
+    # legacy adoption: no policy table -> the next call's parameters
+    # become the stored policy
+    shutil.rmtree(f"{state}/policy")
+    ingest_batch(
+        spark, state, _docs(spark, range(20, 24)), "b3", **changed
+    )
+    assert state_summary(spark, state)["policy"]["group_cap_k"] == 7
+
+
+def test_partial_rebuild_coverage_gates_skip_replay(spark, tmp_path,
+                                                    monkeypatch):
+    """A rebuild that omitted an input re-marks snapshots WITHOUT
+    claiming the un-rebuilt plane, so an exactly-once replay that
+    needs that plane refuses instead of no-opping over a state
+    missing the batch's rows; a full-input rebuild restores the
+    claim and the replay no-ops again."""
+    from hadoop__spark.operators import ingest as ingest_mod
+
+    state = str(tmp_path / "state")
+    ids1, ids2 = list(range(1, 10)), list(range(10, 18))
+    emb_all = _embs(spark, ids1 + ids2)
+    ingest_batch(
+        spark, state, _docs(spark, ids1), "b1", embeddings=emb_all,
+        semantic_threshold=0.999,
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash in the ivf append")
+
+    real = ingest_mod.ivf_append_index
+    monkeypatch.setattr(ingest_mod, "ivf_append_index", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ingest_batch(
+            spark, state, _docs(spark, ids2), "b2", embeddings=emb_all,
+            semantic_threshold=0.999,
+        )
+    monkeypatch.setattr(ingest_mod, "ivf_append_index", real)
+    # rebuild WITHOUT embeddings: legal, but the marker must not claim
+    # the embedding plane
+    rebuild_state(spark, state)
+    s = state_summary(spark, state)
+    assert all(
+        "embeddings" not in b["covered"] for b in s["batches"]
+    )
+    with pytest.raises(ValueError, match="embeddings"):
+        ingest_batch(
+            spark, state, _docs(spark, ids2), "b2", embeddings=emb_all,
+            semantic_threshold=0.999, on_existing="skip",
+        )
+    # a replay that does NOT need the plane may no-op already
+    replay = ingest_batch(
+        spark, state, _docs(spark, ids2), "b2", on_existing="skip",
+        allow_policy_change=True,
+    )
+    assert replay.count() > 0
+    # full-input rebuild restores the claim; the embedding replay
+    # no-ops and the index holds both batches' vectors
+    rebuild_state(spark, state, embeddings=emb_all)
+    ingest_batch(
+        spark, state, _docs(spark, ids2), "b2", embeddings=emb_all,
+        semantic_threshold=0.999, on_existing="skip",
+        allow_policy_change=True,
+    )
+    idx = {r.doc_id for r in spark.read.parquet(f"{state}/ivf/assigned").collect()}
+    assert idx == {
+        r.doc_id for r in spark.read.parquet(f"{state}/batches/*").collect()
+    }
+
+
+def test_two_sided_lock_excludes_maintenance_during_ingest(spark, tmp_path):
+    """The other half of the advisory protocol: while an ingest's
+    in-progress marker exists, compact/retract refuse; rebuild_state
+    clears a crashed ingest's stale marker."""
+    state = str(tmp_path / "state")
+    ingest_batch(spark, state, _docs(spark, range(1, 10)), "b1")
+    touch_file(spark, f"{state}/{_INGEST_MARKER}")
+    with pytest.raises(RuntimeError, match="in flight"):
+        compact_state(spark, state)
+    with pytest.raises(RuntimeError, match="in flight"):
+        retract_documents(
+            spark, state, spark.createDataFrame([(1,)], "doc_id LONG")
+        )
+    # the refused maintenance released its own lock both times
+    s = state_summary(spark, state)
+    assert s["ingest_in_progress"] and not s["maintenance_lock"]
+    # a second ingest ALSO refuses (single-writer)
+    with pytest.raises(RuntimeError, match="in flight"):
+        ingest_batch(spark, state, _docs(spark, range(10, 12)), "b2")
+    rebuild_state(spark, state)
+    assert not state_summary(spark, state)["ingest_in_progress"]
+    compact_state(spark, state)
+
+
+def test_rebuild_clears_stale_sketches(spark, tmp_path):
+    """A fast retraction marks the sketch states stale; a rebuild
+    given the matching inputs clears exactly those entries."""
+    state = str(tmp_path / "state")
+    ids = list(range(1, 20))
+    ingest_batch(
+        spark, state, _docs(spark, ids), "b1", scores=_scores(spark, ids),
+        keep_frac=0.95, accounting_col="src",
+    )
+    retract_documents(
+        spark, state, spark.createDataFrame([(3,)], "doc_id LONG"),
+        mode="fast",
+    )
+    assert table_exists(spark, f"{state}/{_STALE_MARKER}")
+    assert state_summary(spark, state)["stale_sketches"] == [
+        "accounting", "score_sketches"
+    ]
+    # rebuild with only the accounting input: score_sketches stays
+    rebuild_state(spark, state)
+    assert state_summary(spark, state)["stale_sketches"] == [
+        "score_sketches"
+    ]
+    rebuild_state(spark, state, scores=_scores(spark, ids))
+    assert state_summary(spark, state)["stale_sketches"] == []
+    assert not table_exists(spark, f"{state}/{_STALE_MARKER}")
+
+
+def test_parquet_row_count_matches_spark(spark, tmp_path):
+    """Footer-based row counts (the zero-job state_summary path) are
+    exact, including over a partitioned layout."""
+    from hadoop__spark.operators.util import parquet_row_count
+
+    flat = str(tmp_path / "flat")
+    spark.range(12345).toDF("x").repartition(7).write.parquet(flat)
+    assert parquet_row_count(spark, flat) == 12345
+    part = str(tmp_path / "part")
+    (
+        spark.range(500)
+        .withColumn("p", (F.col("id") % 5).cast("int"))
+        .write.partitionBy("p")
+        .parquet(part)
+    )
+    assert parquet_row_count(spark, part) == 500
