@@ -500,6 +500,102 @@ def test_rebuild_clears_stale_sketches(spark, tmp_path):
     assert not table_exists(spark, f"{state}/{_STALE_MARKER}")
 
 
+def test_streaming_full_surface_ingest(spark, tmp_path):
+    """The streaming twin with EVERY state table in play (gate +
+    group cap + accounting + embeddings), across a stream restart and
+    a simulated foreachBatch retry: the exactly-once commit marker
+    no-ops the replay with full plane coverage, and the final state
+    equals the plain batch loop's run of the same arrival waves."""
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    stream_state = str(tmp_path / "stream_state")
+    batch_state = str(tmp_path / "batch_state")
+    waves = {"w0": list(range(1, 15)), "w1": list(range(15, 30))}
+    all_ids = [i for ids in waves.values() for i in ids]
+    opts = dict(
+        scores=_scores(spark, all_ids),
+        keep_frac=0.95,
+        group_cap=("src", 50),
+        embeddings=_embs(spark, all_ids),
+        accounting_col="src",
+        semantic_threshold=0.999,
+    )
+    replayed = {"n": 0}
+
+    def ing(batch_df, batch_id):
+        if batch_df.count():
+            before = len(glob.glob(f"{stream_state}/batches/*"))
+            ingest_batch(
+                spark, stream_state, batch_df, f"mb{batch_id}",
+                on_existing="skip", **opts,
+            )
+            if len(glob.glob(f"{stream_state}/batches/*")) == before:
+                replayed["n"] += 1
+
+    schema = _docs(spark, [1]).schema
+    for i, (name, ids) in enumerate(waves.items()):
+        d = tmp_path / name
+        _docs(spark, ids).coalesce(1).write.parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0],
+            src_dir / f"f{i}.parquet",
+        )
+        # a fresh stream per wave over ONE checkpoint = restart-resume
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = (
+            stream.writeStream.foreachBatch(ing)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if i == 0:
+            # simulated foreachBatch RETRY: the runner re-invokes the
+            # same batch_id after a recovery — must no-op via the
+            # commit marker, with every plane covered
+            ing(spark.read.parquet(str(src_dir / "f0.parquet")), 0)
+            assert replayed["n"] == 1
+            s = state_summary(spark, stream_state)
+            assert s["batches"][0]["covered"] == [
+                "accounting", "embeddings", "fingerprints", "gate",
+                "group_counts", "text",
+            ]
+    # the plain batch loop over the same waves
+    for name, ids in waves.items():
+        ingest_batch(spark, batch_state, _docs(spark, ids), name, **opts)
+    assert _rows(spark, f"{stream_state}/batches/*", ["doc_id"]) == _rows(
+        spark, f"{batch_state}/batches/*", ["doc_id"]
+    )
+    assert _rows(spark, f"{stream_state}/signatures", ["_id", "mh_0"]) == (
+        _rows(spark, f"{batch_state}/signatures", ["_id", "mh_0"])
+    )
+    ivf_s = {r.doc_id for r in spark.read.parquet(f"{stream_state}/ivf/assigned").collect()}
+    ivf_b = {r.doc_id for r in spark.read.parquet(f"{batch_state}/ivf/assigned").collect()}
+    assert ivf_s == ivf_b
+
+    def counts(state):
+        return {
+            r.src: r.n
+            for r in spark.read.parquet(f"{state}/group_counts")
+            .groupBy("src").agg(F.sum("n_admitted").alias("n")).collect()
+        }
+
+    assert counts(stream_state) == counts(batch_state)
+    # accounting state merges to the same totals on both twins
+    from hadoop__spark.operators import corpus
+
+    def acct(state):
+        return {
+            r.src: (r.n_docs, r.n_tokens)
+            for r in corpus.merge_corpus_stats(
+                spark.read.parquet(f"{state}/accounting/stats"),
+                group_cols=["src"],
+            ).select("src", "n_docs", "n_tokens").collect()
+        }
+
+    assert acct(stream_state) == acct(batch_state)
+
+
 def test_parquet_row_count_matches_spark(spark, tmp_path):
     """Footer-based row counts (the zero-job state_summary path) are
     exact, including over a partitioned layout."""
