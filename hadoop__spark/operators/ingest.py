@@ -1484,14 +1484,19 @@ def _retract_fast(
     # the one policy state that CAN subtract); only ids actually
     # present decrement, so retracting an unknown id is a no-op
     cap_col = pol.get("group_cap_col")
+    batch_dirs = [
+        b
+        for b in _list_child_dirs(spark, f"{state_dir}/batches")
+        if _table_exists(spark, f"{b}/_SUCCESS")
+    ]
+    if not batch_dirs:
+        raise ValueError(
+            f"no complete batch snapshots under {state_dir}/batches — "
+            "nothing to retract from"
+        )
     if cap_col is not None and _table_exists(
         spark, f"{state_dir}/group_counts"
     ):
-        batch_dirs = [
-            b
-            for b in _list_child_dirs(spark, f"{state_dir}/batches")
-            if _table_exists(spark, f"{b}/_SUCCESS")
-        ]
         union = spark.read.parquet(batch_dirs[0])
         for b in batch_dirs[1:]:
             union = union.unionByName(
@@ -1511,32 +1516,45 @@ def _retract_fast(
         # (and nothing was mutated above: no hit rows, no neg counts)
         _delete_path(spark, marker)
         return _read_snapshots_union(spark, state_dir)
+    # a bounded-size takedown set is collected once so every hit-file
+    # discovery below pushes an IN predicate into the parquet scans
+    # (row-group min/max pruning; see _delete_keys_file_local).  The
+    # limit-count never scans past the bound on a huge set.
+    vals = None
+    if retract.limit(10_001).count() <= 10_000:
+        vals = [r._retract for r in retract.collect()]
     # plane-local deletes: file-local surgery on the flat tables
     # (only files containing a hit are rewritten) …
     _delete_keys_file_local(
-        spark, f"{state_dir}/fingerprints", "keep_id", retract
+        spark, f"{state_dir}/fingerprints", "keep_id", retract,
+        retract_values=vals,
     )
     if text_method == "minhash":
         plane_path, _ = _plane_paths(state_dir, "minhash")
         for rel in ("shingles", "signatures"):
             _delete_keys_file_local(
-                spark, f"{plane_path}/{rel}", "_id", retract
+                spark, f"{plane_path}/{rel}", "_id", retract,
+                retract_values=vals,
             )
     elif text_method == "simhash":
         _delete_keys_file_local(
-            spark, f"{state_dir}/simhash/signatures", "_id", retract
+            spark, f"{state_dir}/simhash/signatures", "_id", retract,
+            retract_values=vals,
         )
     else:
         for rel in ("shingle_sets", "prefix"):
             _delete_keys_file_local(
-                spark, f"{state_dir}/ngram/{rel}", "_id", retract
+                spark, f"{state_dir}/ngram/{rel}", "_id", retract,
+                retract_values=vals,
             )
         # ngram doc_freq stays FROZEN — stale df only lengthens
         # prefixes (recall-safe; the ngram_append_index argument)
     # … and a bucket-local rewrite of ONLY the IVF partitions holding
     # a retracted vector
     if _table_exists(spark, f"{state_dir}/ivf/assigned"):
-        _retract_ivf_partitions(spark, f"{state_dir}/ivf", retract, id_col)
+        _retract_ivf_partitions(
+            spark, f"{state_dir}/ivf", retract, id_col, retract_values=vals
+        )
     # the subtract-incapable sketch states now OVERSTATE — record it
     stale = set()
     if _table_exists(spark, f"{state_dir}/score_sketches"):
@@ -1555,6 +1573,10 @@ def _read_snapshots_union(spark, state_dir: str) -> DataFrame:
         for b in _list_child_dirs(spark, f"{state_dir}/batches")
         if _table_exists(spark, f"{b}/_SUCCESS")
     ]
+    if not dirs:
+        raise ValueError(
+            f"no complete batch snapshots under {state_dir}/batches"
+        )
     union = spark.read.parquet(dirs[0])
     for b in dirs[1:]:
         union = union.unionByName(
@@ -1564,13 +1586,26 @@ def _read_snapshots_union(spark, state_dir: str) -> DataFrame:
 
 
 def _delete_keys_file_local(
-    spark, table_path: str, key_col: str, retract: DataFrame
+    spark,
+    table_path: str,
+    key_col: str,
+    retract: DataFrame,
+    retract_values: list | None = None,
 ) -> int:
     """Delete rows whose ``key_col`` matches a retracted id from a
     flat parquet state table by rewriting ONLY the files that contain
     a hit — takedown cost ∝ the retracted set's file footprint, not
     the table (after :func:`compact_state`'s probe-key sort, hits
     cluster into few files).  Returns the number of files rewritten.
+
+    ``retract_values`` (supplied when the retracted set is small —
+    the common takedown) turns hit-file DISCOVERY into a pushed
+    ``IN`` predicate: parquet min/max row-group stats skip every file
+    whose key range misses the set, so after a key-sorted compaction
+    the discovery scan itself is ∝ files-with-hits, not the table.
+    Without it, discovery is a key-column-only scan plus a broadcast
+    semi-join (still column-pruned; the rewrite below is file-local
+    either way).
 
     Protocol (crash-safe via the snapshots being the source of
     truth): a ``_RETRACT_SURGERY`` marker is planted in the table
@@ -1586,14 +1621,21 @@ def _delete_keys_file_local(
     if not _table_exists(spark, table_path):
         return 0
     df = spark.read.parquet(table_path)
-    tagged = df.withColumn("_file", F.input_file_name())
-    hit_files = [
-        r._file
-        for r in tagged.join(
+    # the key filter goes BEFORE the input_file_name projection:
+    # input_file_name is nondeterministic, so a predicate above it
+    # can never be pushed into the scan — filtered first, the IN
+    # predicate lands in PushedFilters (plan-asserted)
+    if retract_values is not None:
+        hit_rows = df.where(F.col(key_col).isin(retract_values))
+    else:
+        hit_rows = df.join(
             F.broadcast(retract),
             F.col(key_col) == F.col("_retract"),
             "left_semi",
         )
+    hit_files = [
+        r._file
+        for r in hit_rows.withColumn("_file", F.input_file_name())
         .select("_file")
         .distinct()
         .collect()
@@ -1630,26 +1672,30 @@ def _delete_keys_file_local(
 
 
 def _retract_ivf_partitions(
-    spark, ivf_path: str, retract: DataFrame, id_col: str
+    spark, ivf_path: str, retract: DataFrame, id_col: str,
+    retract_values: list | None = None,
 ) -> list:
     """Rewrite ONLY the IVF ``centroid_id`` partitions that hold a
     retracted vector (dynamic partition overwrite — untouched buckets
     keep their files byte-for-byte), deleting outright any affected
     bucket left empty (dynamic overwrite only replaces partitions
     present in the written data).  Centroids stay frozen — probe
-    exactness needs only internal consistency.  Returns the affected
-    centroid ids."""
+    exactness needs only internal consistency.  A small
+    ``retract_values`` set pushes an IN predicate into the bucket
+    discovery scan (same row-group pruning as the flat tables).
+    Returns the affected centroid ids."""
     assigned = spark.read.parquet(f"{ivf_path}/assigned")
-    affected = [
-        r.centroid_id
-        for r in assigned.join(
+    if retract_values is not None:
+        aff_rows = assigned.where(F.col(id_col).isin(retract_values))
+    else:
+        aff_rows = assigned.join(
             F.broadcast(retract),
             F.col(id_col) == F.col("_retract"),
             "left_semi",
         )
-        .select("centroid_id")
-        .distinct()
-        .collect()
+    affected = [
+        r.centroid_id
+        for r in aff_rows.select("centroid_id").distinct().collect()
     ]
     if not affected:
         return []
@@ -1713,6 +1759,18 @@ def compact_state(
 
     done: dict[str, int] = {}
     with _maintenance_lock(spark, state_dir):
+        for rel in _STATE_TABLES:
+            if _table_exists(
+                spark, f"{state_dir}/{rel}/_RETRACT_SURGERY"
+            ):
+                # compacting a mid-surgery table would silently bake
+                # its duplicate rows in AND drop the marker that flags
+                # the state as needing a rebuild — refuse instead
+                raise RuntimeError(
+                    f"table {rel} at {state_dir} is mid-retraction "
+                    "surgery (a fast retraction crashed) — run "
+                    "rebuild_state before compacting"
+                )
         for rel, sort_by in _STATE_TABLES.items():
             path = f"{state_dir}/{rel}"
             if not _table_exists(spark, path):

@@ -473,6 +473,24 @@ def test_two_sided_lock_excludes_maintenance_during_ingest(spark, tmp_path):
     compact_state(spark, state)
 
 
+def test_compact_refuses_mid_surgery_table(spark, tmp_path):
+    """Compacting a table whose fast-retraction surgery crashed would
+    bake the duplicate rows in and drop the needs-rebuild flag — it
+    must refuse until a rebuild reconsolidates."""
+    state = str(tmp_path / "state")
+    ingest_batch(spark, state, _docs(spark, range(1, 10)), "b1")
+    touch_file(spark, f"{state}/fingerprints/_RETRACT_SURGERY")
+    assert fsck_state(spark, state)["needs_rebuild"] == ["fingerprints"]
+    assert state_summary(spark, state)["needs_rebuild"]
+    with pytest.raises(RuntimeError, match="mid-retraction surgery"):
+        compact_state(spark, state)
+    # the rebuild overwrites the table (dropping the marker) and the
+    # maintenance then composes again
+    rebuild_state(spark, state)
+    assert not table_exists(spark, f"{state}/fingerprints/_RETRACT_SURGERY")
+    compact_state(spark, state)
+
+
 def test_rebuild_clears_stale_sketches(spark, tmp_path):
     """A fast retraction marks the sketch states stale; a rebuild
     given the matching inputs clears exactly those entries."""
@@ -498,6 +516,47 @@ def test_rebuild_clears_stale_sketches(spark, tmp_path):
     rebuild_state(spark, state, scores=_scores(spark, ids))
     assert state_summary(spark, state)["stale_sketches"] == []
     assert not table_exists(spark, f"{state}/{_STALE_MARKER}")
+
+
+def test_retract_discovery_pushes_in_filter(spark, tmp_path):
+    """A bounded takedown set reaches the hit-file discovery scan as
+    a pushed IN predicate — after compact_state's key sort, parquet
+    row-group min/max stats then skip every file whose key range
+    misses the set, making discovery itself ∝ files-with-hits."""
+    state = str(tmp_path / "state")
+    ingest_batch(spark, state, _docs(spark, range(1, 12)), "b1")
+    plan = (
+        spark.read.parquet(f"{state}/signatures")
+        .where(F.col("_id").isin([3, 5]))
+        .withColumn("_file", F.input_file_name())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(_id, [3,5]" in plan, plan
+    # and end-to-end: the fast path with a small set behaves
+    # identically to the broadcast-join route on the same state
+    other = str(tmp_path / "other")
+    ingest_batch(spark, other, _docs(spark, range(1, 12)), "b1")
+    victims = spark.createDataFrame([(3,), (5,)], "doc_id LONG")
+    from hadoop__spark.operators import ingest as ingest_mod
+
+    left_small = retract_documents(spark, state, victims, mode="fast")
+    # force the broadcast-join discovery route on the twin state
+    orig = ingest_mod._delete_keys_file_local
+
+    def no_vals(spark_, table, key, retract, retract_values=None):
+        return orig(spark_, table, key, retract, retract_values=None)
+
+    ingest_mod._delete_keys_file_local = no_vals
+    try:
+        left_join = retract_documents(spark, other, victims, mode="fast")
+    finally:
+        ingest_mod._delete_keys_file_local = orig
+    assert {r.doc_id for r in left_small.collect()} == {
+        r.doc_id for r in left_join.collect()
+    }
+    assert _rows(spark, f"{state}/signatures", ["_id"]) == _rows(
+        spark, f"{other}/signatures", ["_id"]
+    )
 
 
 def test_streaming_full_surface_ingest(spark, tmp_path):

@@ -278,6 +278,35 @@ def run_at(spark, sf_dir: str, mult: int, workdir: str) -> dict:
         out,
     )
 
+    # round-9: takedown cost ∝ retracted set, not corpus.  A FIXED
+    # ~20-document retraction against the three-plane state at every
+    # mult: the fast path's snapshot rewrites and file-local deletes
+    # must stay ~flat while mode="rebuild" (the old-only path) pays
+    # the full corpus re-sign — the contrast IS the claim.
+    victims_fast = docs.select("doc_id").where(
+        F.col("doc_id") % (3000 * mult) == 0
+    )
+    victims_rebuild = docs.select("doc_id").where(
+        F.col("doc_id") % (3000 * mult) == 1
+    )
+
+    def retr_fast():
+        ingest_ops.retract_documents(
+            spark, state, victims_fast, mode="fast"
+        )
+        return int(victims_fast.count())
+
+    phase("retract_fast", retr_fast, out)
+
+    def retr_rebuild():
+        ingest_ops.retract_documents(
+            spark, state, victims_rebuild, mode="rebuild",
+            embeddings=demb,
+        )
+        return int(victims_rebuild.count())
+
+    phase("retract_rebuild", retr_rebuild, out)
+
     # round-8: the SAME flat-in-corpus-size claim on the other two
     # text planes now routed through ingest_batch (text-only — the
     # embedding plane is orthogonal and measured above).  simhash at
@@ -334,6 +363,7 @@ def main() -> None:
                "ivf_topk", "semantic_dedup", "corpus_accounting",
                "prepare_chain_lazy", "prepare_chain_mat",
                "ingest_bootstrap", "ingest_fixed_batch",
+               "retract_fast", "retract_rebuild",
                "ingest_bootstrap_simhash", "ingest_fixed_batch_simhash",
                "ingest_bootstrap_ngram", "ingest_fixed_batch_ngram"):
         b, g = base[ph], big[ph]
