@@ -48,6 +48,7 @@ from hadoop__spark.operators.dedup import (
     simhash_write_signatures,
 )
 from hadoop__spark.operators.corpus import (
+    contamination_report,
     corpus_stats_sketch,
     decontaminate,
     eligibility_filter,
@@ -1726,6 +1727,62 @@ def _retract_ivf_partitions(
         _delete_path(spark, f"{ivf_path}/assigned/centroid_id={cid}")
     _delete_path(spark, tmp)
     return affected
+
+
+def decontaminate_state(
+    spark,
+    state_dir: str,
+    benchmark: DataFrame,
+    benchmark_name: str = "benchmark",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_overlap: float = 0.0,
+    n: int = 3,
+    mode: str = "auto",
+    **rebuild_kwargs,
+) -> DataFrame:
+    """Retroactive benchmark decontamination of an ALREADY-INGESTED
+    corpus — the operation a new evaluation set triggers.
+    :func:`ingest_batch`'s ``benchmark`` option decontaminates each
+    arriving batch, but a benchmark published AFTER ingestion leaves
+    leaked documents live in every state table; this finds them and
+    takes them down through :func:`retract_documents`.
+
+    Pipeline: :func:`~hadoop__spark.operators.corpus.contamination_report`
+    over the retained corpus (read from the snapshots) vs the
+    broadcast benchmark shingle set, flag documents with
+    ``overlap_frac > max_overlap`` (default 0.0 — any shared
+    ``n``-gram disqualifies, the GPT-3 appendix-C discipline), write
+    the flagged report as an AUDIT table at
+    ``{state_dir}/decontamination/{benchmark_name}`` (takedowns need
+    a paper trail, and the report must materialize BEFORE the
+    retraction rewrites the snapshots it reads), then retract the
+    flagged ids (``mode``/``rebuild_kwargs`` forwarded —
+    ``"auto"`` takes the fast plane-local path when a policy table
+    exists).  Returns the audit report (one row per retracted
+    document: id, n_shingles, n_hits, overlap_frac).
+
+    Re-running with the same benchmark is a no-op returning an empty
+    report — the contaminated documents are already gone, and the
+    audit table for that name is overwritten per run (use distinct
+    ``benchmark_name`` values per eval set).  Retraction semantics
+    apply: a later ARRIVAL of the leaked text is admitted again, so
+    keep the benchmark in every subsequent :func:`ingest_batch` call
+    to hold the decontamination going forward.
+    """
+    union = _read_snapshots_union(spark, state_dir)
+    flagged = contamination_report(
+        union, benchmark, text_col, id_col, n=n
+    ).where(F.col("overlap_frac") > max_overlap)
+    audit = f"{state_dir}/decontamination/{benchmark_name}"
+    flagged.write.mode("overwrite").parquet(audit)
+    report = spark.read.parquet(audit)
+    if report.limit(1).count():
+        retract_documents(
+            spark, state_dir, report.select(id_col), id_col=id_col,
+            mode=mode, **rebuild_kwargs,
+        )
+    return report
 
 
 def compact_state(

@@ -671,3 +671,58 @@ def test_parquet_row_count_matches_spark(spark, tmp_path):
         .parquet(part)
     )
     assert parquet_row_count(spark, part) == 500
+
+
+def test_decontaminate_state_retroactive(spark, tmp_path):
+    """A benchmark published AFTER ingestion: decontaminate_state
+    flags exactly the leaked documents, persists the audit report,
+    takes them down through retraction (gone from snapshots and the
+    probe-visible planes), no-ops on a re-run, and the same benchmark
+    held in later ingest_batch calls keeps the leak out going
+    forward."""
+    from hadoop__spark.operators.ingest import decontaminate_state
+
+    state = str(tmp_path / "state")
+
+    def docs(ids):
+        # disjoint vocabularies: doc i shares NO n-gram with doc j
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(8)), "g") for i in ids],
+            "doc_id LONG, text STRING, src STRING",
+        )
+
+    ingest_batch(spark, state, docs(range(1, 10)), "b1")
+    ingest_batch(spark, state, docs(range(10, 20)), "b2")
+    # the eval set leaks doc 3 verbatim and doc 12's tail
+    bench = spark.createDataFrame(
+        [
+            (101, " ".join(f"w3x{j}" for j in range(8))),
+            (102, "held out " + " ".join(f"w12x{j}" for j in range(3, 8))),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    report = decontaminate_state(spark, state, bench, "evalset")
+    assert {r.doc_id for r in report.collect()} == {3, 12}
+    assert all(r.overlap_frac > 0.0 for r in report.collect())
+    # audit trail persisted under the benchmark's name
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(
+            f"{state}/decontamination/evalset"
+        ).collect()
+    } == {3, 12}
+    # gone from the snapshots and the probe-visible planes
+    kept = _rows(spark, f"{state}/batches/*", ["doc_id"])
+    assert (3,) not in kept and (12,) not in kept and (4,) in kept
+    assert not {(3,), (12,)} & _rows(
+        spark, f"{state}/fingerprints", ["keep_id"]
+    )
+    assert not {(3,), (12,)} & _rows(spark, f"{state}/signatures", ["_id"])
+    # idempotent: the contaminated docs are already gone
+    assert decontaminate_state(spark, state, bench, "evalset").count() == 0
+    # retraction semantics: a bare re-arrival would be re-admitted, so
+    # holding the benchmark in the ingest call is what keeps it out
+    surv = ingest_batch(
+        spark, state, docs([3]), "b3", benchmark=bench
+    )
+    assert surv.count() == 0
