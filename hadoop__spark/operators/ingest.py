@@ -1300,13 +1300,17 @@ def rebuild_state(
 
 
 def _rewrite_snapshots_without(
-    spark, state_dir: str, retract: DataFrame, id_col: str
+    spark, state_dir: str, retract: DataFrame, id_col: str,
+    retract_values: list | None = None,
 ) -> list[str]:
     """Rewrite every COMPLETE batch snapshot without the retracted
     ids (``retract``: one ``_retract`` column), via write-new / swap —
     a parquet table cannot be overwritten while it is being read.
-    Untouched snapshots are skipped via a cheap semi-join probe.
-    Returns the rewritten snapshot paths.
+    Untouched snapshots are skipped via a cheap probe — a pushed
+    ``IN`` predicate when the set is bounded (``retract_values``;
+    row-group min/max stats skip clean snapshots without reading
+    rows), else a broadcast semi-join.  Returns the rewritten
+    snapshot paths.
 
     The swap tmp lives OUTSIDE ``batches/`` (``{state_dir}/tmp/
     retract/{name}``): a crash after the tmp write completes but
@@ -1320,10 +1324,13 @@ def _rewrite_snapshots_without(
         if not _table_exists(spark, f"{b}/_SUCCESS"):
             continue  # partial snapshot; rebuild_state sweeps it
         snap = spark.read.parquet(b)
-        hit = snap.join(
-            retract, F.col(id_col) == F.col("_retract"), "left_semi"
-        ).limit(1).count()
-        if not hit:
+        if retract_values is not None:
+            probe = snap.where(F.col(id_col).isin(retract_values))
+        else:
+            probe = snap.join(
+                retract, F.col(id_col) == F.col("_retract"), "left_semi"
+            )
+        if not probe.limit(1).count():
             continue
         kept = snap.join(
             retract, F.col(id_col) == F.col("_retract"), "left_anti"
@@ -1454,22 +1461,56 @@ def retract_documents(
             "path takes everything from the stored policy, got "
             f"{sorted(rebuild_kwargs)}"
         )
-    retract = ids.select(F.col(id_col).alias("_retract")).distinct()
     with _maintenance_lock(spark, state_dir):
-        if mode == "rebuild":
-            _rewrite_snapshots_without(spark, state_dir, retract, id_col)
-            return rebuild_state(
-                spark, state_dir, id_col=id_col, **rebuild_kwargs
+        # FREEZE the retract set before any mutation: the caller's
+        # frame may lazily derive from the very snapshots the rewrite
+        # below deletes-and-swaps (the natural "retract everything
+        # matching this corpus filter" flow) — re-evaluating such a
+        # plan after the first swap reads deleted files and crashes
+        # the retraction mid-run.  One small staged table, every
+        # phase (cap counts, snapshot rewrite, plane deletes) reads
+        # the same frozen ids; swept by fsck_state after a crash.
+        ids_tmp = f"{state_dir}/tmp/retract_ids"
+        _delete_path(spark, ids_tmp)
+        (
+            ids.select(F.col(id_col).alias("_retract"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(ids_tmp)
+        )
+        retract = spark.read.parquet(ids_tmp)
+        # a bounded-size takedown set is collected once so every
+        # hit-file discovery pushes an IN predicate into the parquet
+        # scans (row-group min/max pruning).  The limit-count never
+        # scans past the bound on a huge set.
+        vals = None
+        if retract.limit(10_001).count() <= 10_000:
+            vals = [r._retract for r in retract.collect()]
+        try:
+            if mode == "rebuild":
+                _rewrite_snapshots_without(
+                    spark, state_dir, retract, id_col, retract_values=vals
+                )
+                return rebuild_state(
+                    spark, state_dir, id_col=id_col, **rebuild_kwargs
+                )
+            return _retract_fast(
+                spark, state_dir, retract, id_col, pol, vals
             )
-        return _retract_fast(spark, state_dir, retract, id_col, pol)
+        finally:
+            _delete_path(spark, ids_tmp)
 
 
 def _retract_fast(
-    spark, state_dir: str, retract: DataFrame, id_col: str, pol: dict
+    spark, state_dir: str, retract: DataFrame, id_col: str, pol: dict,
+    vals: list | None,
 ) -> DataFrame:
     """The plane-local fast path of :func:`retract_documents`, run
     under the maintenance lock.  ``retract`` has one ``_retract``
-    column, already distinct."""
+    column, already distinct and FROZEN (staged to parquet by the
+    caller — its plan must not reference the snapshots the rewrite
+    below swaps); ``vals`` is its collected id list when bounded
+    (≤10k), enabling pushed IN discovery everywhere."""
     text_method = pol["text_method"]
     marker = f"{state_dir}/{_RETRACT_MARKER}"
     if _table_exists(spark, marker):
@@ -1503,27 +1544,28 @@ def _retract_fast(
             union = union.unionByName(
                 spark.read.parquet(b), allowMissingColumns=True
             )
-        removed = union.join(
-            retract, F.col(id_col) == F.col("_retract"), "left_semi"
-        )
+        if vals is not None:
+            # pushed IN over the snapshots' id column: row-group stats
+            # skip clean files, so the removed-rows scan is ∝ files
+            # holding a hit, not the corpus
+            removed = union.where(F.col(id_col).isin(vals))
+        else:
+            removed = union.join(
+                retract, F.col(id_col) == F.col("_retract"), "left_semi"
+            )
         neg = removed.groupBy(cap_col).agg(
             (-F.count("*")).cast("bigint").alias("n_admitted")
         )
         if neg.limit(1).count():
             neg.write.mode("append").parquet(f"{state_dir}/group_counts")
-    rewritten = _rewrite_snapshots_without(spark, state_dir, retract, id_col)
+    rewritten = _rewrite_snapshots_without(
+        spark, state_dir, retract, id_col, retract_values=vals
+    )
     if not rewritten:
         # no snapshot held any of the ids — nothing to do anywhere
         # (and nothing was mutated above: no hit rows, no neg counts)
         _delete_path(spark, marker)
         return _read_snapshots_union(spark, state_dir)
-    # a bounded-size takedown set is collected once so every hit-file
-    # discovery below pushes an IN predicate into the parquet scans
-    # (row-group min/max pruning; see _delete_keys_file_local).  The
-    # limit-count never scans past the bound on a huge set.
-    vals = None
-    if retract.limit(10_001).count() <= 10_000:
-        vals = [r._retract for r in retract.collect()]
     # plane-local deletes: file-local surgery on the flat tables
     # (only files containing a hit are rewritten) …
     _delete_keys_file_local(
@@ -1627,19 +1669,20 @@ def _delete_keys_file_local(
     # can never be pushed into the scan — filtered first, the IN
     # predicate lands in PushedFilters (plan-asserted)
     if retract_values is not None:
-        hit_rows = df.where(F.col(key_col).isin(retract_values))
+        hit_rows = df.where(F.col(key_col).isin(retract_values)).withColumn(
+            "_file", F.input_file_name()
+        )
     else:
-        hit_rows = df.join(
+        # input_file_name is tagged BELOW the join: Spark refuses the
+        # expression above a plan with two file sources, and the
+        # frozen retract-ids staging table IS a file source
+        hit_rows = df.withColumn("_file", F.input_file_name()).join(
             F.broadcast(retract),
             F.col(key_col) == F.col("_retract"),
             "left_semi",
         )
     hit_files = [
-        r._file
-        for r in hit_rows.withColumn("_file", F.input_file_name())
-        .select("_file")
-        .distinct()
-        .collect()
+        r._file for r in hit_rows.select("_file").distinct().collect()
     ]
     if not hit_files:
         return 0
@@ -1912,6 +1955,12 @@ def fsck_state(spark, state_dir: str) -> dict:
         # not; the staged copy is never authoritative
         _delete_path(spark, ivf_tmp)
         swept.append("ivf/__retract_kept_tmp")
+    ids_tmp = f"{state_dir}/tmp/retract_ids"
+    if _table_exists(spark, ids_tmp):
+        # the frozen retract-id staging table of a crashed
+        # retract_documents — input staging only, never authoritative
+        _delete_path(spark, ids_tmp)
+        swept.append("tmp/retract_ids")
     if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):
         # a fast retraction crashed between its multi-table mutations
         # — only a rebuild reconsolidates (and clears the marker)
@@ -1988,6 +2037,8 @@ def state_summary(spark, state_dir: str) -> dict:
             orphans.append(f"{rel}/_RETRACT_SURGERY")
     for tmp in _list_child_dirs(spark, f"{state_dir}/tmp/retract"):
         orphans.append(f"tmp/retract/{tmp.rstrip('/').rsplit('/', 1)[-1]}")
+    if _table_exists(spark, f"{state_dir}/tmp/retract_ids"):
+        orphans.append("tmp/retract_ids")
     if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):
         needs_rebuild = True
         orphans.append(_RETRACT_MARKER)

@@ -388,8 +388,23 @@ def ivf_append_index(
     the SAME centroid set).  Re-fit and rewrite when bucket-size skew
     shows up in scan metrics — the rewrite is one
     :func:`ivf_write_index` call.
+
+    The appended vectors are CAST to the stored index's element type
+    first: parquet partitions mixing ``array<float>`` and
+    ``array<double>`` files would make every later full read of
+    ``assigned`` fail with a physical-type mismatch — the index
+    layout is the contract, exactly like the minhash plane's
+    ``num_perm`` (a float-indexed corpus appending doubles loses the
+    extra precision, which cosine probing never resolved anyway).
     """
     cents = spark.read.parquet(f"{path}/centroids")
+    stored_type = (
+        spark.read.parquet(f"{path}/assigned").schema[vec_col].dataType
+    )
+    if corpus.schema[vec_col].dataType != stored_type:
+        corpus = corpus.withColumn(
+            vec_col, F.col(vec_col).cast(stored_type)
+        )
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
     (
         assigned.repartition("centroid_id")

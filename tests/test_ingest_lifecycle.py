@@ -726,3 +726,38 @@ def test_decontaminate_state_retroactive(spark, tmp_path):
         spark, state, docs([3]), "b3", benchmark=bench
     )
     assert surv.count() == 0
+
+
+def test_retract_ids_lazily_derived_from_snapshots(spark, tmp_path):
+    """The natural takedown flow — a retract set computed FROM the
+    corpus snapshots ('retract everything matching this filter') —
+    must work: the set is frozen to a staging table before the first
+    snapshot swap, so the caller's lazy plan is never re-evaluated
+    against deleted files.  Pinned for both modes; the staging table
+    is gone afterwards and a crashed run's leftover is swept by
+    fsck_state."""
+    from hadoop__spark.operators.ingest import (
+        _read_snapshots_union,
+        retract_documents,
+    )
+
+    for mode in ("fast", "rebuild"):
+        state = str(tmp_path / f"state_{mode}")
+        ingest_batch(spark, state, _docs(spark, range(1, 15)), "b1")
+        ingest_batch(spark, state, _docs(spark, range(15, 30)), "b2")
+        # lazily derived from the very snapshots retraction rewrites —
+        # spans both batches so the second swap follows a first
+        corpus = _read_snapshots_union(spark, state)
+        lazy_ids = corpus.where(F.col("doc_id") % 5 == 0).select("doc_id")
+        expect_gone = {i for i in range(1, 30) if i % 5 == 0}
+        retract_documents(spark, state, lazy_ids, mode=mode)
+        kept = {r.doc_id for r in _read_snapshots_union(spark, state).collect()}
+        assert kept == set(range(1, 30)) - expect_gone
+        assert not expect_gone & {
+            t[0] for t in _rows(spark, f"{state}/fingerprints", ["keep_id"])
+        }
+        assert not expect_gone & {
+            t[0] for t in _rows(spark, f"{state}/signatures", ["_id"])
+        }
+        # input staging cleaned up on the way out
+        assert not table_exists(spark, f"{state}/tmp/retract_ids")

@@ -953,3 +953,33 @@ def test_ivf_assign_arrow_null_vector_dropped_like_jvm(spark, embs):
     got = similarity.ivf_assign_arrow(dirty, cents).collect()
     assert len(got) == embs.count()
     assert all(r.vec_id != 999999 for r in got)
+
+
+def test_ivf_append_aligns_element_type(spark, tmp_path):
+    """Appending vectors whose array element type differs from the
+    stored index must CAST to the stored type, not interleave
+    array<float> and array<double> parquet files in one partitioned
+    table — mixed physical types make every later full read of
+    ``assigned`` fail with a parquet type mismatch (caught live by
+    the 10x rehearsal's retraction phase)."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "ivf")
+    fl = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    similarity.ivf_write_index(fl, path, nlist=4)
+    db = spark.createDataFrame(
+        [(100 + i, [float(i % 7), 0.25, 1.0]) for i in range(10)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    similarity.ivf_append_index(spark, path, db)
+    assigned = spark.read.parquet(f"{path}/assigned")
+    assert assigned.schema["embedding"].dataType.simpleString() == (
+        "array<float>"
+    )
+    # every file readable (the mixed-type table failed right here),
+    # and membership covers both generations
+    ids = {r.vec_id for r in assigned.collect()}
+    assert ids == set(range(40)) | {100 + i for i in range(10)}

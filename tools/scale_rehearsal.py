@@ -112,15 +112,17 @@ def inflate_docs(docs, mult: int, n_exact: int = 4):
 def inflate_embs(embs, mult: int):
     """mult variants per vector, each nudged in dimension 0 so
     directions differ (cosine is scale-invariant; a scaled copy would
-    be an exact duplicate)."""
+    be an exact duplicate).  The nudge arithmetic stays in FLOAT —
+    a double literal would silently promote the whole inflated column
+    to array<double>, diverging from the float source table (which
+    the fixed ingest batch below still reads)."""
     v = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_v")
+    nudge = F.col("_v").cast("float") * F.lit(0.01).cast("float")
     return embs.select("vec_id", "embedding", v).select(
         (F.col("vec_id") * mult + F.col("_v")).alias("vec_id"),
         F.transform(
             "embedding",
-            lambda x, i: F.when(
-                i == 0, x + F.col("_v").cast("float") * F.lit(0.01)
-            ).otherwise(x),
+            lambda x, i: F.when(i == 0, x + nudge).otherwise(x),
         ).alias("embedding"),
     )
 
