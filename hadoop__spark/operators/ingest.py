@@ -1998,7 +1998,8 @@ def state_summary(spark, state_dir: str) -> dict:
          "orphans": [...],         # fsck_state would repair these
          "stale_sketches": [...],  # overstating since a retraction
          "accounting_overstatement": {"n_docs": int,
-                                      "snapshot_rows": int} | None}
+                                      "snapshot_rows": int} | None,
+         "decontaminated": [...]}  # audit tables, one per benchmark
     """
     from hadoop__spark.operators.util import parquet_row_count
 
@@ -2059,6 +2060,10 @@ def state_summary(spark, state_dir: str) -> dict:
             "n_docs": int(n_docs or 0),
             "snapshot_rows": snapshot_rows,
         }
+    decontaminated = sorted(
+        d.rstrip("/").rsplit("/", 1)[-1]
+        for d in _list_child_dirs(spark, f"{state_dir}/decontamination")
+    )
     return {
         "text_method": method,
         "tables": tables,
@@ -2074,4 +2079,5 @@ def state_summary(spark, state_dir: str) -> dict:
         "orphans": orphans,
         "stale_sketches": stale,
         "accounting_overstatement": overstatement,
+        "decontaminated": decontaminated,
     }

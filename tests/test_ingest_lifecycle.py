@@ -718,6 +718,8 @@ def test_decontaminate_state_retroactive(spark, tmp_path):
         spark, f"{state}/fingerprints", ["keep_id"]
     )
     assert not {(3,), (12,)} & _rows(spark, f"{state}/signatures", ["_id"])
+    # the audit trail shows up in the operational summary
+    assert state_summary(spark, state)["decontaminated"] == ["evalset"]
     # idempotent: the contaminated docs are already gone
     assert decontaminate_state(spark, state, bench, "evalset").count() == 0
     # retraction semantics: a bare re-arrival would be re-admitted, so
