@@ -347,13 +347,19 @@ def _write_state_tables(
     embedding_col: str = "embedding",
     nlist: int | None = None,
     seed: int = 42,
+    include: set[str] | None = None,
 ) -> set[str]:
     """THE survivors→state-table mapping, shared by
-    :func:`ingest_batch`'s append section and :func:`rebuild_state`'s
-    writer section — one implementation of (plane → writer,
-    policy → writer), so the two routes cannot drift (the same drift
-    class the shared ``eligibility_filter`` retired for the gate/cap
-    logic in round 8).
+    :func:`ingest_batch`'s append section, :func:`rebuild_state`'s
+    writer section and :func:`rebuild_sketch_states` — one
+    implementation of (plane → writer, policy → writer), so the
+    routes cannot drift (the same drift class the shared
+    ``eligibility_filter`` retired for the gate/cap logic in round 8).
+
+    ``include`` restricts which coverage planes are written (names
+    from :func:`_required_planes`; None = every plane the options
+    enable) — the targeted-repair path writes only the kilobyte
+    policy/sketch tables without touching the text/embedding planes.
 
     ``mode``: ``"bootstrap"`` / ``"rebuild"`` overwrite every table;
     ``"append"`` adds the batch's rows (the ingest loop) — the ngram
@@ -375,9 +381,13 @@ def _write_state_tables(
     """
     if mode not in ("bootstrap", "append", "rebuild"):
         raise ValueError(f"unknown state-writer mode {mode!r}")
+
+    def _on(plane: str) -> bool:
+        return include is None or plane in include
+
     write_mode = "append" if mode == "append" else "overwrite"
-    covered = {"fingerprints", "text"}
-    if group_cap_col is not None:
+    covered = set()
+    if group_cap_col is not None and _on("group_counts"):
         # the survivors' per-group admitted counts — the cap state
         # counts what the corpus retains, not what was offered
         (
@@ -387,7 +397,7 @@ def _write_state_tables(
             .parquet(f"{state_dir}/group_counts")
         )
         covered.add("group_counts")
-    if write_gate:
+    if write_gate and _on("gate"):
         if scores is None:
             raise ValueError("gate state needs a scores frame")
         # the SURVIVORS' score sketch: the gate state tracks the
@@ -406,7 +416,7 @@ def _write_state_tables(
             write_mode
         ).parquet(f"{state_dir}/score_sketches")
         covered.add("gate")
-    if accounting_col is not None:
+    if accounting_col is not None and _on("accounting"):
         # kilobytes per group, merged at read time; cache=False so a
         # daily loop leaves no CacheManager residency behind (the base
         # frame is batch-sized; tokenizing twice is cheaper than a leak)
@@ -418,28 +428,32 @@ def _write_state_tables(
             surv, group_col=accounting_col, text_col=text_col
         ).write.mode(write_mode).parquet(f"{state_dir}/accounting/overlap")
         covered.add("accounting")
-    fingerprint_write(surv, state_dir, text_col, id_col, mode=write_mode)
-    plane_path, _ = _plane_paths(state_dir, text_method)
-    if text_method == "minhash":
-        minhash_write_signatures(
-            surv, plane_path, text_col, id_col, n=n, num_perm=num_perm,
-            mode=write_mode,
-        )
-    elif text_method == "simhash":
-        simhash_write_signatures(
-            surv, plane_path, text_col, id_col, n=n, mode=write_mode
-        )
-    elif mode == "append":
-        # the append cross-checks n/threshold against the stored meta
-        ngram_append_index(
-            spark, plane_path, surv, text_col, id_col, n=n,
-            threshold=threshold,
-        )
-    else:
-        ngram_write_index(
-            surv, plane_path, text_col, id_col, n=n, threshold=threshold
-        )
-    if embeddings is not None:
+    if _on("fingerprints"):
+        fingerprint_write(surv, state_dir, text_col, id_col, mode=write_mode)
+        covered.add("fingerprints")
+    if _on("text"):
+        plane_path, _ = _plane_paths(state_dir, text_method)
+        if text_method == "minhash":
+            minhash_write_signatures(
+                surv, plane_path, text_col, id_col, n=n, num_perm=num_perm,
+                mode=write_mode,
+            )
+        elif text_method == "simhash":
+            simhash_write_signatures(
+                surv, plane_path, text_col, id_col, n=n, mode=write_mode
+            )
+        elif mode == "append":
+            # the append cross-checks n/threshold against the stored meta
+            ngram_append_index(
+                spark, plane_path, surv, text_col, id_col, n=n,
+                threshold=threshold,
+            )
+        else:
+            ngram_write_index(
+                surv, plane_path, text_col, id_col, n=n, threshold=threshold
+            )
+        covered.add("text")
+    if embeddings is not None and _on("embeddings"):
         ivf_path = f"{state_dir}/ivf"
         emb = embeddings.select(
             F.col(id_col).alias("_eid"), F.col(embedding_col)
@@ -1297,6 +1311,92 @@ def rebuild_state(
     # would re-expose it if THIS rebuild crashed mid-write
     _delete_path(spark, f"{state_dir}/{_RETRACT_MARKER}")
     return union
+
+
+def rebuild_sketch_states(
+    spark,
+    state_dir: str,
+    scores: DataFrame | None = None,
+    score_col: str = "quality_score",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Reconsolidate ONLY the policy/sketch state tables from the
+    batch snapshots — the targeted repair for the staleness a fast
+    retraction leaves (:func:`retract_documents` ``mode="fast"``
+    cannot subtract from sketches), without the text-plane re-sign /
+    IVF refit a full :func:`rebuild_state` pays.  Cost: column-pruned
+    snapshot scans (one tokenizing pass for the accounting sketches);
+    no shingling, no signatures, no centroid fit.
+
+    Rebuilt, per the stored policy: ``group_counts`` (consolidated to
+    one exact row per group — also collapses the fast path's
+    accumulated negative rows), ``accounting/*`` (the snapshots hold
+    the documents; no external input needed), and — only when
+    ``scores`` is supplied, since snapshots do not hold scores —
+    ``score_sketches`` (one consolidated sketch over the retained
+    corpus).  The text and embedding planes are NOT touched (the fast
+    retraction already deleted their rows exactly) and commit markers
+    are left as-is (coverage refusals stay conservative).  Stale
+    markers clear for whatever was rebuilt.
+
+    Runs under the maintenance lock: unlike :func:`rebuild_state`
+    (the crash-recovery path, which must run even when markers are
+    stale), this is a maintenance operation on a HEALTHY state and
+    must not race a concurrent ingest's appends.
+
+    Returns ``{"rebuilt": [...], "still_stale": [...]}`` (coverage
+    plane names / stale-marker entries).
+    """
+    pol = _read_policy(spark, state_dir)
+    if pol is None:
+        raise ValueError(
+            f"no ingest policy at {state_dir}/policy — the targeted "
+            "sketch rebuild needs it to know which policy states "
+            "exist; use rebuild_state for legacy states"
+        )
+    group_cap_col = pol.get("group_cap_col")
+    accounting_col = pol.get("accounting_col")
+    write_gate = bool(pol.get("has_quality_gate")) and scores is not None
+    include = set()
+    if group_cap_col is not None:
+        include.add("group_counts")
+    if accounting_col is not None:
+        include.add("accounting")
+    if write_gate:
+        include.add("gate")
+    if not include:
+        return {"rebuilt": [], "still_stale": sorted(_read_stale(spark, state_dir))}
+    with _maintenance_lock(spark, state_dir):
+        union = _read_snapshots_union(spark, state_dir)
+        covered = _write_state_tables(
+            spark,
+            state_dir,
+            union,
+            mode="rebuild",
+            text_col=text_col,
+            id_col=id_col,
+            text_method=pol["text_method"],
+            n=pol.get("n") or 3,
+            num_perm=pol.get("num_perm") or 64,
+            threshold=pol.get("threshold") or 0.8,
+            scores=scores,
+            score_col=score_col,
+            write_gate=write_gate,
+            group_cap_col=group_cap_col,
+            accounting_col=accounting_col,
+            include=include,
+        )
+        rebuilt = set()
+        if "gate" in covered:
+            rebuilt.add("score_sketches")
+        if "accounting" in covered:
+            rebuilt.add("accounting")
+        _clear_stale(spark, state_dir, rebuilt)
+        return {
+            "rebuilt": sorted(covered),
+            "still_stale": sorted(_read_stale(spark, state_dir)),
+        }
 
 
 def _rewrite_snapshots_without(

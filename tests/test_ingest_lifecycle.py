@@ -763,3 +763,75 @@ def test_retract_ids_lazily_derived_from_snapshots(spark, tmp_path):
         }
         # input staging cleaned up on the way out
         assert not table_exists(spark, f"{state}/tmp/retract_ids")
+
+
+def test_rebuild_sketch_states_targeted_repair(spark, tmp_path):
+    """After a fast retraction, rebuild_sketch_states repairs ONLY
+    the kilobyte policy/sketch tables: their contents equal the
+    full-rebuild timeline's (cap totals, merged accounting, KLL
+    quantiles in the exact regime), every stale marker clears, and
+    the text/embedding plane files are untouched byte-for-byte — no
+    re-sign, no IVF refit."""
+    from hadoop__spark.operators import corpus
+    from hadoop__spark.operators.ingest import rebuild_sketch_states
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _build_state(spark, a, BATCHES)
+    _build_state(spark, b, BATCHES)
+    all_ids = [i for ids in BATCHES.values() for i in ids]
+    victims = spark.createDataFrame([(2,), (16,)], "doc_id LONG")
+    retract_documents(spark, a, victims, mode="fast")
+    retract_documents(
+        spark, b, victims, mode="rebuild",
+        scores=_scores(spark, all_ids), embeddings=_embs(spark, all_ids),
+    )
+
+    def plane_files(state):
+        return {
+            p: os.path.getmtime(p)
+            for sub in ("signatures", "shingles", "fingerprints", "ivf")
+            for p in glob.glob(f"{state}/{sub}/**", recursive=True)
+            if p.endswith(".parquet")
+        }
+
+    before = plane_files(a)
+    out = rebuild_sketch_states(spark, a, scores=_scores(spark, all_ids))
+    assert out["rebuilt"] == ["accounting", "gate", "group_counts"]
+    assert out["still_stale"] == []
+    assert plane_files(a) == before
+    s = state_summary(spark, a)
+    assert s["stale_sketches"] == []
+    assert s["accounting_overstatement"] is None
+
+    def counts(state):
+        return {
+            r.src: r.n
+            for r in spark.read.parquet(f"{state}/group_counts")
+            .groupBy("src").agg(F.sum("n_admitted").alias("n")).collect()
+        }
+
+    assert counts(a) == counts(b)
+    # consolidated: the fast path's negative rows are collapsed away
+    assert spark.read.parquet(f"{a}/group_counts").count() == 2
+
+    def quant(state):
+        r = corpus.score_quantiles(
+            corpus.merge_score_sketches(
+                spark.read.parquet(f"{state}/score_sketches")
+            ),
+            from_sketches=True,
+        ).first()
+        return (r.n_scores, r.q_0_5, r.q_0_99)
+
+    assert quant(a) == quant(b)
+
+    def acct(state):
+        return {
+            r.src: (r.n_docs, r.n_tokens)
+            for r in corpus.merge_corpus_stats(
+                spark.read.parquet(f"{state}/accounting/stats"),
+                group_cols=["src"],
+            ).select("src", "n_docs", "n_tokens").collect()
+        }
+
+    assert acct(a) == acct(b)
