@@ -835,3 +835,40 @@ def test_rebuild_sketch_states_targeted_repair(spark, tmp_path):
         }
 
     assert acct(a) == acct(b)
+
+
+def test_retract_entire_batch_leaves_empty_snapshot(spark, tmp_path):
+    """Retracting every document of one batch must leave that
+    snapshot EMPTY but complete (schema preserved, commit marker
+    kept) — the union, the summary, a later rebuild and the next
+    ingest all tolerate the zero-row member."""
+    from hadoop__spark.operators.ingest import _read_snapshots_union
+
+    state = str(tmp_path / "state")
+    ingest_batch(spark, state, _docs(spark, range(1, 8)), "b1")
+    ingest_batch(spark, state, _docs(spark, range(8, 14)), "b2")
+    victims = spark.createDataFrame([(i,) for i in range(8, 14)], "doc_id LONG")
+    left = retract_documents(spark, state, victims, mode="fast")
+    assert {r.doc_id for r in left.collect()} == set(range(1, 8))
+    b2 = spark.read.parquet(f"{state}/batches/b2")
+    assert b2.count() == 0 and "text" in b2.columns
+    s = state_summary(spark, state)
+    assert {b["name"]: b["rows"] for b in s["batches"]} == {"b1": 7, "b2": 0}
+    assert all(b["committed"] for b in s["batches"])
+    assert not {(i,) for i in range(8, 14)} & _rows(
+        spark, f"{state}/signatures", ["_id"]
+    )
+    # a retracted text re-arrives → admitted again (first-arrival inverse)
+    surv = ingest_batch(
+        spark, state,
+        _docs(spark, [8]).withColumn("doc_id", F.lit(200).cast("long")),
+        "b3",
+    )
+    assert {r.doc_id for r in surv.collect()} == {200}
+    # rebuild over a union containing the empty snapshot stays exact
+    rebuild_state(spark, state)
+    kept = {r.doc_id for r in _read_snapshots_union(spark, state).collect()}
+    assert kept == set(range(1, 8)) | {200}
+    assert not {(i,) for i in range(8, 14)} & _rows(
+        spark, f"{state}/fingerprints", ["keep_id"]
+    )
