@@ -1406,11 +1406,18 @@ def _rewrite_snapshots_without(
     """Rewrite every COMPLETE batch snapshot without the retracted
     ids (``retract``: one ``_retract`` column), via write-new / swap —
     a parquet table cannot be overwritten while it is being read.
-    Untouched snapshots are skipped via a cheap probe — a pushed
-    ``IN`` predicate when the set is bounded (``retract_values``;
-    row-group min/max stats skip clean snapshots without reading
-    rows), else a broadcast semi-join.  Returns the rewritten
-    snapshot paths.
+    Returns the rewritten snapshot paths.
+
+    Hit-snapshot discovery is ONE scan over every complete snapshot
+    (not a probe job per snapshot — at thousands of batches the
+    per-probe driver round-trips would dominate a small takedown):
+    a pushed ``IN`` predicate when the set is bounded
+    (``retract_values``; row-group min/max stats skip clean files
+    without reading rows), else ``input_file_name`` tagged below a
+    broadcast semi-join, mapped back to snapshot names from the file
+    paths.  ``mergeSchema`` handles snapshots whose optional columns
+    drifted across batches (the same tolerance the rebuild's
+    ``unionByName(allowMissingColumns)`` gives).
 
     The swap tmp lives OUTSIDE ``batches/`` (``{state_dir}/tmp/
     retract/{name}``): a crash after the tmp write completes but
@@ -1419,23 +1426,43 @@ def _rewrite_snapshots_without(
     survive and kept rows silently duplicate).  :func:`fsck_state`
     sweeps or restores whatever a crash leaves at either side of the
     delete→rename window."""
-    rewritten = []
-    for b in _list_child_dirs(spark, f"{state_dir}/batches"):
-        if not _table_exists(spark, f"{b}/_SUCCESS"):
-            continue  # partial snapshot; rebuild_state sweeps it
-        snap = spark.read.parquet(b)
-        if retract_values is not None:
-            probe = snap.where(F.col(id_col).isin(retract_values))
-        else:
-            probe = snap.join(
-                retract, F.col(id_col) == F.col("_retract"), "left_semi"
+    complete = [
+        b
+        for b in _list_child_dirs(spark, f"{state_dir}/batches")
+        if _table_exists(spark, f"{b}/_SUCCESS")
+        # partial snapshots are excluded; rebuild_state sweeps them
+    ]
+    if not complete:
+        return []
+    scan = spark.read.option("mergeSchema", "true").parquet(*complete)
+    if retract_values is not None:
+        hits = scan.where(F.col(id_col).isin(retract_values)).select(
+            F.input_file_name().alias("_file")
+        )
+    else:
+        hits = (
+            scan.withColumn("_file", F.input_file_name())
+            .join(
+                F.broadcast(retract),
+                F.col(id_col) == F.col("_retract"),
+                "left_semi",
             )
-        if not probe.limit(1).count():
+            .select("_file")
+        )
+    hit_names = {
+        # .../batches/{name}/part-….parquet → {name}
+        r._file.rsplit("/batches/", 1)[1].split("/", 1)[0]
+        for r in hits.distinct().collect()
+    }
+    rewritten = []
+    for b in complete:
+        name = b.rstrip("/").rsplit("/", 1)[-1]
+        if name not in hit_names:
             continue
+        snap = spark.read.parquet(b)
         kept = snap.join(
             retract, F.col(id_col) == F.col("_retract"), "left_anti"
         )
-        name = b.rstrip("/").rsplit("/", 1)[-1]
         # preserve the commit marker's coverage across the swap (the
         # fast path re-marks the rewritten snapshot itself; the
         # rebuild path re-marks from its own covered set)
