@@ -638,3 +638,98 @@ def test_ingest_survivors_pairwise_clean_any_id_order(spark, texts, data):
         assert ingest_batch(spark, state, everything, "b3").count() == 0
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=4,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retract_fast_equals_rebuild_any_subset(spark, texts, data):
+    """r9 property: for ANY corpus, ANY two-batch split, and ANY
+    victim subset (retained keepers, duplicate-dropped ids, ghosts —
+    even the whole corpus), the fast plane-local retraction leaves
+    the same snapshots and probe-visible text-plane state as the
+    full-rebuild path, and both timelines' NEXT ingest of the full
+    corpus admits the same ids."""
+    import shutil
+    import tempfile
+
+    from hadoop__spark.operators.ingest import (
+        ingest_batch,
+        retract_documents,
+    )
+
+    ids = data.draw(
+        st.permutations(list(range(100, 100 + len(texts)))), label="ids"
+    )
+    mask = data.draw(
+        st.lists(
+            st.booleans(), min_size=len(texts), max_size=len(texts)
+        ).filter(lambda m: any(m) and not all(m)),
+        label="batch mask",
+    )
+    vmask = data.draw(
+        st.lists(
+            st.booleans(), min_size=len(texts), max_size=len(texts)
+        ).filter(any),
+        label="victim mask",
+    )
+    ghost = data.draw(st.booleans(), label="ghost victim")
+    rows = list(zip(ids, texts))
+    b1 = [r for r, m in zip(rows, mask) if m]
+    b2 = [r for r, m in zip(rows, mask) if not m]
+    victims = [(i,) for (i, _), v in zip(rows, vmask) if v]
+    if ghost:
+        victims.append((9999,))
+    base = tempfile.mkdtemp(prefix="retract_prop_")
+    a, b = f"{base}/a", f"{base}/b"
+    try:
+        for state in (a, b):
+            for name, part in [("b1", b1), ("b2", b2)]:
+                df = spark.createDataFrame(part, "doc_id LONG, text STRING")
+                ingest_batch(spark, state, df, name)
+        vdf = spark.createDataFrame(victims, "doc_id LONG")
+        left_a = retract_documents(spark, a, vdf, mode="fast")
+        left_b = retract_documents(spark, b, vdf, mode="rebuild")
+        assert {r.doc_id for r in left_a.collect()} == {
+            r.doc_id for r in left_b.collect()
+        }
+
+        def tbl(state, rel, cols):
+            return {
+                tuple(getattr(r, c) for c in cols)
+                for r in spark.read.parquet(f"{state}/{rel}")
+                .select(*cols)
+                .collect()
+            }
+
+        assert tbl(a, "fingerprints", ["fp", "keep_id"]) == tbl(
+            b, "fingerprints", ["fp", "keep_id"]
+        )
+        assert tbl(a, "signatures", ["_id", "mh_0", "mh_63"]) == tbl(
+            b, "signatures", ["_id", "mh_0", "mh_63"]
+        )
+        everything = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        admitted = {
+            state: {
+                r.doc_id
+                for r in ingest_batch(
+                    spark, state, everything, "bz"
+                ).collect()
+            }
+            for state in (a, b)
+        }
+        assert admitted[a] == admitted[b]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
