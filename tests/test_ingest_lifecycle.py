@@ -872,3 +872,38 @@ def test_retract_entire_batch_leaves_empty_snapshot(spark, tmp_path):
     assert not {(i,) for i in range(8, 14)} & _rows(
         spark, f"{state}/fingerprints", ["keep_id"]
     )
+
+
+def test_rebuild_sketch_states_edges(spark, tmp_path):
+    """The targeted repair refuses legacy (pre-policy) states by
+    name, no-ops when the policy enables no sketch state, and leaves
+    the gate stale when scores are withheld."""
+    from hadoop__spark.operators.ingest import rebuild_sketch_states
+
+    # legacy state: policy table removed
+    state = str(tmp_path / "legacy")
+    ingest_batch(spark, state, _docs(spark, range(1, 6)), "b1")
+    shutil.rmtree(f"{state}/policy")
+    with pytest.raises(ValueError, match="policy"):
+        rebuild_sketch_states(spark, state)
+    # text-only policy: nothing to rebuild, lock never taken
+    plain = str(tmp_path / "plain")
+    ingest_batch(spark, plain, _docs(spark, range(1, 6)), "b1")
+    out = rebuild_sketch_states(spark, plain)
+    assert out == {"rebuilt": [], "still_stale": []}
+    # gated corpus, scores withheld: cap+accounting rebuild, the
+    # score sketch stays stale after a fast retraction
+    gated = str(tmp_path / "gated")
+    ids = list(range(1, 12))
+    ingest_batch(
+        spark, gated, _docs(spark, ids), "b1",
+        scores=_scores(spark, ids), keep_frac=0.95,
+        group_cap=("src", 50), accounting_col="src",
+    )
+    retract_documents(
+        spark, gated, spark.createDataFrame([(2,)], "doc_id LONG"),
+        mode="fast",
+    )
+    out = rebuild_sketch_states(spark, gated)
+    assert out["rebuilt"] == ["accounting", "group_counts"]
+    assert out["still_stale"] == ["score_sketches"]
