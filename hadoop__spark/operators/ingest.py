@@ -1343,7 +1343,10 @@ def rebuild_sketch_states(
     Runs under the maintenance lock: unlike :func:`rebuild_state`
     (the crash-recovery path, which must run even when markers are
     stale), this is a maintenance operation on a HEALTHY state and
-    must not race a concurrent ingest's appends.
+    must not race a concurrent ingest's appends.  (The takedown verbs
+    compose the same repair in-line via ``repair_sketches=True``,
+    under their own lock hold — one call, one lock, healthy end
+    state.)
 
     Returns ``{"rebuilt": [...], "still_stale": [...]}`` (coverage
     plane names / stale-marker entries).
@@ -1355,48 +1358,66 @@ def rebuild_sketch_states(
             "sketch rebuild needs it to know which policy states "
             "exist; use rebuild_state for legacy states"
         )
-    group_cap_col = pol.get("group_cap_col")
-    accounting_col = pol.get("accounting_col")
-    write_gate = bool(pol.get("has_quality_gate")) and scores is not None
-    include = set()
-    if group_cap_col is not None:
-        include.add("group_counts")
-    if accounting_col is not None:
-        include.add("accounting")
-    if write_gate:
-        include.add("gate")
+    include = _sketch_repair_planes(pol, scores)
     if not include:
         return {"rebuilt": [], "still_stale": sorted(_read_stale(spark, state_dir))}
     with _maintenance_lock(spark, state_dir):
-        union = _read_snapshots_union(spark, state_dir)
-        covered = _write_state_tables(
-            spark,
-            state_dir,
-            union,
-            mode="rebuild",
-            text_col=text_col,
-            id_col=id_col,
-            text_method=pol["text_method"],
-            n=pol.get("n") or 3,
-            num_perm=pol.get("num_perm") or 64,
-            threshold=pol.get("threshold") or 0.8,
-            scores=scores,
-            score_col=score_col,
-            write_gate=write_gate,
-            group_cap_col=group_cap_col,
-            accounting_col=accounting_col,
-            include=include,
+        return _rebuild_sketch_states_locked(
+            spark, state_dir, pol, include, scores, score_col, text_col,
+            id_col,
         )
-        rebuilt = set()
-        if "gate" in covered:
-            rebuilt.add("score_sketches")
-        if "accounting" in covered:
-            rebuilt.add("accounting")
-        _clear_stale(spark, state_dir, rebuilt)
-        return {
-            "rebuilt": sorted(covered),
-            "still_stale": sorted(_read_stale(spark, state_dir)),
-        }
+
+
+def _sketch_repair_planes(pol: dict, scores: DataFrame | None) -> set[str]:
+    """The coverage planes a targeted sketch repair can rebuild under
+    a stored policy with the given external inputs."""
+    include = set()
+    if pol.get("group_cap_col") is not None:
+        include.add("group_counts")
+    if pol.get("accounting_col") is not None:
+        include.add("accounting")
+    if bool(pol.get("has_quality_gate")) and scores is not None:
+        include.add("gate")
+    return include
+
+
+def _rebuild_sketch_states_locked(
+    spark, state_dir: str, pol: dict, include: set[str],
+    scores: DataFrame | None, score_col: str, text_col: str, id_col: str,
+) -> dict:
+    """:func:`rebuild_sketch_states`' body, run while the caller holds
+    the maintenance lock — shared with the takedown verbs'
+    ``repair_sketches=True`` composition (which already holds the lock
+    for its snapshot rewrites and must not re-acquire)."""
+    union = _read_snapshots_union(spark, state_dir)
+    covered = _write_state_tables(
+        spark,
+        state_dir,
+        union,
+        mode="rebuild",
+        text_col=text_col,
+        id_col=id_col,
+        text_method=pol["text_method"],
+        n=pol.get("n") or 3,
+        num_perm=pol.get("num_perm") or 64,
+        threshold=pol.get("threshold") or 0.8,
+        scores=scores,
+        score_col=score_col,
+        write_gate="gate" in include,
+        group_cap_col=pol.get("group_cap_col"),
+        accounting_col=pol.get("accounting_col"),
+        include=include,
+    )
+    rebuilt = set()
+    if "gate" in covered:
+        rebuilt.add("score_sketches")
+    if "accounting" in covered:
+        rebuilt.add("accounting")
+    _clear_stale(spark, state_dir, rebuilt)
+    return {
+        "rebuilt": sorted(covered),
+        "still_stale": sorted(_read_stale(spark, state_dir)),
+    }
 
 
 def _rewrite_snapshots_without(
@@ -1484,6 +1505,7 @@ def retract_documents(
     ids: DataFrame,
     id_col: str = "doc_id",
     mode: str = "auto",
+    repair_sketches: bool = False,
     **rebuild_kwargs,
 ) -> DataFrame:
     """Remove documents from an ingested corpus — the takedown /
@@ -1510,9 +1532,10 @@ def retract_documents(
       (``score_sketches``, ``accounting/*``) are left OVERSTATING and
       recorded in the ``_STALE_SKETCHES`` marker —
       :func:`state_summary` reports them and the next
-      :func:`rebuild_state` with the matching inputs clears them.
-      The ngram plane's frozen ``doc_freq`` also stays (stale df only
-      lengthens prefixes — recall-safe, the
+      :func:`rebuild_state` with the matching inputs clears them —
+      or pass ``repair_sketches=True`` (below) to end healthy in this
+      one call.  The ngram plane's frozen ``doc_freq`` also stays
+      (stale df only lengthens prefixes — recall-safe, the
       :func:`~hadoop__spark.operators.dedup.ngram_append_index`
       argument).  Requires a persisted ingest policy (to know the
       plane and cap column); refuses otherwise.
@@ -1523,6 +1546,20 @@ def retract_documents(
       run and the repair for any state the fast path left stale.
     * ``"auto"``: ``"fast"`` when a policy table exists, else
       ``"rebuild"`` (legacy states).
+
+    ``repair_sketches=True`` makes the call END HEALTHY: after the
+    fast path's surgeries it runs the targeted sketch repair of
+    :func:`rebuild_sketch_states` in-line, under the SAME maintenance
+    lock hold — kilobyte-table reconsolidation from the (already
+    rewritten) snapshots, no corpus re-sign, no IVF refit — so
+    :func:`state_summary` reports nothing stale when the call returns.
+    The fast path then accepts the repair's external inputs as
+    keyword arguments (``scores`` / ``score_col`` / ``text_col``);
+    when a ``score_sketches`` state exists, ``scores`` is REQUIRED
+    (refused up-front, before any destructive rewrite — sketches
+    cannot subtract, and "repaired" must not silently mean "still
+    overstating the gate").  Under ``mode="rebuild"`` the same
+    up-front requirement applies and the rebuild itself is the repair.
 
     Every rebuild parameter and the plane layout are validated BEFORE
     the first destructive snapshot rewrite — a typo'd kwarg or a
@@ -1582,11 +1619,40 @@ def retract_documents(
         _validate_rebuild_layout(
             spark, state_dir, rb_method, rb_n, rb_perm, rb_thresh
         )
-    elif rebuild_kwargs:
-        raise TypeError(
-            "rebuild_kwargs only apply to mode='rebuild' — the fast "
-            "path takes everything from the stored policy, got "
-            f"{sorted(rebuild_kwargs)}"
+    else:
+        # the fast path takes everything from the stored policy; the
+        # only keywords it accepts are the in-line sketch repair's
+        # external inputs (and those only when the repair is on)
+        allowed = (
+            {"scores", "score_col", "text_col"} if repair_sketches else set()
+        )
+        unknown = set(rebuild_kwargs) - allowed
+        if unknown:
+            raise TypeError(
+                "rebuild_kwargs only apply to mode='rebuild' — the fast "
+                "path takes everything from the stored policy"
+                + (
+                    " (with repair_sketches=True it also accepts "
+                    "scores/score_col/text_col for the in-line repair)"
+                    if repair_sketches
+                    else ""
+                )
+                + f", got {sorted(unknown)}"
+            )
+    if (
+        repair_sketches
+        and rebuild_kwargs.get("scores") is None
+        and _table_exists(spark, f"{state_dir}/score_sketches")
+    ):
+        # refused BEFORE any destructive rewrite: the KLL gate sketch
+        # cannot subtract, so without the corpus scores a "repaired"
+        # state would still overstate the gate — the caller asked for
+        # a healthy end state and must supply what it takes
+        raise ValueError(
+            f"repair_sketches=True on {state_dir} needs a scores "
+            "frame — a score_sketches state exists and sketches "
+            "cannot subtract; pass scores=<corpus (id, score) frame> "
+            "(or drop repair_sketches and rebuild_sketch_states later)"
         )
     with _maintenance_lock(spark, state_dir):
         # FREEZE the retract set before any mutation: the caller's
@@ -1621,9 +1687,25 @@ def retract_documents(
                 return rebuild_state(
                     spark, state_dir, id_col=id_col, **rebuild_kwargs
                 )
-            return _retract_fast(
+            result = _retract_fast(
                 spark, state_dir, retract, id_col, pol, vals
             )
+            if repair_sketches and _read_stale(spark, state_dir):
+                # the in-line targeted repair, under THIS lock hold —
+                # the snapshots are already rewritten, so the
+                # reconsolidated sketches describe the retained corpus
+                include = _sketch_repair_planes(
+                    pol, rebuild_kwargs.get("scores")
+                )
+                if include:
+                    _rebuild_sketch_states_locked(
+                        spark, state_dir, pol, include,
+                        rebuild_kwargs.get("scores"),
+                        rebuild_kwargs.get("score_col", "quality_score"),
+                        rebuild_kwargs.get("text_col", "text"),
+                        id_col,
+                    )
+            return result
         finally:
             _delete_path(spark, ids_tmp)
 
@@ -1909,6 +1991,7 @@ def decontaminate_state(
     max_overlap: float = 0.0,
     n: int = 3,
     mode: str = "auto",
+    repair_sketches: bool = False,
     **rebuild_kwargs,
 ) -> DataFrame:
     """Retroactive benchmark decontamination of an ALREADY-INGESTED
@@ -1927,10 +2010,13 @@ def decontaminate_state(
     ``{state_dir}/decontamination/{benchmark_name}`` (takedowns need
     a paper trail, and the report must materialize BEFORE the
     retraction rewrites the snapshots it reads), then retract the
-    flagged ids (``mode``/``rebuild_kwargs`` forwarded —
-    ``"auto"`` takes the fast plane-local path when a policy table
-    exists).  Returns the audit report (one row per retracted
-    document: id, n_shingles, n_hits, overlap_frac).
+    flagged ids (``mode``/``repair_sketches``/``rebuild_kwargs``
+    forwarded — ``"auto"`` takes the fast plane-local path when a
+    policy table exists; ``repair_sketches=True`` composes the
+    targeted sketch repair under the same lock so the takedown ends
+    with nothing stale, see :func:`retract_documents`).  Returns the
+    audit report (one row per retracted document: id, n_shingles,
+    n_hits, overlap_frac).
 
     Re-running with the same benchmark is a no-op returning an empty
     report — the contaminated documents are already gone, and the
@@ -1950,7 +2036,7 @@ def decontaminate_state(
     if report.limit(1).count():
         retract_documents(
             spark, state_dir, report.select(id_col), id_col=id_col,
-            mode=mode, **rebuild_kwargs,
+            mode=mode, repair_sketches=repair_sketches, **rebuild_kwargs,
         )
     return report
 

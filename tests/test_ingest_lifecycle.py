@@ -907,3 +907,124 @@ def test_rebuild_sketch_states_edges(spark, tmp_path):
     out = rebuild_sketch_states(spark, gated)
     assert out["rebuilt"] == ["accounting", "group_counts"]
     assert out["still_stale"] == ["score_sketches"]
+
+
+def test_retract_repair_sketches_one_call(spark, tmp_path):
+    """Round-10: repair_sketches=True makes a fast takedown END
+    HEALTHY in one call, under the one maintenance lock — the
+    targeted sketch repair runs in-line, so the summary shows nothing
+    stale, and the resulting tables equal the two-call composition
+    (fast retract, then rebuild_sketch_states).  Withholding scores
+    on a gated corpus refuses BEFORE any destructive rewrite."""
+    from hadoop__spark.operators import corpus
+    from hadoop__spark.operators.ingest import rebuild_sketch_states
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _build_state(spark, a, BATCHES)
+    _build_state(spark, b, BATCHES)
+    all_ids = [i for ids in BATCHES.values() for i in ids]
+    victims = spark.createDataFrame([(2,), (16,)], "doc_id LONG")
+    # a gated corpus refuses the healthy-end-state request without
+    # the scores it takes — and the refusal is PRE-mutation: the
+    # victims are still in the snapshots and the signature plane
+    with pytest.raises(ValueError, match="scores"):
+        retract_documents(spark, a, victims, mode="fast",
+                          repair_sketches=True)
+    assert {(2,), (16,)} <= _rows(spark, f"{a}/batches/*", ["doc_id"])
+    assert {(2,), (16,)} <= _rows(spark, f"{a}/signatures", ["_id"])
+    # unknown kwargs on the fast path still refuse, repair or not
+    with pytest.raises(TypeError, match="embeddings"):
+        retract_documents(spark, a, victims, mode="fast",
+                          repair_sketches=True,
+                          embeddings=_embs(spark, all_ids))
+    with pytest.raises(TypeError, match="scores"):
+        retract_documents(spark, a, victims, mode="fast",
+                          scores=_scores(spark, all_ids))
+    # the one-call path vs the two-call composition
+    left_a = retract_documents(
+        spark, a, victims, mode="fast", repair_sketches=True,
+        scores=_scores(spark, all_ids),
+    )
+    retract_documents(spark, b, victims, mode="fast")
+    rebuild_sketch_states(spark, b, scores=_scores(spark, all_ids))
+    sa, sb = state_summary(spark, a), state_summary(spark, b)
+    assert sa["stale_sketches"] == [] == sb["stale_sketches"]
+    assert sa["accounting_overstatement"] is None
+    assert sa["maintenance_lock"] is False  # released after the repair
+    assert {r.doc_id for r in left_a.collect()} == {
+        t[0] for t in _rows(spark, f"{b}/batches/*", ["doc_id"])
+    }
+
+    def counts(state):
+        return {
+            r.src: r.n
+            for r in spark.read.parquet(f"{state}/group_counts")
+            .groupBy("src").agg(F.sum("n_admitted").alias("n")).collect()
+        }
+
+    assert counts(a) == counts(b)
+
+    def quant(state):
+        r = corpus.score_quantiles(
+            corpus.merge_score_sketches(
+                spark.read.parquet(f"{state}/score_sketches")
+            ),
+            from_sketches=True,
+        ).first()
+        return (r.n_scores, r.q_0_5, r.q_0_99)
+
+    assert quant(a) == quant(b)
+
+    def acct(state):
+        return {
+            r.src: (r.n_docs, r.n_tokens)
+            for r in corpus.merge_corpus_stats(
+                spark.read.parquet(f"{state}/accounting/stats"),
+                group_cols=["src"],
+            ).select("src", "n_docs", "n_tokens").collect()
+        }
+
+    assert acct(a) == acct(b)
+    # a ghost takedown (no hits) with repair requested: no staleness
+    # arises, the repair is skipped, the call stays cheap and green
+    ghost = spark.createDataFrame([(9999,)], "doc_id LONG")
+    retract_documents(
+        spark, a, ghost, mode="fast", repair_sketches=True,
+        scores=_scores(spark, all_ids),
+    )
+    assert state_summary(spark, a)["stale_sketches"] == []
+
+
+def test_decontaminate_repair_sketches_one_call(spark, tmp_path):
+    """decontaminate_state(repair_sketches=True) forwards the in-line
+    repair: a retroactive takedown on an accounted corpus ends with
+    nothing stale and the accounting equal to the retained corpus."""
+    from hadoop__spark.operators import corpus
+    from hadoop__spark.operators.ingest import decontaminate_state
+
+    state = str(tmp_path / "state")
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(8)), "g") for i in ids],
+            "doc_id LONG, text STRING, src STRING",
+        )
+
+    ingest_batch(spark, state, docs(range(1, 10)), "b1",
+                 accounting_col="src")
+    ingest_batch(spark, state, docs(range(10, 20)), "b2",
+                 accounting_col="src")
+    bench = spark.createDataFrame(
+        [(101, " ".join(f"w3x{j}" for j in range(8)))],
+        "doc_id LONG, text STRING",
+    )
+    report = decontaminate_state(
+        spark, state, bench, "evalset", repair_sketches=True
+    )
+    assert {r.doc_id for r in report.collect()} == {3}
+    s = state_summary(spark, state)
+    assert s["stale_sketches"] == [] and s["accounting_overstatement"] is None
+    merged = corpus.merge_corpus_stats(
+        spark.read.parquet(f"{state}/accounting/stats"), group_cols=["src"],
+    ).first()
+    assert merged.n_docs == 18  # 19 ingested minus the takedown
