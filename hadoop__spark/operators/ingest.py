@@ -105,6 +105,15 @@ _INGEST_MARKER = "_INGEST_INPROGRESS"
 # clears the entries it rebuilds and state_summary reports the rest.
 _STALE_MARKER = "_STALE_SKETCHES"
 
+# written INSIDE an epoch snapshot's staging dir as the LAST file of
+# coalesce_snapshots' tmp write: it lists the source snapshot names
+# the epoch replaces, so fsck_state can FINISH a coalesce that
+# crashed mid-swap (some sources already deleted — the epoch is the
+# union of all of them, so finishing loses nothing) or SWEEP one that
+# never started deleting (all sources still present — the corpus is
+# intact without the epoch).
+_COALESCE_MANIFEST = "_COALESCE_MANIFEST"
+
 # planted for the duration of a FAST-path retraction: its multi-table
 # mutations (negative cap rows, snapshot swaps, file surgeries) are
 # not atomic as a group, and a naive RETRY after a crash would
@@ -2102,6 +2111,151 @@ def compact_state(
     return done
 
 
+def coalesce_snapshots(
+    spark,
+    state_dir: str,
+    names: list[str] | None = None,
+    keep_recent: int = 1,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Merge old COMMITTED batch snapshots into one epoch snapshot —
+    snapshot retention for a long-lived ingest state.  Every
+    :func:`ingest_batch` call writes one immutable snapshot under
+    ``{state_dir}/batches`` forever, and :func:`rebuild_state` /
+    :func:`state_summary` / retraction discovery walk ALL of them: at
+    a foreachBatch stream's minutes cadence that is tens of thousands
+    of directories within a year — listing time, per-snapshot footer
+    reads, and full-rebuild union width all grow with batch count
+    without bound.  This operation is the bound: the union of the
+    selected snapshots is rewritten as ONE right-sized epoch snapshot
+    (named ``epoch-{digest}`` from its source set) and the sources are
+    retired, so the walk cost tracks epochs, not ingests.
+
+    What is preserved (each pinned by an equality test):
+
+    * **Corpus rows** — snapshots are disjoint by construction (each
+      batch's survivors were filtered against all prior state), so
+      the epoch is row-for-row their union; :func:`rebuild_state`,
+      :func:`retract_documents`, :func:`decontaminate_state` and the
+      next :func:`ingest_batch` behave exactly as on the uncoalesced
+      timeline.
+    * **Commit-marker coverage** — the epoch's marker claims the
+      INTERSECTION of its sources' covered planes (conservative: a
+      replay needing a plane any source lacked still refuses).
+    * **Crash-safety** — the epoch is staged OUTSIDE ``batches/``
+      (``{state_dir}/tmp/coalesce/{epoch}``) with a manifest of its
+      source names written last; the swap deletes sources and then
+      renames the epoch in.  A crash anywhere in the window is
+      repaired by :func:`fsck_state`: sources all present → sweep the
+      staged epoch (nothing was lost); any source already deleted →
+      FINISH (retire the rest, adopt the epoch) — the epoch holds the
+      union of all of them, so no window loses rows or duplicates
+      them into a later rebuild.
+
+    Selection: ``names`` picks explicit snapshot names; default is
+    every complete+committed snapshot EXCEPT the ``keep_recent`` most
+    recent (by commit-marker mtime — batch NAMES need not sort
+    chronologically).  Keep ``keep_recent`` at or above the stream's
+    replay horizon (≥1 for foreachBatch): an ``on_existing="skip"``
+    replay of a RETIRED name finds no snapshot and re-runs the
+    ingest — the dedup planes then drop every document as already
+    known and append an empty snapshot, so the corpus stays correct,
+    but the replay pays a re-dedup instead of a no-op.  Uncommitted
+    snapshots are never coalesced (they are crash evidence —
+    :func:`rebuild_state` is their path).  Fewer than two candidates
+    is a no-op.
+
+    Runs under the maintenance lock.  Returns ``{"epoch": name or
+    None, "coalesced": [names...], "skipped_uncommitted": [...]}``.
+
+    Beyond-reference scope (the reference, README.md:744-764, is an
+    analysis-only HiveQL lineage tool); the epoch/compaction shape
+    follows public log-structured designs (e.g. LSM level merges,
+    Iceberg/Delta snapshot expiration).
+    """
+    import hashlib
+
+    from hadoop__spark.operators.util import path_bytes, path_mtime
+
+    if keep_recent < 0:
+        raise ValueError(f"keep_recent must be >= 0, got {keep_recent}")
+    with _maintenance_lock(spark, state_dir):
+        complete = [
+            b
+            for b in _list_child_dirs(spark, f"{state_dir}/batches")
+            if _table_exists(spark, f"{b}/_SUCCESS")
+        ]
+        committed, skipped = [], []
+        for b in complete:
+            name = b.rstrip("/").rsplit("/", 1)[-1]
+            if _read_commit_marker(spark, b) is None:
+                skipped.append(name)
+            else:
+                committed.append(name)
+        if names is not None:
+            missing = sorted(set(names) - set(committed))
+            if missing:
+                raise ValueError(
+                    f"cannot coalesce {missing} on {state_dir} — not "
+                    "complete committed snapshots (uncommitted "
+                    "snapshots are crash evidence: rebuild_state first)"
+                )
+            sources = sorted(set(names))
+        else:
+            by_age = sorted(
+                committed,
+                key=lambda n: path_mtime(
+                    spark, f"{state_dir}/batches/{n}/{_COMMIT_MARKER}"
+                ),
+            )
+            sources = sorted(
+                by_age[: len(by_age) - keep_recent] if keep_recent else by_age
+            )
+        if len(sources) < 2:
+            return {
+                "epoch": None,
+                "coalesced": [],
+                "skipped_uncommitted": sorted(skipped),
+            }
+        digest = hashlib.sha1("\n".join(sources).encode()).hexdigest()[:12]
+        epoch = f"epoch-{digest}"
+        if _table_exists(spark, f"{state_dir}/batches/{epoch}"):
+            raise RuntimeError(
+                f"epoch snapshot {epoch} already exists under "
+                f"{state_dir}/batches — name collision with a live "
+                "batch; retract or rename it first"
+            )
+        src_paths = [f"{state_dir}/batches/{n}" for n in sources]
+        union = spark.read.parquet(src_paths[0])
+        covered = _read_commit_marker(spark, src_paths[0])
+        for p in src_paths[1:]:
+            union = union.unionByName(
+                spark.read.parquet(p), allowMissingColumns=True
+            )
+            covered &= _read_commit_marker(spark, p)
+        # right-size from the sources' on-disk bytes — coalesce, not
+        # repartition: the epoch write must not shuffle the corpus
+        total = sum(path_bytes(spark, p) for p in src_paths)
+        n_files = max(1, -(-total // target_file_bytes))
+        tmp = f"{state_dir}/tmp/coalesce/{epoch}"
+        _delete_path(spark, tmp)
+        union.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        _write_commit_marker(spark, tmp, covered)
+        # the manifest is the LAST tmp write: its presence marks the
+        # staged epoch as finish-able (see fsck_state)
+        _write_text_file(
+            spark, f"{tmp}/{_COALESCE_MANIFEST}", "\n".join(sources)
+        )
+        for p in src_paths:
+            _delete_path(spark, p)
+        _rename_path(spark, tmp, f"{state_dir}/batches/{epoch}")
+        return {
+            "epoch": epoch,
+            "coalesced": sources,
+            "skipped_uncommitted": sorted(skipped),
+        }
+
+
 def fsck_state(spark, state_dir: str) -> dict:
     """Detect AND REPAIR the swap-window orphans of a crashed
     :func:`retract_documents` / :func:`compact_state` — the recovery
@@ -2120,10 +2274,11 @@ def fsck_state(spark, state_dir: str) -> dict:
       half-adopted copy that must never be unioned or double-counted
       — delete it — ``swept``.
 
-    Also sweeps incomplete (``_SUCCESS``-less) tmps and reports — but
-    does not repair — mid-surgery flat tables
-    (``_RETRACT_SURGERY`` marker: duplicate rows possible; run
-    :func:`rebuild_state`).
+    Also sweeps incomplete (``_SUCCESS``-less) tmps, sweeps-or-
+    FINISHES a crashed :func:`coalesce_snapshots` swap (manifest-
+    driven — see the inline comment), and reports — but does not
+    repair — mid-surgery flat tables (``_RETRACT_SURGERY`` marker:
+    duplicate rows possible; run :func:`rebuild_state`).
 
     Returns ``{"restored": [...], "swept": [...],
     "needs_rebuild": [...]}`` (paths relative to ``state_dir``).
@@ -2162,6 +2317,41 @@ def fsck_state(spark, state_dir: str) -> dict:
         else:
             _delete_path(spark, tmp)
             swept.append(f"tmp/retract/{name}")
+    for tmp in _list_child_dirs(spark, f"{state_dir}/tmp/coalesce"):
+        # a crashed coalesce_snapshots: the staged epoch's manifest
+        # lists the sources it replaces.  All sources still present →
+        # the swap never started deleting; sweep the epoch (the corpus
+        # is intact without it).  Any source gone → the swap was
+        # mid-flight; FINISH it (the epoch is the union of ALL its
+        # sources, so retiring the rest and adopting it loses nothing
+        # and duplicates nothing).  No/incomplete manifest → the
+        # staging write itself crashed; sweep.
+        name = tmp.rstrip("/").rsplit("/", 1)[-1]
+        manifest = f"{tmp}/{_COALESCE_MANIFEST}"
+        if not (
+            _table_exists(spark, f"{tmp}/_SUCCESS")
+            and _table_exists(spark, manifest)
+        ):
+            _delete_path(spark, tmp)
+            swept.append(f"tmp/coalesce/{name}")
+            continue
+        sources = _read_text_file(spark, manifest).strip().split("\n")
+        src_paths = [f"{state_dir}/batches/{s}" for s in sources if s]
+        if all(_table_exists(spark, p) for p in src_paths):
+            _delete_path(spark, tmp)
+            swept.append(f"tmp/coalesce/{name}")
+            continue
+        if _table_exists(spark, f"{state_dir}/batches/{name}"):
+            raise RuntimeError(
+                f"cannot finish crashed coalesce {name} on {state_dir}: "
+                f"batches/{name} already exists while manifest sources "
+                "are partially deleted — external interference; "
+                "resolve by hand"
+            )
+        for p in src_paths:
+            _delete_path(spark, p)
+        _rename_path(spark, tmp, f"{state_dir}/batches/{name}")
+        restored.append(f"batches/{name}")
     ivf_tmp = f"{state_dir}/ivf/__retract_kept_tmp"
     if _table_exists(spark, ivf_tmp):
         # staging only — the dynamic overwrite either committed or
@@ -2251,6 +2441,8 @@ def state_summary(spark, state_dir: str) -> dict:
             orphans.append(f"{rel}/_RETRACT_SURGERY")
     for tmp in _list_child_dirs(spark, f"{state_dir}/tmp/retract"):
         orphans.append(f"tmp/retract/{tmp.rstrip('/').rsplit('/', 1)[-1]}")
+    for tmp in _list_child_dirs(spark, f"{state_dir}/tmp/coalesce"):
+        orphans.append(f"tmp/coalesce/{tmp.rstrip('/').rsplit('/', 1)[-1]}")
     if _table_exists(spark, f"{state_dir}/tmp/retract_ids"):
         orphans.append("tmp/retract_ids")
     if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):

@@ -222,6 +222,32 @@ def parquet_row_count(spark, path: str) -> int:
     return total
 
 
+def path_bytes(spark, path: str) -> int:
+    """Total byte size under ``path`` on the session's Hadoop
+    filesystem (content summary — driver-side metadata, no job).
+    Missing path -> 0.  Used to right-size rewrites (e.g. an epoch
+    snapshot's file count) without scanning data."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def path_mtime(spark, path: str) -> int:
+    """Modification time (epoch millis) of ``path`` on the session's
+    Hadoop filesystem — recency ordering for state artifacts whose
+    NAMES don't sort chronologically (user-chosen batch names).
+    Missing path -> 0."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    return int(fs.getFileStatus(hpath).getModificationTime())
+
+
 def create_exclusive(spark, path: str) -> bool:
     """Atomically create ``path`` if and only if it does not exist
     (Hadoop ``createNewFile`` — atomic on local FS and HDFS; object

@@ -1,0 +1,330 @@
+"""Round-10 snapshot retention: coalesce_snapshots merges old
+committed batch snapshots into one epoch snapshot — the bound on the
+one remaining per-ingest growth axis — preserving corpus rows,
+commit-marker coverage, and every lifecycle operation's behavior
+(rebuild, retraction, next ingest), with fsck_state repairing every
+crash window of the swap."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop__spark.operators.ingest import (
+    _COALESCE_MANIFEST,
+    _COMMIT_MARKER,
+    _read_commit_marker,
+    _read_snapshots_union,
+    _write_commit_marker,
+    coalesce_snapshots,
+    fsck_state,
+    ingest_batch,
+    rebuild_state,
+    retract_documents,
+    state_summary,
+)
+from hadoop__spark.operators.util import table_exists
+
+
+def _docs(spark, ids, tag="body"):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                f"wholly unique {tag} document number {i} with its own "
+                f"content and phrasing variant {i * 7 % 13}",
+                "g" if i % 2 else "h",
+            )
+            for i in ids
+        ],
+        "doc_id LONG, text STRING, src STRING",
+    )
+
+
+def _rows(spark, path, cols):
+    return {
+        tuple(getattr(r, c) for c in cols)
+        for r in spark.read.parquet(path).select(*cols).collect()
+    }
+
+
+def _names(spark, state):
+    return sorted(
+        b["name"] for b in state_summary(spark, state)["batches"]
+    )
+
+
+def _age_markers(state, order):
+    """Force commit-marker mtimes into the given name order (oldest
+    first) — batches ingested within the same test second need
+    explicit aging for keep_recent's recency sort to be deterministic."""
+    base = os.path.getmtime(f"{state}/batches/{order[0]}/{_COMMIT_MARKER}")
+    for i, name in enumerate(order):
+        p = f"{state}/batches/{name}/{_COMMIT_MARKER}"
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
+BATCHES = {"b1": range(1, 15), "b2": range(15, 30), "b3": range(30, 42)}
+
+
+def _build(spark, state):
+    for name, ids in BATCHES.items():
+        ingest_batch(spark, state, _docs(spark, ids), name,
+                     group_cap=("src", 50), accounting_col="src")
+    _age_markers(state, ["b1", "b2", "b3"])
+
+
+def test_coalesce_equals_uncoalesced_timeline(spark, tmp_path):
+    """The epoch snapshot is row-for-row the union of its sources,
+    and every downstream operation — summary, next ingest, fast
+    retraction, full rebuild — behaves exactly as on the uncoalesced
+    timeline."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(spark, a)
+    _build(spark, b)
+    out = coalesce_snapshots(spark, a)  # keep_recent=1 → b1+b2 merge
+    assert out["coalesced"] == ["b1", "b2"]
+    assert out["skipped_uncommitted"] == []
+    epoch = out["epoch"]
+    assert epoch.startswith("epoch-")
+    assert _names(spark, a) == sorted([epoch, "b3"])
+    # rows preserved exactly; coverage is the sources' intersection
+    assert _rows(spark, f"{a}/batches/{epoch}", ["doc_id", "text"]) == (
+        _rows(spark, f"{b}/batches/b1", ["doc_id", "text"])
+        | _rows(spark, f"{b}/batches/b2", ["doc_id", "text"])
+    )
+    assert _read_commit_marker(spark, f"{a}/batches/{epoch}") == (
+        _read_commit_marker(spark, f"{b}/batches/b1")
+        & _read_commit_marker(spark, f"{b}/batches/b2")
+    )
+    sa = state_summary(spark, a)
+    assert not sa["needs_rebuild"] and sa["orphans"] == []
+    # union equality
+    ua = {r.doc_id for r in _read_snapshots_union(spark, a).collect()}
+    ub = {r.doc_id for r in _read_snapshots_union(spark, b).collect()}
+    assert ua == ub
+    # next ingest: same survivors on both timelines (doc 5's text is a
+    # dup of a COALESCED document — the probes still see it)
+    nxt = _docs(spark, [50, 51]).unionByName(
+        _docs(spark, [5]).withColumn("doc_id", F.lit(100).cast("long"))
+    )
+    for state in (a, b):
+        surv = ingest_batch(spark, state, nxt, "b4",
+                            group_cap=("src", 50), accounting_col="src")
+        assert {r.doc_id for r in surv.collect()} == {50, 51}
+    # fast retraction of a doc living INSIDE the epoch: identical
+    # survivors and state rows on both timelines
+    victims = spark.createDataFrame([(2,), (16,)], "doc_id LONG")
+    la = retract_documents(spark, a, victims, mode="fast")
+    lb = retract_documents(spark, b, victims, mode="fast")
+    assert {r.doc_id for r in la.collect()} == {
+        r.doc_id for r in lb.collect()
+    }
+    assert _rows(spark, f"{a}/fingerprints", ["fp", "keep_id"]) == _rows(
+        spark, f"{b}/fingerprints", ["fp", "keep_id"]
+    )
+    # full rebuild over the epoch'd batches/ equals the uncoalesced one
+    rebuild_state(spark, a)
+    rebuild_state(spark, b)
+    assert _rows(spark, f"{a}/fingerprints", ["fp", "keep_id"]) == _rows(
+        spark, f"{b}/fingerprints", ["fp", "keep_id"]
+    )
+    assert _rows(spark, f"{a}/signatures", ["_id", "mh_0", "mh_63"]) == (
+        _rows(spark, f"{b}/signatures", ["_id", "mh_0", "mh_63"])
+    )
+
+
+def test_coalesce_selection_and_noop(spark, tmp_path):
+    """keep_recent keeps the newest by marker mtime; names= picks an
+    explicit set; unknown/uncommitted names refuse; <2 candidates
+    no-ops; an uncommitted snapshot is never coalesced."""
+    state = str(tmp_path / "state")
+    _build(spark, state)
+    # uncommitted snapshot: excluded and reported
+    os.remove(f"{state}/batches/b2/{_COMMIT_MARKER}")
+    out = coalesce_snapshots(spark, state, keep_recent=0)
+    assert out["coalesced"] == ["b1", "b3"]
+    assert out["skipped_uncommitted"] == ["b2"]
+    assert sorted(_names(spark, state)) == sorted([out["epoch"], "b2"])
+    # one committed candidate left (the epoch): no-op
+    out2 = coalesce_snapshots(spark, state, keep_recent=0)
+    assert out2 == {
+        "epoch": None, "coalesced": [], "skipped_uncommitted": ["b2"],
+    }
+    # unknown / uncommitted names refuse
+    with pytest.raises(ValueError, match="b2"):
+        coalesce_snapshots(spark, state, names=["b2", out["epoch"]])
+    with pytest.raises(ValueError, match="ghost"):
+        coalesce_snapshots(spark, state, names=["ghost", out["epoch"]])
+    # an epoch is itself coalesce-able: restore b2 via rebuild (which
+    # re-marks it), then merge it with the epoch by explicit names
+    rebuild_state(spark, state)
+    out3 = coalesce_snapshots(
+        spark, state, names=[out["epoch"], "b2"]
+    )
+    assert out3["coalesced"] == sorted([out["epoch"], "b2"])
+    assert _names(spark, state) == [out3["epoch"]]
+    union = {r.doc_id for r in _read_snapshots_union(spark, state).collect()}
+    assert union == {i for ids in BATCHES.values() for i in ids}
+
+
+def test_coalesce_keep_recent_uses_marker_mtime(spark, tmp_path):
+    """Recency is the commit marker's mtime, not the name sort — a
+    lexicographically-early name ingested LAST is the one kept."""
+    state = str(tmp_path / "state")
+    for name, ids in [("z1", range(1, 8)), ("m2", range(8, 16)),
+                      ("a3", range(16, 24))]:
+        ingest_batch(spark, state, _docs(spark, ids), name)
+    _age_markers(state, ["z1", "m2", "a3"])  # a3 is newest
+    out = coalesce_snapshots(spark, state)  # keep_recent=1
+    assert out["coalesced"] == ["m2", "z1"]
+    assert "a3" in _names(spark, state)
+
+
+def test_coalesce_crash_windows_fsck(spark, tmp_path, monkeypatch):
+    """Every crash window of the swap is repaired by fsck_state: a
+    crash BEFORE any source delete sweeps the staged epoch (corpus
+    intact without it); a crash after ANY source delete — mid-deletes
+    or before the final rename — FINISHES the coalesce.  No window
+    loses rows or duplicates them into a later rebuild."""
+    import hadoop__spark.operators.ingest as ing
+
+    all_ids = {i for ids in BATCHES.values() for i in ids}
+    real_delete = ing._delete_path
+    real_rename = ing._rename_path
+
+    def run_with_crash(state, crash):
+        _build(spark, state)
+        with pytest.raises(RuntimeError, match="chaos"):
+            coalesce_snapshots(spark, state)
+        monkeypatch.setattr(ing, "_delete_path", real_delete)
+        monkeypatch.setattr(ing, "_rename_path", real_rename)
+        rep = fsck_state(spark, state)
+        assert {
+            r.doc_id for r in _read_snapshots_union(spark, state).collect()
+        } == all_ids
+        assert state_summary(spark, state)["orphans"] == []
+        # the repaired state rebuilds without duplicates
+        rebuild_state(spark, state)
+        fps = spark.read.parquet(f"{state}/fingerprints")
+        assert fps.count() == fps.select("fp").distinct().count() == len(
+            all_ids
+        )
+        return rep
+
+    # window 1: crash BEFORE the first source delete → sweep
+    def crash_before_delete(spark_, path):
+        if "/batches/b" in path:
+            raise RuntimeError("chaos: crash before source delete")
+        return real_delete(spark_, path)
+
+    s1 = str(tmp_path / "s1")
+    monkeypatch.setattr(ing, "_delete_path", crash_before_delete)
+    rep = run_with_crash(s1, crash_before_delete)
+    assert any("tmp/coalesce/" in p for p in rep["swept"])
+    assert sorted(_names(spark, s1)) == ["b1", "b2", "b3"]
+
+    # window 2: crash AFTER the first source delete → finish
+    state2_deleted = []
+
+    def crash_after_first_delete(spark_, path):
+        if "/batches/b" in path:
+            real_delete(spark_, path)
+            state2_deleted.append(path)
+            raise RuntimeError("chaos: crash after first source delete")
+        return real_delete(spark_, path)
+
+    s2 = str(tmp_path / "s2")
+    monkeypatch.setattr(ing, "_delete_path", crash_after_first_delete)
+    rep = run_with_crash(s2, crash_after_first_delete)
+    assert len(state2_deleted) == 1
+    assert any(r.startswith("batches/epoch-") for r in rep["restored"])
+    assert any(n.startswith("epoch-") for n in _names(spark, s2))
+
+    # window 3: crash between the deletes and the rename → finish
+    def crash_on_rename(spark_, src, dst):
+        if "/tmp/coalesce/" in src:
+            raise RuntimeError("chaos: crash before epoch rename")
+        return real_rename(spark_, src, dst)
+
+    s3 = str(tmp_path / "s3")
+    monkeypatch.setattr(ing, "_rename_path", crash_on_rename)
+    rep = run_with_crash(s3, crash_on_rename)
+    assert any(r.startswith("batches/epoch-") for r in rep["restored"])
+
+    # window 0: crash during the staging write itself (no _SUCCESS /
+    # manifest yet) → sweep, sources untouched
+    s4 = str(tmp_path / "s4")
+    _build(spark, s4)
+    os.makedirs(f"{s4}/tmp/coalesce/epoch-deadbeef")
+    with open(f"{s4}/tmp/coalesce/epoch-deadbeef/part-0.parquet", "w"):
+        pass
+    rep = fsck_state(spark, s4)
+    assert "tmp/coalesce/epoch-deadbeef" in rep["swept"]
+    assert sorted(_names(spark, s4)) == ["b1", "b2", "b3"]
+
+
+def test_coalesce_rebuild_runs_fsck_first(spark, tmp_path, monkeypatch):
+    """rebuild_state on a state holding a crashed-coalesce orphan
+    finishes the swap FIRST (via its fsck pass) and then rebuilds —
+    the retired sources must not be unioned next to the epoch."""
+    import hadoop__spark.operators.ingest as ing
+
+    state = str(tmp_path / "state")
+    real_rename = ing._rename_path
+
+    def crash_on_rename(spark_, src, dst):
+        if "/tmp/coalesce/" in src:
+            raise RuntimeError("chaos")
+        return real_rename(spark_, src, dst)
+
+    _build(spark, state)
+    monkeypatch.setattr(ing, "_rename_path", crash_on_rename)
+    with pytest.raises(RuntimeError, match="chaos"):
+        coalesce_snapshots(spark, state)
+    monkeypatch.setattr(ing, "_rename_path", real_rename)
+    rebuild_state(spark, state)
+    all_ids = {i for ids in BATCHES.values() for i in ids}
+    fps = spark.read.parquet(f"{state}/fingerprints")
+    assert fps.count() == len(all_ids)
+    assert any(n.startswith("epoch-") for n in _names(spark, state))
+
+
+def test_replay_of_retired_name_is_corpus_safe(spark, tmp_path):
+    """An on_existing='skip' replay of a batch name RETIRED by a
+    coalesce finds no snapshot and re-runs the ingest — the dedup
+    planes drop every document as already known, an empty snapshot is
+    appended, and the corpus is unchanged (the documented keep_recent
+    contract: correctness holds, the replay just pays a re-dedup)."""
+    state = str(tmp_path / "state")
+    _build(spark, state)
+    out = coalesce_snapshots(spark, state, keep_recent=0)
+    assert set(out["coalesced"]) == {"b1", "b2", "b3"}
+    before = {r.doc_id for r in _read_snapshots_union(spark, state).collect()}
+    surv = ingest_batch(
+        spark, state, _docs(spark, BATCHES["b1"]), "b1",
+        group_cap=("src", 50), accounting_col="src", on_existing="skip",
+    )
+    assert surv.count() == 0
+    assert table_exists(spark, f"{state}/batches/b1")
+    after = {r.doc_id for r in _read_snapshots_union(spark, state).collect()}
+    assert after == before
+
+
+def test_coalesce_respects_locks(spark, tmp_path):
+    """coalesce_snapshots is a maintenance operation: it refuses while
+    an ingest is in flight and leaves no lock behind."""
+    from hadoop__spark.operators.ingest import _INGEST_MARKER
+    from hadoop__spark.operators.util import touch_file
+
+    state = str(tmp_path / "state")
+    _build(spark, state)
+    touch_file(spark, f"{state}/{_INGEST_MARKER}")
+    with pytest.raises(RuntimeError, match="ingest_batch"):
+        coalesce_snapshots(spark, state)
+    os.remove(f"{state}/{_INGEST_MARKER}")
+    coalesce_snapshots(spark, state)
+    s = state_summary(spark, state)
+    assert not s["maintenance_lock"] and not s["ingest_in_progress"]
