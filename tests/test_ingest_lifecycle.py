@@ -1028,3 +1028,68 @@ def test_decontaminate_repair_sketches_one_call(spark, tmp_path):
         spark.read.parquet(f"{state}/accounting/stats"), group_cols=["src"],
     ).first()
     assert merged.n_docs == 18  # 19 ingested minus the takedown
+
+
+def test_reader_during_surgery_never_loses_kept_rows(spark, tmp_path,
+                                                     monkeypatch):
+    """The runbook's reader contract, pinned: a concurrent reader of a
+    flat state table at ANY point inside the fast-retract file surgery
+    sees every kept row (possibly duplicated, possibly alongside
+    not-yet-deleted retracted rows) — never a missing kept row.  The
+    surgery adds replacement files BEFORE deleting hit files, so no
+    interleaving window loses data."""
+    import hadoop__spark.operators.ingest as ing
+
+    state = str(tmp_path / "state")
+    ids = list(range(1, 30))
+    ingest_batch(spark, state, _docs(spark, ids), "b1")
+    ingest_batch(spark, state, _docs(spark, range(30, 50)), "b2")
+    all_ids = set(range(1, 50))
+    victims = {3, 17, 31, 44}
+    kept = all_ids - victims
+
+    table = f"{state}/fingerprints"
+    observations = []
+    real_delete = ing._delete_path
+    real_rename = ing._rename_path
+
+    def observe():
+        observations.append(
+            {r.keep_id for r in spark.read.parquet(table)
+             .select("keep_id").collect()}
+        )
+
+    def snooping_delete(spark_, path):
+        # a reader interleaved immediately BEFORE each mutation of the
+        # table under surgery (hit-file deletes, staging cleanup)
+        if path.startswith(table):
+            observe()
+        return real_delete(spark_, path)
+
+    def snooping_rename(spark_, src, dst):
+        # ... and before each replacement-file adoption
+        if dst.startswith(table):
+            observe()
+        out = real_rename(spark_, src, dst)
+        if dst.startswith(table):
+            observe()  # and immediately after
+        return out
+
+    monkeypatch.setattr(ing, "_delete_path", snooping_delete)
+    monkeypatch.setattr(ing, "_rename_path", snooping_rename)
+    retract_documents(
+        spark, state,
+        spark.createDataFrame([(v,) for v in victims], "doc_id LONG"),
+        mode="fast",
+    )
+    monkeypatch.setattr(ing, "_delete_path", real_delete)
+    monkeypatch.setattr(ing, "_rename_path", real_rename)
+    # the surgery really was interleaved (adds + deletes both observed)
+    assert len(observations) >= 3
+    for seen in observations:
+        assert kept <= seen, "a mid-surgery reader lost kept rows"
+        assert seen <= all_ids, "a mid-surgery reader saw phantom rows"
+    # end state: exactly the kept rows, no duplicates
+    final = spark.read.parquet(table).select("keep_id")
+    assert {r.keep_id for r in final.collect()} == kept
+    assert final.count() == len(kept)
