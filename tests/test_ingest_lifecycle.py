@@ -1093,3 +1093,123 @@ def test_reader_during_surgery_never_loses_kept_rows(spark, tmp_path,
     final = spark.read.parquet(table).select("keep_id")
     assert {r.keep_id for r in final.collect()} == kept
     assert final.count() == len(kept)
+
+
+def test_streaming_across_takedown_and_coalesce(spark, tmp_path):
+    """Maintenance BETWEEN micro-batches of a live checkpointed
+    stream: a fast retraction and a retroactive decontamination
+    rewrite committed snapshots, then (a) a foreachBatch RETRY of the
+    rewritten batch_id still no-ops via the preserved commit marker —
+    and must NOT resurrect the retracted documents — and (b) the
+    restarted stream's next wave ingests exactly as the plain batch
+    timeline's.  A snapshot coalesce between waves is equally
+    transparent to the stream."""
+    from hadoop__spark.operators.ingest import (
+        coalesce_snapshots,
+        decontaminate_state,
+    )
+
+    def docs(ids):
+        # disjoint vocabularies: doc i shares no n-gram with doc j,
+        # so decontamination flags exactly the leaked doc
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(8)), "g") for i in ids],
+            "doc_id LONG, text STRING, src STRING",
+        )
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    s_state = str(tmp_path / "stream_state")
+    b_state = str(tmp_path / "batch_state")
+    waves = {"w0": list(range(1, 15)), "w1": list(range(15, 30)),
+             "w2": list(range(30, 40))}
+    opts = dict(group_cap=("src", 100), accounting_col="src")
+    replayed = {"n": 0}
+
+    def ing(batch_df, batch_id):
+        if batch_df.count():
+            before = len(glob.glob(f"{s_state}/batches/*"))
+            ingest_batch(
+                spark, s_state, batch_df, f"mb{batch_id}",
+                on_existing="skip", **opts,
+            )
+            if len(glob.glob(f"{s_state}/batches/*")) == before:
+                replayed["n"] += 1
+
+    schema = docs([1]).schema
+
+    def run_wave(i, name, ids):
+        d = tmp_path / name
+        docs(ids).coalesce(1).write.parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0],
+            src_dir / f"f{i}.parquet",
+        )
+        q = (
+            spark.readStream.schema(schema).parquet(str(src_dir))
+            .writeStream.foreachBatch(ing)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_wave(0, "w0", waves["w0"])
+    # -- maintenance between micro-batches: takedown + decontamination
+    victims = spark.createDataFrame([(3,), (7,)], "doc_id LONG")
+    retract_documents(spark, s_state, victims, mode="fast")
+    bench = spark.createDataFrame(
+        [(900, " ".join(f"w5x{j}" for j in range(8)))],
+        "doc_id LONG, text STRING",
+    )
+    rep = decontaminate_state(spark, s_state, bench, "eval0")
+    assert {r.doc_id for r in rep.collect()} == {5}
+    # -- foreachBatch RETRY of the REWRITTEN batch_id: the swap kept
+    # the commit marker, so the replay no-ops — and the retracted
+    # documents stay gone
+    ing(spark.read.parquet(str(src_dir / "f0.parquet")), 0)
+    assert replayed["n"] == 1
+    gone = {3, 5, 7}
+    kept0 = set(waves["w0"]) - gone
+    assert _rows(spark, f"{s_state}/batches/*", ["doc_id"]) == {
+        (i,) for i in kept0
+    }
+    # -- restart the stream across the takedown: wave 1 ingests fresh
+    run_wave(1, "w1", waves["w1"])
+    # -- coalesce between waves, then wave 2
+    out = coalesce_snapshots(spark, s_state, keep_recent=0)
+    assert set(out["coalesced"]) == {"mb0", "mb1"}
+    run_wave(2, "w2", waves["w2"])
+    # -- the plain batch timeline: same waves, same maintenance order
+    ingest_batch(spark, b_state, docs(waves["w0"]), "w0", **opts)
+    retract_documents(spark, b_state, victims, mode="fast")
+    decontaminate_state(spark, b_state, bench, "eval0")
+    ingest_batch(spark, b_state, docs(waves["w1"]), "w1", **opts)
+    ingest_batch(spark, b_state, docs(waves["w2"]), "w2", **opts)
+    # equal corpora and equal probe-visible state
+    assert _rows(spark, f"{s_state}/batches/*", ["doc_id", "text"]) == (
+        _rows(spark, f"{b_state}/batches/*", ["doc_id", "text"])
+    )
+    assert _rows(spark, f"{s_state}/fingerprints", ["fp", "keep_id"]) == (
+        _rows(spark, f"{b_state}/fingerprints", ["fp", "keep_id"])
+    )
+    assert _rows(spark, f"{s_state}/signatures", ["_id", "mh_0"]) == (
+        _rows(spark, f"{b_state}/signatures", ["_id", "mh_0"])
+    )
+
+    def counts(state):
+        return {
+            r.src: r.n
+            for r in spark.read.parquet(f"{state}/group_counts")
+            .groupBy("src").agg(F.sum("n_admitted").alias("n")).collect()
+        }
+
+    assert counts(s_state) == counts(b_state)
+    # both timelines agree the retracted text is re-admittable
+    for state in (s_state, b_state):
+        surv = ingest_batch(
+            spark, state,
+            docs([3]).withColumn("doc_id", F.lit(500).cast("long")),
+            "w3", **opts,
+        )
+        assert {r.doc_id for r in surv.collect()} == {500}
