@@ -2208,9 +2208,10 @@ def coalesce_snapshots(
                     spark, f"{state_dir}/batches/{n}/{_COMMIT_MARKER}"
                 ),
             )
-            sources = sorted(
-                by_age[: len(by_age) - keep_recent] if keep_recent else by_age
-            )
+            # max(0, …): keep_recent beyond the candidate count must
+            # keep EVERYTHING, not wrap into a negative slice that
+            # coalesces batches the caller asked to protect
+            sources = sorted(by_age[: max(0, len(by_age) - keep_recent)])
         if len(sources) < 2:
             return {
                 "epoch": None,

@@ -170,6 +170,22 @@ def test_coalesce_selection_and_noop(spark, tmp_path):
     assert union == {i for ids in BATCHES.values() for i in ids}
 
 
+def test_coalesce_keep_recent_beyond_count_keeps_all(spark, tmp_path):
+    """keep_recent larger than the candidate count is a no-op — it
+    must never wrap into a negative slice that coalesces batches the
+    caller asked to protect."""
+    state = str(tmp_path / "state")
+    _build(spark, state)
+    out = coalesce_snapshots(spark, state, keep_recent=5)
+    assert out["epoch"] is None and out["coalesced"] == []
+    assert _names(spark, state) == ["b1", "b2", "b3"]
+    # exactly equal to the count: same no-op
+    out = coalesce_snapshots(spark, state, keep_recent=3)
+    assert out["epoch"] is None
+    with pytest.raises(ValueError, match="keep_recent"):
+        coalesce_snapshots(spark, state, keep_recent=-1)
+
+
 def test_coalesce_keep_recent_uses_marker_mtime(spark, tmp_path):
     """Recency is the commit marker's mtime, not the name sort — a
     lexicographically-early name ingested LAST is the one kept."""

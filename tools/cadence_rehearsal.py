@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Many-batch cadence rehearsal for the ingest state's lifecycle
+operations.
+
+tools/scale_rehearsal.py stresses CORPUS size (10x rows, fixed batch
+count); this script stresses BATCH COUNT (hundreds of micro-batches,
+fixed total rows) — the axis a foreachBatch stream at minutes cadence
+grows without bound.  The suspected linear terms: per-snapshot
+listing/footer walks in state_summary, the rebuild union width, the
+retraction discovery scan's file count, and probe-table small-files
+accretion (one parquet file per state table per ingest).
+
+Measured, at checkpoints along an N-batch ingest run:
+
+* per-batch ingest wall (curve: does batch k cost more than batch 1,
+  and is the growth the probe tables' file count?),
+* ``state_summary`` wall (driver-side listing + footer reads),
+* a FIXED 2-document fast retraction wall,
+* ``rebuild_state`` wall at the end;
+
+then ``coalesce_snapshots`` (the round-10 retention operation) +
+``compact_state``, and the same measurements again — the pass
+criterion (recorded in NOTES.md): summary/retract/rebuild costs track
+the SNAPSHOT/FILE count, and coalescing restores them to ~first-
+checkpoint levels while the corpus is unchanged.
+
+Usage: python tools/cadence_rehearsal.py [n_batches] [docs_per_batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from hadoop__spark.operators import ingest as ing  # noqa: E402
+
+
+def docs_df(spark, batch_no: int, n: int):
+    base = batch_no * 10_000
+    return spark.createDataFrame(
+        [
+            (
+                base + i,
+                f"cadence batch {batch_no} document {i} with body token "
+                f"{(base + i) * 7 % 9973} and filler {(base + i) % 131}",
+                f"s{(base + i) % 7}",
+            )
+            for i in range(n)
+        ],
+        "doc_id LONG, text STRING, src STRING",
+    )
+
+
+def timed(thunk):
+    t0 = time.perf_counter()
+    out = thunk()
+    return round(time.perf_counter() - t0, 3), out
+
+
+def n_files(root: str) -> int:
+    total = 0
+    for _, _, files in os.walk(root):
+        total += sum(1 for f in files if f.endswith(".parquet"))
+    return total
+
+
+def checkpoint_probe(spark, state: str, k: int) -> dict:
+    sum_wall, s = timed(lambda: ing.state_summary(spark, state))
+    victims = spark.createDataFrame(
+        [(k * 10_000 + 3,), (k * 10_000 + 5,)], "doc_id LONG"
+    )
+    ret_wall, _ = timed(
+        lambda: ing.retract_documents(spark, state, victims, mode="fast")
+    )
+    return {
+        "batches": len(s["batches"]),
+        "files": n_files(state),
+        "summary_sec": sum_wall,
+        "retract2_sec": ret_wall,
+    }
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    workdir = os.environ.get("REHEARSAL_DIR", "/tmp/cadence_rehearsal")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cadence-rehearsal")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    state = f"{workdir}/state"
+    shutil.rmtree(state, ignore_errors=True)
+
+    ingest_walls = []
+    checkpoints = {}
+    probe_at = sorted(
+        {max(1, n_batches // 8), n_batches // 4, n_batches // 2, n_batches}
+    )
+    for k in range(1, n_batches + 1):
+        wall, _ = timed(
+            lambda: ing.ingest_batch(
+                spark, state, docs_df(spark, k, per_batch), f"mb{k:05d}",
+                group_cap=("src", 10**9), accounting_col="src",
+            )
+        )
+        ingest_walls.append(wall)
+        if k in probe_at:
+            checkpoints[k] = checkpoint_probe(spark, state, k)
+            print(f"== checkpoint {k}: {checkpoints[k]}", flush=True)
+
+    def avg(xs):
+        return round(sum(xs) / len(xs), 3)
+
+    rebuild_before, _ = timed(lambda: ing.rebuild_state(spark, state))
+    # retention: coalesce everything but the newest, then compact the
+    # probe tables — the combined maintenance a long-lived state runs
+    coal_wall, out = timed(
+        lambda: ing.coalesce_snapshots(spark, state, keep_recent=1)
+    )
+    compact_wall, _ = timed(lambda: ing.compact_state(spark, state))
+    after = checkpoint_probe(spark, state, n_batches + 1)
+    rebuild_after, _ = timed(lambda: ing.rebuild_state(spark, state))
+    report = {
+        "n_batches": n_batches,
+        "docs_per_batch": per_batch,
+        "ingest_wall_first10": avg(ingest_walls[:10]),
+        "ingest_wall_mid10": avg(
+            ingest_walls[n_batches // 2 : n_batches // 2 + 10]
+        ),
+        "ingest_wall_last10": avg(ingest_walls[-10:]),
+        "checkpoints": checkpoints,
+        "rebuild_before_coalesce_sec": rebuild_before,
+        "coalesce_sec": coal_wall,
+        "coalesced": len(out["coalesced"]),
+        "compact_sec": compact_wall,
+        "after_coalesce": after,
+        "rebuild_after_coalesce_sec": rebuild_after,
+        "corpus_rows": int(
+            spark.read.parquet(f"{state}/batches/*").count()
+        ),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
