@@ -105,6 +105,15 @@ _INGEST_MARKER = "_INGEST_INPROGRESS"
 # clears the entries it rebuilds and state_summary reports the rest.
 _STALE_MARKER = "_STALE_SKETCHES"
 
+# written INSIDE a snapshot-surgery staging dir (tmp/retract/{name})
+# as the LAST file of the staging write: it lists the basenames of the
+# snapshot's HIT files the staged replacement rows supersede.  Its
+# presence makes the surgery FINISHABLE — fsck_state (and the surgery
+# itself) idempotently move the staged files in and delete the listed
+# hit files; a staging dir without it never mutated the snapshot and
+# is swept.
+_SURGERY_MANIFEST = "_SURGERY_MANIFEST"
+
 # written INSIDE an epoch snapshot's staging dir as the LAST file of
 # coalesce_snapshots' tmp write: it lists the source snapshot names
 # the epoch replaces, so fsck_state can FINISH a coalesce that
@@ -1433,29 +1442,45 @@ def _rewrite_snapshots_without(
     spark, state_dir: str, retract: DataFrame, id_col: str,
     retract_values: list | None = None,
 ) -> list[str]:
-    """Rewrite every COMPLETE batch snapshot without the retracted
-    ids (``retract``: one ``_retract`` column), via write-new / swap —
-    a parquet table cannot be overwritten while it is being read.
-    Returns the rewritten snapshot paths.
+    """Remove the retracted ids (``retract``: one ``_retract``
+    column) from every COMPLETE batch snapshot by FILE-LOCAL surgery:
+    only the parquet files that contain a hit are replaced — the
+    snapshot's clean files, its ``_SUCCESS`` marker and its commit
+    marker are untouched byte-for-byte.  Returns the affected
+    snapshot paths.
 
-    Hit-snapshot discovery is ONE scan over every complete snapshot
-    (not a probe job per snapshot — at thousands of batches the
-    per-probe driver round-trips would dominate a small takedown):
-    a pushed ``IN`` predicate when the set is bounded
-    (``retract_values``; row-group min/max stats skip clean files
-    without reading rows), else ``input_file_name`` tagged below a
-    broadcast semi-join, mapped back to snapshot names from the file
-    paths.  ``mergeSchema`` handles snapshots whose optional columns
-    drifted across batches (the same tolerance the rebuild's
+    File-locality is the 100 TB property that must SURVIVE snapshot
+    coalescing: after :func:`coalesce_snapshots` merges a year of
+    batches into one right-sized epoch, a 2-document takedown must
+    rewrite a couple of 128 MB files, not the epoch (a whole-snapshot
+    write-new/swap — the pre-round-10 protocol — would have made
+    takedown cost ∝ corpus again, exactly the regression the fast
+    path exists to avoid).
+
+    Hit-FILE discovery is ONE scan over every complete snapshot (not
+    a probe job per snapshot — at thousands of batches the per-probe
+    driver round-trips would dominate a small takedown): a pushed
+    ``IN`` predicate when the set is bounded (``retract_values``;
+    row-group min/max stats skip clean files without reading rows),
+    else ``input_file_name`` tagged below a broadcast semi-join.
+    ``mergeSchema`` handles snapshots whose optional columns drifted
+    across batches (the same tolerance the rebuild's
     ``unionByName(allowMissingColumns)`` gives).
 
-    The swap tmp lives OUTSIDE ``batches/`` (``{state_dir}/tmp/
-    retract/{name}``): a crash after the tmp write completes but
-    before the old snapshot's delete must never leave TWO complete
-    snapshots for :func:`rebuild_state` to union (retracted ids would
-    survive and kept rows silently duplicate).  :func:`fsck_state`
-    sweeps or restores whatever a crash leaves at either side of the
-    delete→rename window."""
+    Crash-safety (snapshots are the rebuild's source of truth, so —
+    unlike the flat probe tables — they tolerate NEITHER lost kept
+    rows nor, once rebuilt from, duplicates): the kept rows of the
+    hit files stage OUTSIDE ``batches/`` at
+    ``{state_dir}/tmp/retract/{name}``, with a ``_SURGERY_MANIFEST``
+    (listing the hit files' basenames) written LAST; only then does
+    :func:`_finish_snapshot_surgery` mutate the snapshot — staged
+    files in first, manifest-listed hit files deleted after, both
+    idempotent.  A crash before the manifest leaves the snapshot
+    untouched (:func:`fsck_state` sweeps the stage); a crash after it
+    is FINISHED by fsck — and :func:`rebuild_state` runs fsck first,
+    so no rebuild ever unions a mid-surgery snapshot (whose transient
+    shape is duplicates, never losses — the same at-worst-duplicates
+    reader contract as the flat tables)."""
     complete = [
         b
         for b in _list_child_dirs(spark, f"{state_dir}/batches")
@@ -1479,33 +1504,54 @@ def _rewrite_snapshots_without(
             )
             .select("_file")
         )
-    hit_names = {
+    by_snap: dict[str, list[str]] = {}
+    for r in hits.distinct().collect():
         # .../batches/{name}/part-….parquet → {name}
-        r._file.rsplit("/batches/", 1)[1].split("/", 1)[0]
-        for r in hits.distinct().collect()
-    }
+        name = r._file.rsplit("/batches/", 1)[1].split("/", 1)[0]
+        by_snap.setdefault(name, []).append(r._file)
     rewritten = []
-    for b in complete:
-        name = b.rstrip("/").rsplit("/", 1)[-1]
-        if name not in hit_names:
-            continue
-        snap = spark.read.parquet(b)
-        kept = snap.join(
+    for name, files in sorted(by_snap.items()):
+        kept = spark.read.parquet(*files).join(
             retract, F.col(id_col) == F.col("_retract"), "left_anti"
         )
-        # preserve the commit marker's coverage across the swap (the
-        # fast path re-marks the rewritten snapshot itself; the
-        # rebuild path re-marks from its own covered set)
-        covered = _read_commit_marker(spark, b)
-        tmp = f"{state_dir}/tmp/retract/{name}"
-        _delete_path(spark, tmp)
-        kept.write.mode("overwrite").parquet(tmp)
-        if covered is not None:
-            _write_commit_marker(spark, tmp, covered)
-        _delete_path(spark, b)
-        _rename_path(spark, tmp, b)
-        rewritten.append(b)
+        stage = f"{state_dir}/tmp/retract/{name}"
+        _delete_path(spark, stage)
+        kept.write.mode("overwrite").parquet(stage)
+        # manifest LAST: its presence is the commit point — before it,
+        # fsck sweeps the stage (snapshot untouched); after it, the
+        # surgery is finishable from the stage alone
+        _write_text_file(
+            spark,
+            f"{stage}/{_SURGERY_MANIFEST}",
+            "\n".join(sorted(f.rsplit("/", 1)[-1] for f in files)),
+        )
+        _finish_snapshot_surgery(spark, state_dir, name)
+        rewritten.append(f"{state_dir}/batches/{name}")
     return rewritten
+
+
+def _finish_snapshot_surgery(spark, state_dir: str, name: str) -> None:
+    """Complete a staged, manifested snapshot surgery (idempotent —
+    also the fsck repair for one that crashed mid-flight): move the
+    staged replacement files into the snapshot FIRST (a crash window
+    shows duplicates, never losses), delete the manifest-listed hit
+    files after, then drop the stage."""
+    import uuid
+
+    from hadoop__spark.operators.util import list_files
+
+    stage = f"{state_dir}/tmp/retract/{name}"
+    snap = f"{state_dir}/batches/{name}"
+    manifest = _read_text_file(spark, f"{stage}/{_SURGERY_MANIFEST}")
+    tag = uuid.uuid4().hex[:12]
+    for i, f in enumerate(list_files(spark, stage, suffix=".parquet")):
+        _rename_path(
+            spark, f, f"{snap}/part-retract-{tag}-{i:05d}.parquet"
+        )
+    for base in manifest.strip().split("\n"):
+        if base:
+            _delete_path(spark, f"{snap}/{base}")
+    _delete_path(spark, stage)
 
 
 def retract_documents(
@@ -1523,10 +1569,13 @@ def retract_documents(
     document ids to retract (other columns are ignored).
 
     The per-batch survivors snapshots are the corpus's source of
-    truth, and every mode starts by rewriting the snapshots that
-    contain a retracted id (write-new / swap, untouched snapshots
-    skipped via a cheap semi-join probe).  What happens to the STATE
-    tables is the mode:
+    truth, and every mode starts by removing the retracted ids from
+    them — FILE-LOCAL surgery that replaces only the parquet files
+    containing a hit (discovery is one pushed-IN/semi-join scan;
+    clean files, ``_SUCCESS`` and commit markers survive untouched),
+    so even a snapshot holding the whole corpus after
+    :func:`coalesce_snapshots` costs a couple of file rewrites, not a
+    corpus write.  What happens to the STATE tables is the mode:
 
     * ``"fast"`` (the 100 TB path): plane-local deletes — the
       retracted ids are anti-joined out of ``fingerprints`` and the
@@ -2307,13 +2356,18 @@ def fsck_state(spark, state_dir: str) -> dict:
         if _table_exists(spark, f"{path}/_RETRACT_SURGERY"):
             needs_rebuild.append(rel)
     for tmp in _list_child_dirs(spark, f"{state_dir}/tmp/retract"):
+        # a crashed snapshot surgery: the stage holds the kept rows of
+        # the snapshot's hit files.  Manifest present (written last) →
+        # the surgery reached its commit point; FINISH it (idempotent
+        # — staged files in, listed hit files deleted).  No manifest →
+        # the snapshot was never mutated; sweep the stage.
         name = tmp.rstrip("/").rsplit("/", 1)[-1]
-        target = f"{state_dir}/batches/{name}"
-        if _table_exists(spark, target):
-            _delete_path(spark, tmp)
-            swept.append(f"tmp/retract/{name}")
-        elif _table_exists(spark, f"{tmp}/_SUCCESS"):
-            _rename_path(spark, tmp, target)
+        if (
+            _table_exists(spark, f"{tmp}/{_SURGERY_MANIFEST}")
+            and _table_exists(spark, f"{tmp}/_SUCCESS")
+            and _table_exists(spark, f"{state_dir}/batches/{name}")
+        ):
+            _finish_snapshot_surgery(spark, state_dir, name)
             restored.append(f"batches/{name}")
         else:
             _delete_path(spark, tmp)

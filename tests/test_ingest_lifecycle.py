@@ -262,16 +262,34 @@ def test_fsck_restores_and_sweeps_swap_orphans(spark, tmp_path):
     assert rep["swept"] == ["signatures__compact_tmp"]
     assert not os.path.exists(f"{state}/signatures__compact_tmp")
 
-    # retraction snapshot orphan, restore side
-    os.makedirs(f"{state}/tmp/retract", exist_ok=True)
-    shutil.move(f"{state}/batches/b1", f"{state}/tmp/retract/b1")
+    # snapshot-surgery orphan, FINISH side: the stage reached its
+    # commit point (manifest written) before the crash — fsck moves
+    # the staged replacement in and deletes the listed hit file
+    os.makedirs(f"{state}/tmp/retract/b1", exist_ok=True)
+    hit = sorted(
+        f for f in os.listdir(f"{state}/batches/b1")
+        if f.endswith(".parquet")
+    )[0]
+    shutil.copy(
+        f"{state}/batches/b1/{hit}",
+        f"{state}/tmp/retract/b1/part-staged.parquet",
+    )
+    touch_file(spark, f"{state}/tmp/retract/b1/_SUCCESS")
+    with open(f"{state}/tmp/retract/b1/_SURGERY_MANIFEST", "w") as fh:
+        fh.write(hit)
+    rows_before = spark.read.parquet(f"{state}/batches/b1").count()
     rep = fsck_state(spark, state)
     assert rep["restored"] == ["batches/b1"]
-    assert table_exists(spark, f"{state}/batches/b1/_SUCCESS")
-    # retraction snapshot orphan, sweep side
+    assert not os.path.exists(f"{state}/tmp/retract/b1")
+    assert not os.path.exists(f"{state}/batches/b1/{hit}")
+    # the staged copy replaced the hit file 1:1 — same rows
+    assert spark.read.parquet(f"{state}/batches/b1").count() == rows_before
+    # snapshot-surgery orphan, SWEEP side: no manifest = the snapshot
+    # was never mutated; the stage is dropped, the snapshot kept
     shutil.copytree(f"{state}/batches/b1", f"{state}/tmp/retract/b1")
     rep = fsck_state(spark, state)
     assert rep["swept"] == ["tmp/retract/b1"]
+    assert spark.read.parquet(f"{state}/batches/b1").count() == rows_before
     # a state_summary BEFORE repair only reports; it never mutates
     shutil.copytree(f"{state}/batches/b1", f"{state}/tmp/retract/b1")
     s = state_summary(spark, state)
@@ -283,10 +301,11 @@ def test_fsck_restores_and_sweeps_swap_orphans(spark, tmp_path):
 
 def test_retract_crash_mid_swap_recovers_via_rebuild(spark, tmp_path,
                                                     monkeypatch):
-    """True chaos: the retraction's snapshot swap crashes between the
-    delete and the rename.  rebuild_state (which runs fsck_state
-    first) must recover WITHOUT hand intervention, and the recovered
-    timeline must equal a crash-free retraction."""
+    """True chaos: the snapshot surgery crashes after its commit point
+    (manifest written) but before any staged file moved in.
+    rebuild_state (which runs fsck_state first) must recover WITHOUT
+    hand intervention, and the recovered timeline must equal a
+    crash-free retraction."""
     from hadoop__spark.operators import ingest as ingest_mod
 
     clean, crashed = str(tmp_path / "clean"), str(tmp_path / "crashed")
@@ -308,11 +327,15 @@ def test_retract_crash_mid_swap_recovers_via_rebuild(spark, tmp_path,
     with pytest.raises(RuntimeError, match="simulated crash"):
         retract_documents(spark, crashed, victims, mode="fast")
     monkeypatch.setattr(ingest_mod, "_rename_path", real_rename)
-    # the crash left a deleted snapshot with its rewrite stranded in
-    # tmp/, and the maintenance lock held (the context manager released
-    # it on the exception — assert the state is the recoverable shape)
-    assert not table_exists(spark, f"{crashed}/batches/b1")
+    # the crash stranded b1's staged surgery (manifest + kept rows)
+    # in tmp/; the snapshot itself is intact — file-local surgery
+    # never deletes the snapshot, only individual hit files, and none
+    # were deleted before the first move
+    assert table_exists(spark, f"{crashed}/batches/b1/_SUCCESS")
     assert table_exists(spark, f"{crashed}/tmp/retract/b1")
+    assert table_exists(
+        spark, f"{crashed}/tmp/retract/b1/_SURGERY_MANIFEST"
+    )
     # a retry WITHOUT a rebuild refuses — the crashed run's committed
     # parts (e.g. negative cap rows) would double-apply
     with pytest.raises(RuntimeError, match="previous fast retraction"):

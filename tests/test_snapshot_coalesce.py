@@ -199,6 +199,55 @@ def test_coalesce_keep_recent_uses_marker_mtime(spark, tmp_path):
     assert "a3" in _names(spark, state)
 
 
+def test_takedown_on_epoch_is_file_local(spark, tmp_path):
+    """THE property coalescing must not break: a small takedown on a
+    state whose corpus lives in one big epoch snapshot rewrites only
+    the epoch FILES containing a hit — clean files, the epoch's
+    _SUCCESS and its commit marker survive byte-for-byte.  (A
+    whole-snapshot rewrite would make takedown cost ∝ corpus again —
+    the regression the fast path exists to avoid.)"""
+    import glob
+
+    from hadoop__spark.operators.ingest import _read_commit_marker
+
+    state = str(tmp_path / "state")
+    _build(spark, state)
+    # target_file_bytes=1 forces the epoch to keep one file per input
+    # partition (coalesce never splits), giving a multi-file epoch at
+    # test scale — at real scale 128 MB files give the same shape
+    out = coalesce_snapshots(spark, state, keep_recent=0,
+                             target_file_bytes=1)
+    epoch_dir = f"{state}/batches/{out['epoch']}"
+
+    def file_states():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{epoch_dir}/*.parquet")
+        }
+
+    before = file_states()
+    assert len(before) >= 2, "test needs a multi-file epoch"
+    marker_mtime = os.path.getmtime(f"{epoch_dir}/_INGEST_COMMITTED")
+    success_mtime = os.path.getmtime(f"{epoch_dir}/_SUCCESS")
+    covered_before = _read_commit_marker(spark, epoch_dir)
+    left = retract_documents(
+        spark, state, spark.createDataFrame([(2,)], "doc_id LONG"),
+        mode="fast",
+    )
+    after = file_states()
+    untouched = {p for p, t in before.items() if after.get(p) == t}
+    assert untouched, "every epoch file rewritten — not file-local"
+    assert set(before) - untouched, "no epoch file replaced"
+    assert os.path.getmtime(f"{epoch_dir}/_INGEST_COMMITTED") == marker_mtime
+    assert os.path.getmtime(f"{epoch_dir}/_SUCCESS") == success_mtime
+    assert _read_commit_marker(spark, epoch_dir) == covered_before
+    kept = {r.doc_id for r in left.collect()}
+    assert 2 not in kept and kept == {
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/batches/*").collect()
+    }
+
+
 def test_coalesce_crash_windows_fsck(spark, tmp_path, monkeypatch):
     """Every crash window of the swap is repaired by fsck_state: a
     crash BEFORE any source delete sweeps the staged epoch (corpus
