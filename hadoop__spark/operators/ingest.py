@@ -2314,8 +2314,8 @@ def fsck_state(spark, state_dir: str) -> dict:
     needs no hand intervention; it is also safe standalone from a
     maintenance window).
 
-    Both maintenance operations follow write-tmp / delete-target /
-    rename, so a crash leaves exactly one of two states per table:
+    Flat-table compaction follows write-tmp / delete-target / rename,
+    so a crash leaves exactly one of two states per table:
 
     * target MISSING, tmp complete → the crash hit between delete and
       rename: finish it (rename the tmp into place) — ``restored``.
@@ -2324,11 +2324,16 @@ def fsck_state(spark, state_dir: str) -> dict:
       half-adopted copy that must never be unioned or double-counted
       — delete it — ``swept``.
 
-    Also sweeps incomplete (``_SUCCESS``-less) tmps, sweeps-or-
-    FINISHES a crashed :func:`coalesce_snapshots` swap (manifest-
-    driven — see the inline comment), and reports — but does not
-    repair — mid-surgery flat tables (``_RETRACT_SURGERY`` marker:
-    duplicate rows possible; run :func:`rebuild_state`).
+    Snapshot surgeries and epoch coalesces are MANIFEST-driven
+    (the manifest is each protocol's commit point, written last into
+    the stage): a stage without its manifest never mutated anything
+    and is swept; one with it is FINISHED idempotently — surgery:
+    staged replacement files in, listed hit files deleted; coalesce:
+    remaining sources retired, epoch adopted (see the inline
+    comments).  Also sweeps incomplete (``_SUCCESS``-less) tmps and
+    reports — but does not repair — mid-surgery flat tables
+    (``_RETRACT_SURGERY`` marker: duplicate rows possible; run
+    :func:`rebuild_state`).
 
     Returns ``{"restored": [...], "swept": [...],
     "needs_rebuild": [...]}`` (paths relative to ``state_dir``).
