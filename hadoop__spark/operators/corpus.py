@@ -484,7 +484,11 @@ def corpus_stats_sketch(
         F.md5(normalized(F.col(text_col))).alias("_fp"),
     )
     if cache:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        from hadoop__spark.operators.dedup import _register_probe_cache
+
+        base = _register_probe_cache(
+            base.persist(StorageLevel.MEMORY_AND_DISK)
+        )
     doc_level = base.groupBy(*group_cols).agg(
         F.count("_id").cast("bigint").alias("n_docs"),
         # coalesce: a group whose every document has null text sums to

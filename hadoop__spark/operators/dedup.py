@@ -32,6 +32,44 @@ from pyspark.sql import Column, DataFrame, functions as F
 from hadoop__spark.operators.text import normalized, tokens
 from hadoop__spark.operators.util import ensure_parallelism
 
+# frames persisted by probe functions that RETURN lazy plans and so
+# have no local unpersist point (documented at minhash_lsh_pairs).
+# Each entry stays in the session's CacheManager until unpersisted —
+# and every query COMPILE walks all registered entries, so a
+# long-lived session (a streaming ingest driver) slows down per batch
+# as entries accrue (measured: 20 s → 87 s per identical micro-batch
+# over 120 ingests, flat-table compaction notwithstanding —
+# tools/cadence_rehearsal.py).  Loop drivers call
+# :func:`release_probe_caches` once per iteration, after everything
+# derived from the probes has been materialized.
+_UNRELEASED_PROBE_CACHES: list[DataFrame] = []
+
+
+def _register_probe_cache(df: DataFrame) -> DataFrame:
+    _UNRELEASED_PROBE_CACHES.append(df)
+    return df
+
+
+def release_probe_caches() -> int:
+    """Unpersist every probe-cached frame accumulated since the last
+    release, returning how many were released.
+
+    ALWAYS correctness-safe: these frames are ``persist``-ed (lineage
+    kept), so a still-live lazy plan that referenced one simply
+    recomputes — nothing fails, nothing changes value.  The point is
+    the long-lived-session contract: :func:`ingest_batch` calls this
+    after each batch's state appends are durable, keeping the
+    CacheManager (whose entries every query compile scans) and the
+    block store flat across thousands of micro-batches.  One-shot
+    pipelines (``prepare_corpus``) deliberately do NOT auto-release —
+    their lazy results may still be consumed downstream, and their
+    session ends with the job anyway."""
+    n = 0
+    while _UNRELEASED_PROBE_CACHES:
+        _UNRELEASED_PROBE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def shingles_of_tokens(w: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an already-materialized token
@@ -201,7 +239,9 @@ def minhash_lsh_pairs(
     if cache == "auto":
         cache = "persist"
     if cache == "persist":
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = _register_probe_cache(
+            base.persist(StorageLevel.MEMORY_AND_DISK)
+        )
     elif cache == "local_checkpoint":
         base = base.localCheckpoint(eager=False)
     else:
@@ -433,9 +473,12 @@ def minhash_lsh_pairs_between(
         )
     # same persist-with-no-unpersist-point tradeoff as
     # minhash_lsh_pairs (documented there): the batch shingle frame
-    # feeds both the signatures and the verify join
-    base_new = shingle_frame(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # feeds both the signatures and the verify join; registered so
+    # the ingest loop releases it once the batch is durable
+    base_new = _register_probe_cache(
+        shingle_frame(df, text_col, id_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     mh_new = _minhash_signatures(base_new, num_perm)
 
@@ -876,8 +919,10 @@ def ngram_jaccard_pairs_between(
     from pyspark.sql.window import Window
 
     dfq = spark.read.parquet(f"{path}/doc_freq")
-    sh_new = shingle_frame(df, text_col, id_col, meta.n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh_new = _register_probe_cache(
+        shingle_frame(df, text_col, id_col, meta.n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     inv_new = sh_new.select(
         "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
@@ -1429,7 +1474,9 @@ def embedding_dedup_pairs_bucketed(
         df, cents, vec_col, id_col, n_assign, assign
     )
     if cache:
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        assigned = _register_probe_cache(
+            assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        )
     return _bucket_local_pairs(assigned, threshold)
 
 
@@ -1565,7 +1612,7 @@ ivf_append_index` completes the ingest loop without ever re-pairing
     # assignment — the operator's most expensive projection — so
     # persist it once (same rationale as the bucketed variant's cache)
     if cache:
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        b = _register_probe_cache(b.persist(StorageLevel.MEMORY_AND_DISK))
     probe_ids = sorted(
         r.centroid_id
         for r in b.select("centroid_id").distinct().collect()

@@ -723,6 +723,16 @@ def ingest_batch(
             allow_policy_change,
         )
     finally:
+        # release the probe caches THIS call accumulated: the
+        # survivors and every state append are already durable (the
+        # returned frame reads the snapshot, not the probe chain), and
+        # CacheManager entries otherwise accrue per batch — every
+        # query compile scans all of them, so a long-lived streaming
+        # driver slows down per micro-batch (measured 20 s → 87 s per
+        # identical batch over 120 ingests; tools/cadence_rehearsal.py)
+        from hadoop__spark.operators.dedup import release_probe_caches
+
+        release_probe_caches()
         _delete_path(spark, in_progress)
 
 

@@ -24,7 +24,16 @@ criterion (recorded in NOTES.md): summary/retract/rebuild costs track
 the SNAPSHOT/FILE count, and coalescing restores them to ~first-
 checkpoint levels while the corpus is unchanged.
 
+Also measured: the per-batch INGEST wall itself.  Unmaintained, it
+grows ~linearly in batch count (the probes scan state tables whose
+FILE count grows per append — measured 18.5 s/batch at batch 10 →
+67.5 s/batch at batch 85 on this corpus); with ``maintain_every=K``
+the script runs ``compact_state`` every K batches, the operational
+cadence the runbook prescribes, and the curve re-anchors after each
+compaction.
+
 Usage: python tools/cadence_rehearsal.py [n_batches] [docs_per_batch]
+       [maintain_every]
 """
 
 from __future__ import annotations
@@ -90,6 +99,7 @@ def checkpoint_probe(spark, state: str, k: int) -> dict:
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    maintain_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     workdir = os.environ.get("REHEARSAL_DIR", "/tmp/cadence_rehearsal")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = (
@@ -111,6 +121,7 @@ def main() -> None:
 
     ingest_walls = []
     checkpoints = {}
+    compactions = {}
     probe_at = sorted(
         {max(1, n_batches // 8), n_batches // 4, n_batches // 2, n_batches}
     )
@@ -122,6 +133,14 @@ def main() -> None:
             )
         )
         ingest_walls.append(wall)
+        if maintain_every and k % maintain_every == 0 and k < n_batches:
+            before = n_files(state)
+            cw, _ = timed(lambda: ing.compact_state(spark, state))
+            compactions[k] = {
+                "sec": cw, "files_before": before,
+                "files_after": n_files(state),
+            }
+            print(f"== compaction @{k}: {compactions[k]}", flush=True)
         if k in probe_at:
             checkpoints[k] = checkpoint_probe(spark, state, k)
             print(f"== checkpoint {k}: {checkpoints[k]}", flush=True)
@@ -141,11 +160,17 @@ def main() -> None:
     report = {
         "n_batches": n_batches,
         "docs_per_batch": per_batch,
+        "maintain_every": maintain_every,
         "ingest_wall_first10": avg(ingest_walls[:10]),
         "ingest_wall_mid10": avg(
             ingest_walls[n_batches // 2 : n_batches // 2 + 10]
         ),
         "ingest_wall_last10": avg(ingest_walls[-10:]),
+        "ingest_wall_deciles": [
+            avg(ingest_walls[i : i + max(1, n_batches // 10)])
+            for i in range(0, n_batches, max(1, n_batches // 10))
+        ],
+        "compactions": compactions,
         "checkpoints": checkpoints,
         "rebuild_before_coalesce_sec": rebuild_before,
         "coalesce_sec": coal_wall,
