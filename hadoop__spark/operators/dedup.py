@@ -42,33 +42,52 @@ from hadoop__spark.operators.util import ensure_parallelism
 # tools/cadence_rehearsal.py).  Loop drivers call
 # :func:`release_probe_caches` once per iteration, after everything
 # derived from the probes has been materialized.
-_UNRELEASED_PROBE_CACHES: list[DataFrame] = []
+#
+# Keyed BY OWNING SESSION (id of the frame's SparkSession): a process
+# hosting several sessions — or an ingest loop running concurrently
+# with a one-shot prepare_corpus on another session — must not have
+# one session's release unpersist the other's mid-job frames
+# (recompute thrash), nor pin the other's frames against
+# ContextCleaner forever.  (id() is stable for the session's
+# lifetime; a recycled id after GC could at worst inherit a dead
+# session's stale entries, whose unpersist is a correctness-safe
+# no-op.)
+_UNRELEASED_PROBE_CACHES: dict[int, list[DataFrame]] = {}
 
 
 def _register_probe_cache(df: DataFrame) -> DataFrame:
-    _UNRELEASED_PROBE_CACHES.append(df)
+    _UNRELEASED_PROBE_CACHES.setdefault(id(df.sparkSession), []).append(df)
     return df
 
 
-def release_probe_caches() -> int:
+def release_probe_caches(spark=None) -> int:
     """Unpersist every probe-cached frame accumulated since the last
-    release, returning how many were released.
+    release — ``spark``'s frames only when given, every session's when
+    omitted — returning how many were released.
 
     ALWAYS correctness-safe: these frames are ``persist``-ed (lineage
     kept), so a still-live lazy plan that referenced one simply
     recomputes — nothing fails, nothing changes value.  The point is
     the long-lived-session contract: :func:`ingest_batch` calls this
-    after each batch's state appends are durable, keeping the
-    CacheManager (whose entries every query compile scans) and the
-    block store flat across thousands of micro-batches.  One-shot
-    pipelines (``prepare_corpus``) deliberately do NOT auto-release —
-    their lazy results may still be consumed downstream, and their
-    session ends with the job anyway."""
-    n = 0
-    while _UNRELEASED_PROBE_CACHES:
-        _UNRELEASED_PROBE_CACHES.pop().unpersist()
-        n += 1
-    return n
+    (scoped to its own session) after each batch's state appends are
+    durable, keeping the CacheManager (whose entries every query
+    compile scans) and the block store flat across thousands of
+    micro-batches.  One-shot pipelines (``prepare_corpus``)
+    deliberately do NOT auto-release — their lazy results may still
+    be consumed downstream, and their session ends with the job
+    anyway."""
+    if spark is None:
+        frames = [
+            f
+            for lst in _UNRELEASED_PROBE_CACHES.values()
+            for f in lst
+        ]
+        _UNRELEASED_PROBE_CACHES.clear()
+    else:
+        frames = _UNRELEASED_PROBE_CACHES.pop(id(spark), [])
+    for f in frames:
+        f.unpersist()
+    return len(frames)
 
 
 def shingles_of_tokens(w: Column, n: int = 3) -> Column:
@@ -1367,6 +1386,17 @@ def dedup_clusters(
         if checkpoint_dir is None
         else edges.checkpoint(eager=True)
     )
+    if edges.isEmpty():
+        # no pairs → no clusters: skip the label bootstrap and the
+        # propagation loop entirely.  This is the STEADY state of an
+        # incremental ingest (a fresh batch usually has no within-
+        # batch near-dups), where the loop's per-round eager
+        # checkpoint + convergence action would be ~a dozen Spark
+        # jobs spent labeling an empty graph — a real slice of the
+        # fixed per-micro-batch floor (tools/ingest_profile.py).
+        return edges.select(
+            F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

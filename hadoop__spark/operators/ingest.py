@@ -732,7 +732,9 @@ def ingest_batch(
         # identical batch over 120 ingests; tools/cadence_rehearsal.py)
         from hadoop__spark.operators.dedup import release_probe_caches
 
-        release_probe_caches()
+        # scoped to THIS session: a concurrent pipeline on another
+        # session in the same process keeps its own probe caches
+        release_probe_caches(spark)
         _delete_path(spark, in_progress)
 
 
@@ -945,6 +947,20 @@ def _ingest_batch_inner(
             ),
         )
 
+    # materialize the probe-filtered rows ONCE before the within-batch
+    # dedup: dedup_clusters eagerly materializes its edge list (the
+    # within-batch LSH pair DAG) and the snapshot write below executes
+    # the survivors plan — both have the whole probe chain (3 plane
+    # anti-joins + the gate) as their upstream, so without this
+    # staging that chain runs two-plus times per batch.  One
+    # batch-sized parquet write buys single-execution of every probe
+    # (measured: ~30% of the fixed per-micro-batch job floor,
+    # tools/ingest_profile.py); deleted with the other staging below,
+    # swept by fsck_state after a crash.
+    eligible_path = f"{state_dir}/tmp/{batch_name}_eligible"
+    fresh.write.mode("overwrite").parquet(eligible_path)
+    fresh = spark.read.parquet(eligible_path)
+
     # within-batch dedup: exact FIRST (minhash pairs do NOT subsume
     # exact copies of texts shorter than the shingle order — zero-
     # shingle rows never enter the LSH — and a capped hot bucket can
@@ -1038,6 +1054,7 @@ def _ingest_batch_inner(
         # the batch_path write above; done with it — without this, the
         # tmp dir accrues one full survivors copy per batch forever
         _delete_path(spark, text_surv_path)
+    _delete_path(spark, eligible_path)
     surv_m = spark.read.parquet(batch_path)
 
     covered = _write_state_tables(
@@ -1723,6 +1740,12 @@ def retract_documents(
             "(or drop repair_sketches and rebuild_sketch_states later)"
         )
     with _maintenance_lock(spark, state_dir):
+        # fsck-first (the shared maintenance-verb contract): a crashed
+        # coalesce mid-swap would otherwise leave this retraction
+        # reading a PARTIAL snapshot set, and the later fsck would
+        # adopt the pre-retraction staged epoch — resurrecting the
+        # retracted ids with nothing left to flag it (see _fsck_first)
+        _fsck_first(spark, state_dir, "retract_documents")
         # FREEZE the retract set before any mutation: the caller's
         # frame may lazily derive from the very snapshots the rewrite
         # below deletes-and-swaps (the natural "retract everything
@@ -2094,6 +2117,14 @@ def decontaminate_state(
     keep the benchmark in every subsequent :func:`ingest_batch` call
     to hold the decontamination going forward.
     """
+    # fsck-first, under a short lock hold: the overlap scan below
+    # reads the snapshot union lock-free, so a crashed coalesce's
+    # partially-deleted sources would silently scope the scan to a
+    # PARTIAL corpus (contaminated docs in the missing sources never
+    # flagged).  Repair-or-refuse before reading; the retraction at
+    # the end re-guards under its own lock hold.
+    with _maintenance_lock(spark, state_dir):
+        _fsck_first(spark, state_dir, "decontaminate_state")
     union = _read_snapshots_union(spark, state_dir)
     flagged = contamination_report(
         union, benchmark, text_col, id_col, n=n
@@ -2136,37 +2167,40 @@ def compact_state(
 
     Returns ``{table: files_written}`` for the tables that existed.
     """
+    with _maintenance_lock(spark, state_dir):
+        return _compact_state_locked(spark, state_dir, target_file_bytes)
+
+
+def _compact_state_locked(
+    spark, state_dir: str, target_file_bytes: int
+) -> dict[str, int]:
+    """:func:`compact_state`'s body, run under the maintenance lock
+    (shared with :func:`maintain_state`'s single lock hold)."""
     from hadoop__spark.sources.io import compact_parquet
 
     done: dict[str, int] = {}
-    with _maintenance_lock(spark, state_dir):
-        for rel in _STATE_TABLES:
-            if _table_exists(
-                spark, f"{state_dir}/{rel}/_RETRACT_SURGERY"
-            ):
-                # compacting a mid-surgery table would silently bake
-                # its duplicate rows in AND drop the marker that flags
-                # the state as needing a rebuild — refuse instead
-                raise RuntimeError(
-                    f"table {rel} at {state_dir} is mid-retraction "
-                    "surgery (a fast retraction crashed) — run "
-                    "rebuild_state before compacting"
-                )
-        for rel, sort_by in _STATE_TABLES.items():
-            path = f"{state_dir}/{rel}"
-            if not _table_exists(spark, path):
-                continue
-            tmp = f"{path}__compact_tmp"
-            n = compact_parquet(
-                spark, path, tmp, target_file_bytes=target_file_bytes,
-                sort_by=sort_by,
-            )
-            _delete_path(spark, path)
-            # a crash between this delete and the rename leaves the
-            # data at {table}__compact_tmp — fsck_state (run by
-            # rebuild_state, or standalone) restores it
-            _rename_path(spark, tmp, path)
-            done[rel] = n
+    # fsck-first (the shared maintenance-verb contract): restores a
+    # previously-crashed compact's {table}__compact_tmp BEFORE the
+    # existence check below (which would otherwise SKIP the table —
+    # its data sits at the tmp path), and refuses mid-surgery tables
+    # whose duplicate rows a compaction would silently bake in while
+    # dropping the _RETRACT_SURGERY marker that flags them
+    _fsck_first(spark, state_dir, "compact_state")
+    for rel, sort_by in _STATE_TABLES.items():
+        path = f"{state_dir}/{rel}"
+        if not _table_exists(spark, path):
+            continue
+        tmp = f"{path}__compact_tmp"
+        n = compact_parquet(
+            spark, path, tmp, target_file_bytes=target_file_bytes,
+            sort_by=sort_by,
+        )
+        _delete_path(spark, path)
+        # a crash between this delete and the rename leaves the
+        # data at {table}__compact_tmp — fsck_state (run by
+        # rebuild_state, or standalone) restores it
+        _rename_path(spark, tmp, path)
+        done[rel] = n
     return done
 
 
@@ -2232,88 +2266,144 @@ def coalesce_snapshots(
     follows public log-structured designs (e.g. LSM level merges,
     Iceberg/Delta snapshot expiration).
     """
+    if keep_recent < 0:
+        raise ValueError(f"keep_recent must be >= 0, got {keep_recent}")
+    with _maintenance_lock(spark, state_dir):
+        return _coalesce_snapshots_locked(
+            spark, state_dir, names, keep_recent, target_file_bytes
+        )
+
+
+def _coalesce_snapshots_locked(
+    spark,
+    state_dir: str,
+    names: list[str] | None,
+    keep_recent: int,
+    target_file_bytes: int,
+) -> dict:
+    """:func:`coalesce_snapshots`'s body, run under the maintenance
+    lock (shared with :func:`maintain_state`'s single lock hold)."""
     import hashlib
 
     from hadoop__spark.operators.util import path_bytes, path_mtime
 
+    # fsck-first: a crashed surgery/coalesce stage must be
+    # repaired (or the state refused) before the snapshot set
+    # below is read — see _fsck_first for the two failure
+    # compositions this closes
+    _fsck_first(spark, state_dir, "coalesce_snapshots")
+    complete = [
+        b
+        for b in _list_child_dirs(spark, f"{state_dir}/batches")
+        if _table_exists(spark, f"{b}/_SUCCESS")
+    ]
+    committed, skipped = [], []
+    for b in complete:
+        name = b.rstrip("/").rsplit("/", 1)[-1]
+        if _read_commit_marker(spark, b) is None:
+            skipped.append(name)
+        else:
+            committed.append(name)
+    if names is not None:
+        missing = sorted(set(names) - set(committed))
+        if missing:
+            raise ValueError(
+                f"cannot coalesce {missing} on {state_dir} — not "
+                "complete committed snapshots (uncommitted "
+                "snapshots are crash evidence: rebuild_state first)"
+            )
+        sources = sorted(set(names))
+    else:
+        by_age = sorted(
+            committed,
+            key=lambda n: path_mtime(
+                spark, f"{state_dir}/batches/{n}/{_COMMIT_MARKER}"
+            ),
+        )
+        # max(0, …): keep_recent beyond the candidate count must
+        # keep EVERYTHING, not wrap into a negative slice that
+        # coalesces batches the caller asked to protect
+        sources = sorted(by_age[: max(0, len(by_age) - keep_recent)])
+    if len(sources) < 2:
+        return {
+            "epoch": None,
+            "coalesced": [],
+            "skipped_uncommitted": sorted(skipped),
+        }
+    digest = hashlib.sha1("\n".join(sources).encode()).hexdigest()[:12]
+    epoch = f"epoch-{digest}"
+    if _table_exists(spark, f"{state_dir}/batches/{epoch}"):
+        raise RuntimeError(
+            f"epoch snapshot {epoch} already exists under "
+            f"{state_dir}/batches — name collision with a live "
+            "batch; retract or rename it first"
+        )
+    src_paths = [f"{state_dir}/batches/{n}" for n in sources]
+    union = spark.read.parquet(src_paths[0])
+    covered = _read_commit_marker(spark, src_paths[0])
+    for p in src_paths[1:]:
+        union = union.unionByName(
+            spark.read.parquet(p), allowMissingColumns=True
+        )
+        covered &= _read_commit_marker(spark, p)
+    # right-size from the sources' on-disk bytes — coalesce, not
+    # repartition: the epoch write must not shuffle the corpus
+    total = sum(path_bytes(spark, p) for p in src_paths)
+    n_files = max(1, -(-total // target_file_bytes))
+    tmp = f"{state_dir}/tmp/coalesce/{epoch}"
+    _delete_path(spark, tmp)
+    union.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    _write_commit_marker(spark, tmp, covered)
+    # the manifest is the LAST tmp write: its presence marks the
+    # staged epoch as finish-able (see fsck_state)
+    _write_text_file(
+        spark, f"{tmp}/{_COALESCE_MANIFEST}", "\n".join(sources)
+    )
+    for p in src_paths:
+        _delete_path(spark, p)
+    _rename_path(spark, tmp, f"{state_dir}/batches/{epoch}")
+    # the manifest did its job (it was the crash protocol's commit
+    # point INSIDE tmp/); don't let the protocol artifact live on in
+    # the adopted snapshot — harmless to Spark's underscore-file
+    # filtering, but a relocated batches/ dir could be misread as a
+    # pending coalesce.  A crash in this one-file window leaves a
+    # stray manifest that fsck_state sweeps.
+    _delete_path(spark, f"{state_dir}/batches/{epoch}/{_COALESCE_MANIFEST}")
+    return {
+        "epoch": epoch,
+        "coalesced": sources,
+        "skipped_uncommitted": sorted(skipped),
+    }
+
+
+def maintain_state(
+    spark,
+    state_dir: str,
+    keep_recent: int = 1,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """The maintenance window as ONE verb: repair (:func:`fsck_state`),
+    bound the snapshot count (:func:`coalesce_snapshots`), and
+    right-size the probe tables (:func:`compact_state`) under a single
+    maintenance-lock acquisition — so an operator's cron job is one
+    call and a concurrent :func:`ingest_batch` sees one exclusion
+    window instead of three lock/unlock races it could slip between.
+
+    Equivalent to the three-call composition (tested); refuses exactly
+    when the parts would (a crashed fast retraction still needs
+    :func:`rebuild_state` first).  Returns the combined report::
+
+        {"fsck": {...}, "coalesce": {...}, "compact": {...}}
+    """
     if keep_recent < 0:
         raise ValueError(f"keep_recent must be >= 0, got {keep_recent}")
     with _maintenance_lock(spark, state_dir):
-        complete = [
-            b
-            for b in _list_child_dirs(spark, f"{state_dir}/batches")
-            if _table_exists(spark, f"{b}/_SUCCESS")
-        ]
-        committed, skipped = [], []
-        for b in complete:
-            name = b.rstrip("/").rsplit("/", 1)[-1]
-            if _read_commit_marker(spark, b) is None:
-                skipped.append(name)
-            else:
-                committed.append(name)
-        if names is not None:
-            missing = sorted(set(names) - set(committed))
-            if missing:
-                raise ValueError(
-                    f"cannot coalesce {missing} on {state_dir} — not "
-                    "complete committed snapshots (uncommitted "
-                    "snapshots are crash evidence: rebuild_state first)"
-                )
-            sources = sorted(set(names))
-        else:
-            by_age = sorted(
-                committed,
-                key=lambda n: path_mtime(
-                    spark, f"{state_dir}/batches/{n}/{_COMMIT_MARKER}"
-                ),
-            )
-            # max(0, …): keep_recent beyond the candidate count must
-            # keep EVERYTHING, not wrap into a negative slice that
-            # coalesces batches the caller asked to protect
-            sources = sorted(by_age[: max(0, len(by_age) - keep_recent)])
-        if len(sources) < 2:
-            return {
-                "epoch": None,
-                "coalesced": [],
-                "skipped_uncommitted": sorted(skipped),
-            }
-        digest = hashlib.sha1("\n".join(sources).encode()).hexdigest()[:12]
-        epoch = f"epoch-{digest}"
-        if _table_exists(spark, f"{state_dir}/batches/{epoch}"):
-            raise RuntimeError(
-                f"epoch snapshot {epoch} already exists under "
-                f"{state_dir}/batches — name collision with a live "
-                "batch; retract or rename it first"
-            )
-        src_paths = [f"{state_dir}/batches/{n}" for n in sources]
-        union = spark.read.parquet(src_paths[0])
-        covered = _read_commit_marker(spark, src_paths[0])
-        for p in src_paths[1:]:
-            union = union.unionByName(
-                spark.read.parquet(p), allowMissingColumns=True
-            )
-            covered &= _read_commit_marker(spark, p)
-        # right-size from the sources' on-disk bytes — coalesce, not
-        # repartition: the epoch write must not shuffle the corpus
-        total = sum(path_bytes(spark, p) for p in src_paths)
-        n_files = max(1, -(-total // target_file_bytes))
-        tmp = f"{state_dir}/tmp/coalesce/{epoch}"
-        _delete_path(spark, tmp)
-        union.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-        _write_commit_marker(spark, tmp, covered)
-        # the manifest is the LAST tmp write: its presence marks the
-        # staged epoch as finish-able (see fsck_state)
-        _write_text_file(
-            spark, f"{tmp}/{_COALESCE_MANIFEST}", "\n".join(sources)
+        fsck = _fsck_first(spark, state_dir, "maintain_state")
+        coalesce = _coalesce_snapshots_locked(
+            spark, state_dir, None, keep_recent, target_file_bytes
         )
-        for p in src_paths:
-            _delete_path(spark, p)
-        _rename_path(spark, tmp, f"{state_dir}/batches/{epoch}")
-        return {
-            "epoch": epoch,
-            "coalesced": sources,
-            "skipped_uncommitted": sorted(skipped),
-        }
+        compact = _compact_state_locked(spark, state_dir, target_file_bytes)
+    return {"fsck": fsck, "coalesce": coalesce, "compact": compact}
 
 
 def fsck_state(spark, state_dir: str) -> dict:
@@ -2377,12 +2467,20 @@ def fsck_state(spark, state_dir: str) -> dict:
         # — staged files in, listed hit files deleted).  No manifest →
         # the snapshot was never mutated; sweep the stage.
         name = tmp.rstrip("/").rsplit("/", 1)[-1]
-        if (
-            _table_exists(spark, f"{tmp}/{_SURGERY_MANIFEST}")
-            and _table_exists(spark, f"{tmp}/_SUCCESS")
-            and _table_exists(spark, f"{state_dir}/batches/{name}")
-        ):
+        has_manifest = _table_exists(spark, f"{tmp}/{_SURGERY_MANIFEST}")
+        has_success = _table_exists(spark, f"{tmp}/_SUCCESS")
+        has_target = _table_exists(spark, f"{state_dir}/batches/{name}")
+        if has_manifest and has_success and has_target:
             _finish_snapshot_surgery(spark, state_dir, name)
+            restored.append(f"batches/{name}")
+        elif not has_manifest and has_success and not has_target:
+            # LEGACY restore (pre-file-local protocol): the whole-
+            # snapshot swap staged a complete replacement copy (no
+            # manifest — that file postdates it) and crashed between
+            # deleting batches/{name} and renaming the stage in.  The
+            # stage is the snapshot's ONLY copy — sweeping it would
+            # permanently delete the batch; finish the rename instead.
+            _rename_path(spark, tmp, f"{state_dir}/batches/{name}")
             restored.append(f"batches/{name}")
         else:
             _delete_path(spark, tmp)
@@ -2421,7 +2519,21 @@ def fsck_state(spark, state_dir: str) -> dict:
         for p in src_paths:
             _delete_path(spark, p)
         _rename_path(spark, tmp, f"{state_dir}/batches/{name}")
+        # same cleanup as the crash-free path: the manifest's job
+        # ended at adoption
+        _delete_path(
+            spark, f"{state_dir}/batches/{name}/{_COALESCE_MANIFEST}"
+        )
         restored.append(f"batches/{name}")
+    for b in _list_child_dirs(spark, f"{state_dir}/batches"):
+        # a crash between an epoch's adopting rename and its manifest
+        # delete strands the protocol artifact inside the live
+        # snapshot — sweep it (the coalesce itself is complete)
+        stray = f"{b.rstrip('/')}/{_COALESCE_MANIFEST}"
+        if _table_exists(spark, stray):
+            _delete_path(spark, stray)
+            name = b.rstrip("/").rsplit("/", 1)[-1]
+            swept.append(f"batches/{name}/{_COALESCE_MANIFEST}")
     ivf_tmp = f"{state_dir}/ivf/__retract_kept_tmp"
     if _table_exists(spark, ivf_tmp):
         # staging only — the dynamic overwrite either committed or
@@ -2434,6 +2546,14 @@ def fsck_state(spark, state_dir: str) -> dict:
         # retract_documents — input staging only, never authoritative
         _delete_path(spark, ids_tmp)
         swept.append("tmp/retract_ids")
+    for tmp in _list_child_dirs(spark, f"{state_dir}/tmp"):
+        # a crashed ingest_batch's single-execution staging tables
+        # (probe-filtered rows, text-plane survivors) — derived data
+        # only, re-created by the re-ingest; never authoritative
+        name = tmp.rstrip("/").rsplit("/", 1)[-1]
+        if name.endswith("_eligible") or name.endswith("_text_survivors"):
+            _delete_path(spark, tmp)
+            swept.append(f"tmp/{name}")
     if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):
         # a fast retraction crashed between its multi-table mutations
         # — only a rebuild reconsolidates (and clears the marker)
@@ -2445,7 +2565,44 @@ def fsck_state(spark, state_dir: str) -> dict:
     }
 
 
-def state_summary(spark, state_dir: str) -> dict:
+def _fsck_first(spark, state_dir: str, op: str) -> dict:
+    """The fsck-first contract every maintenance verb shares with
+    :func:`rebuild_state`, run AFTER the verb holds the maintenance
+    lock: repair any crashed stage (:func:`fsck_state`) BEFORE the
+    verb reads the snapshot set, and REFUSE while anything needs a
+    rebuild.
+
+    Without it the maintenance verbs compose unsafely across a crash:
+    :func:`coalesce_snapshots` would merge a mid-surgery snapshot
+    (transient duplicates, retracted ids still present) into an epoch
+    and delete the source — after which fsck SWEEPS the committed
+    surgery stage (its ``batches/{name}`` no longer exists), baking
+    the duplicates in and silently undoing the takedown; symmetrically,
+    :func:`retract_documents` run between a coalesce crash and its
+    fsck would do surgery on the partial snapshot set, and the later
+    fsck would adopt the PRE-retraction staged epoch, resurrecting
+    the retracted ids with no marker left to flag it.  Repair-first
+    closes both directions; the refusal mirrors
+    :func:`_retract_fast`'s marker check (a half-applied fast
+    retraction only reconsolidates through a rebuild)."""
+    report = fsck_state(spark, state_dir)
+    if report["needs_rebuild"]:
+        raise RuntimeError(
+            f"{op} on {state_dir} refused: a crashed fast retraction "
+            f"left {sorted(report['needs_rebuild'])} needing a rebuild "
+            f"— running {op} now would bake its partial mutations into "
+            "the state; run rebuild_state first (it reconsolidates "
+            "every table and clears the markers)"
+        )
+    return report
+
+
+def state_summary(
+    spark,
+    state_dir: str,
+    coalesce_after: int = 32,
+    compact_after: int = 64,
+) -> dict:
     """Operational snapshot of an ingest state dir — what an on-call
     engineer (or a dashboard poller) checks before touching it: which
     text plane the corpus uses, per-table row counts, every batch
@@ -2472,15 +2629,34 @@ def state_summary(spark, state_dir: str) -> dict:
          "stale_sketches": [...],  # overstating since a retraction
          "accounting_overstatement": {"n_docs": int,
                                       "snapshot_rows": int} | None,
-         "decontaminated": [...]}  # audit tables, one per benchmark
+         "decontaminated": [...],  # audit tables, one per benchmark
+         "advice": {"coalesce_recommended": bool,
+                    "compact_recommended": bool,
+                    "snapshot_count": int,
+                    "table_files": {relpath: n_files, ...}}}
+
+    ``advice`` encodes the runbook's maintenance thresholds as data,
+    so a dashboard poller can fire the window without reading docs:
+    ``coalesce_recommended`` when the committed-snapshot count
+    exceeds ``coalesce_after`` (default 32 — listing/footer walks and
+    the rebuild union width track this count), and
+    ``compact_recommended`` when any flat state table's parquet file
+    count exceeds ``compact_after`` (default 64 — probe scan cost
+    turns into task launch + footer reads past that, the classic
+    small-files failure).  :func:`maintain_state` is the matching
+    one-call window.
     """
-    from hadoop__spark.operators.util import parquet_row_count
+    from hadoop__spark.operators.util import list_files, parquet_row_count
 
     method = _detect_plane(spark, state_dir)
     tables = {}
+    table_files = {}
     for rel in list(_STATE_TABLES) + ["ivf/assigned"]:
         if _table_exists(spark, f"{state_dir}/{rel}"):
             tables[rel] = parquet_row_count(spark, f"{state_dir}/{rel}")
+            table_files[rel] = len(
+                list_files(spark, f"{state_dir}/{rel}", suffix=".parquet")
+            )
     batches = []
     needs_rebuild = False
     snapshot_rows = 0
@@ -2539,6 +2715,20 @@ def state_summary(spark, state_dir: str) -> dict:
         d.rstrip("/").rsplit("/", 1)[-1]
         for d in _list_child_dirs(spark, f"{state_dir}/decontamination")
     )
+    n_committed = sum(1 for b in batches if b["committed"])
+    advice = {
+        "snapshot_count": n_committed,
+        "table_files": table_files,
+        "coalesce_recommended": n_committed > coalesce_after,
+        # ivf/ is partitioned by centroid and deliberately not
+        # compacted (compact_state skips it) — only the flat probe
+        # tables trigger the recommendation
+        "compact_recommended": any(
+            n > compact_after
+            for rel, n in table_files.items()
+            if rel in _STATE_TABLES
+        ),
+    }
     return {
         "text_method": method,
         "tables": tables,
@@ -2555,4 +2745,5 @@ def state_summary(spark, state_dir: str) -> dict:
         "stale_sketches": stale,
         "accounting_overstatement": overstatement,
         "decontaminated": decontaminated,
+        "advice": advice,
     }

@@ -5,6 +5,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# logical operators that put an exchange (or a local collection
+# barrier) below everything downstream — presence of any in the
+# analyzed plan means the frame's parallelism is already governed by
+# spark.sql.shuffle.partitions / AQE, not by its source's file layout
+_WIDE_PLAN_NODES = (
+    "Aggregate", "Join", "Window", "Sort", "Repartition",
+    "RepartitionByExpression", "Deduplicate", "Except", "Intersect",
+    "GlobalLimit", "Distinct",
+)
+
+
 def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy
     per-row work.
@@ -15,9 +26,29 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     no-op — the repartition only fires when the input is narrower than
     the session's parallelism, so it never adds a shuffle to a 100 TB
     scan.
+
+    The check must read the UNEXECUTED plan: calling
+    ``df.rdd.getNumPartitions()`` here would, under AQE, materialize
+    every shuffle query stage below the frame — i.e. silently EXECUTE
+    the caller's upstream pipeline at plan-construction time, once per
+    probe/dedup call (measured: roughly a third of ingest_batch's
+    fixed ~190-job floor was these hidden executions,
+    tools/ingest_profile.py).  So: if the analyzed plan already
+    contains a shuffle-inducing operator, the frame's parallelism is
+    whatever the shuffle produced — already ≥ the session's
+    parallelism at real data sizes, and only AQE-coalesced below it
+    when the data is kilobytes (where a serial task is correct, and a
+    forced repartition would just add a shuffle) — return it
+    untouched.  Only for narrow scan-only plans (small file, local
+    collection) is ``df.rdd`` stage-free and cheap, and the
+    repartition meaningful.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
+    plan = df._jdf.queryExecution().analyzed().treeString()
+    if any(f"{node} " in plan or f"{node}\n" in plan
+           for node in _WIDE_PLAN_NODES):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
