@@ -1255,13 +1255,14 @@ def rebuild_state(
     Returns the unioned survivors frame (read back from the
     snapshots).
     """
-    # repair swap-window orphans first (a crash inside
+    # clear a crashed ingest's in-progress marker FIRST (rebuild IS
+    # the recovery path that marker's error message points to — and
+    # fsck skips the ingest-staging sweep while the marker stands),
+    # then repair swap-window orphans (a crash inside
     # retract/compact's delete→rename protocol leaves data at a tmp
-    # path — restored or swept here, never hand-renamed at 3 a.m.),
-    # and clear a crashed ingest's in-progress marker: rebuild IS the
-    # recovery path that marker's error message points to
-    fsck_state(spark, state_dir)
+    # path — restored or swept here, never hand-renamed at 3 a.m.)
     _delete_path(spark, f"{state_dir}/{_INGEST_MARKER}")
+    fsck_state(spark, state_dir)
     pol = _read_policy(spark, state_dir)
     text_method, n, num_perm, threshold = _resolve_rebuild_params(
         pol, _detect_plane(spark, state_dir), text_method, n, num_perm,
@@ -2546,14 +2547,20 @@ def fsck_state(spark, state_dir: str) -> dict:
         # retract_documents — input staging only, never authoritative
         _delete_path(spark, ids_tmp)
         swept.append("tmp/retract_ids")
-    for tmp in _list_child_dirs(spark, f"{state_dir}/tmp"):
+    if not _table_exists(spark, f"{state_dir}/{_INGEST_MARKER}"):
         # a crashed ingest_batch's single-execution staging tables
         # (probe-filtered rows, text-plane survivors) — derived data
-        # only, re-created by the re-ingest; never authoritative
-        name = tmp.rstrip("/").rsplit("/", 1)[-1]
-        if name.endswith("_eligible") or name.endswith("_text_survivors"):
-            _delete_path(spark, tmp)
-            swept.append(f"tmp/{name}")
+        # only, re-created by the re-ingest; never authoritative.
+        # Skipped while an ingest is IN FLIGHT (marker present): a
+        # live run holds these transiently, and a standalone fsck
+        # must not sweep them out from under it.
+        for tmp in _list_child_dirs(spark, f"{state_dir}/tmp"):
+            name = tmp.rstrip("/").rsplit("/", 1)[-1]
+            if name.endswith("_eligible") or name.endswith(
+                "_text_survivors"
+            ):
+                _delete_path(spark, tmp)
+                swept.append(f"tmp/{name}")
     if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):
         # a fast retraction crashed between its multi-table mutations
         # — only a rebuild reconsolidates (and clears the marker)
@@ -2691,6 +2698,16 @@ def state_summary(
         orphans.append(f"tmp/coalesce/{tmp.rstrip('/').rsplit('/', 1)[-1]}")
     if _table_exists(spark, f"{state_dir}/tmp/retract_ids"):
         orphans.append("tmp/retract_ids")
+    if not _table_exists(spark, f"{state_dir}/{_INGEST_MARKER}"):
+        # only when no ingest is in flight: a LIVE ingest_batch holds
+        # these staging tables transiently — they are orphans (fsck
+        # sweeps) only once the run that made them is gone
+        for tmp in _list_child_dirs(spark, f"{state_dir}/tmp"):
+            name = tmp.rstrip("/").rsplit("/", 1)[-1]
+            if name.endswith("_eligible") or name.endswith(
+                "_text_survivors"
+            ):
+                orphans.append(f"tmp/{name}")
     if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):
         needs_rebuild = True
         orphans.append(_RETRACT_MARKER)

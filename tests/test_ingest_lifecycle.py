@@ -1332,3 +1332,32 @@ def test_release_probe_caches_scoped_to_session(spark, tmp_path):
     )
     assert dedup.release_probe_caches() == 2
     assert not dedup._UNRELEASED_PROBE_CACHES
+
+
+def test_fsck_sweeps_crashed_ingest_staging(spark, tmp_path):
+    """ingest_batch's single-execution staging tables (probe-filtered
+    rows / text-plane survivors under tmp/) are swept by fsck after a
+    crash — but NEVER while an ingest is in flight (marker present),
+    since a live run holds them transiently."""
+    state = str(tmp_path / "state")
+    ingest_batch(spark, state, _docs(spark, range(1, 10)), "b1")
+    os.makedirs(f"{state}/tmp/mb2_eligible", exist_ok=True)
+    touch_file(spark, f"{state}/tmp/mb2_eligible/part-0.parquet")
+    touch_file(spark, f"{state}/{_INGEST_MARKER}")
+    # live ingest: neither reported nor swept
+    assert "tmp/mb2_eligible" not in state_summary(spark, state)["orphans"]
+    fsck_state(spark, state)
+    assert os.path.exists(f"{state}/tmp/mb2_eligible")
+    # crashed ingest (marker gone): reported, then swept
+    os.remove(f"{state}/{_INGEST_MARKER}")
+    assert "tmp/mb2_eligible" in state_summary(spark, state)["orphans"]
+    rep = fsck_state(spark, state)
+    assert "tmp/mb2_eligible" in rep["swept"]
+    assert not os.path.exists(f"{state}/tmp/mb2_eligible")
+    # rebuild after a crash clears the stale marker FIRST, so its own
+    # fsck pass sweeps the staging in the same call
+    os.makedirs(f"{state}/tmp/mb3_text_survivors", exist_ok=True)
+    touch_file(spark, f"{state}/{_INGEST_MARKER}")
+    rebuild_state(spark, state)
+    assert not os.path.exists(f"{state}/tmp/mb3_text_survivors")
+    assert not table_exists(spark, f"{state}/{_INGEST_MARKER}")
