@@ -983,3 +983,50 @@ def test_ivf_append_aligns_element_type(spark, tmp_path):
     # and membership covers both generations
     ids = {r.vec_id for r in assigned.collect()}
     assert ids == set(range(40)) | {100 + i for i in range(10)}
+
+
+def test_ensure_parallelism_is_plan_aware(spark):
+    """ensure_parallelism must decide from the UNEXECUTED plan: on a
+    frame whose plan already contains a shuffle boundary it returns
+    the SAME object untouched — calling df.rdd there would, under
+    AQE, materialize every query stage below it (silently executing
+    the caller's upstream pipeline at plan-construction time; the
+    round-11 profiler attributed roughly a third of ingest_batch's
+    fixed per-batch job floor to exactly that).  On a narrow local /
+    scan plan the partition check is stage-free and the widening
+    repartition still fires."""
+    from hadoop__spark.operators.util import ensure_parallelism
+
+    # narrow local relation, 1 slice → widened to the session default
+    narrow = spark.createDataFrame([(i,) for i in range(10)], "x LONG")
+    widened = ensure_parallelism(narrow)
+    assert (
+        widened.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    # wide plans (aggregate / join / distinct) pass through untouched
+    agg = narrow.groupBy("x").count()
+    assert ensure_parallelism(agg) is agg
+    joined = narrow.join(narrow.withColumnRenamed("x", "y"),
+                         F.col("x") == F.col("y"))
+    assert ensure_parallelism(joined) is joined
+    distinct = narrow.distinct()
+    assert ensure_parallelism(distinct) is distinct
+
+
+def test_dedup_clusters_empty_pairs_fast_path(spark):
+    """dedup_clusters on an empty pair list returns an empty
+    (doc_id, cluster_id) frame with the right schema — without the
+    propagation loop (the steady state of an incremental ingest's
+    within-batch dedup)."""
+    empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    out = dedup.dedup_clusters(empty)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0
+    # and dedup_corpus over a no-dup frame keeps every row
+    df = spark.createDataFrame(
+        [(i, f"wholly distinct text number {i} variant {i * 31 % 97}")
+         for i in range(1, 12)],
+        "doc_id LONG, text STRING",
+    )
+    assert dedup.dedup_corpus(df, method="minhash").count() == 11
