@@ -34,6 +34,10 @@ compaction.
 
 Usage: python tools/cadence_rehearsal.py [n_batches] [docs_per_batch]
        [maintain_every]
+Env: REHEARSAL_MAINTAIN=compact (default; compact_state only — lets
+the snapshot axis grow so the end-of-run coalesce shows the collapse)
+or full (maintain_state with keep_recent=8 — bounds both axes at
+cadence, the production setting).
 """
 
 from __future__ import annotations
@@ -135,7 +139,14 @@ def main() -> None:
         ingest_walls.append(wall)
         if maintain_every and k % maintain_every == 0 and k < n_batches:
             before = n_files(state)
-            cw, _ = timed(lambda: ing.compact_state(spark, state))
+            if os.environ.get("REHEARSAL_MAINTAIN", "compact") == "full":
+                # the one-verb window: fsck + coalesce + compact under
+                # one lock hold — bounds BOTH growth axes at cadence
+                cw, _ = timed(
+                    lambda: ing.maintain_state(spark, state, keep_recent=8)
+                )
+            else:
+                cw, _ = timed(lambda: ing.compact_state(spark, state))
             compactions[k] = {
                 "sec": cw, "files_before": before,
                 "files_after": n_files(state),
