@@ -111,10 +111,38 @@ def main() -> None:
 
         setattr(ing, name, timed)
 
+    full = os.environ.get("PROFILE_FULL") == "1"
+
+    def embs_df(spark, batch_no: int, n: int, dim: int = 32):
+        base = batch_no * 10_000
+        return spark.createDataFrame(
+            [
+                (base + i,
+                 [float((base + i + d * 7) % 13) for d in range(dim)])
+                for i in range(n)
+            ],
+            "doc_id LONG, embedding ARRAY<DOUBLE>",
+        )
+
+    def scores_df(spark, batch_no: int, n: int):
+        base = batch_no * 10_000
+        return spark.createDataFrame(
+            [(base + i, float((base + i) % 11)) for i in range(n)],
+            "doc_id LONG, quality_score DOUBLE",
+        )
+
     def run(k):
+        extra = {}
+        if full:
+            # the full option surface (gate + embeddings), the
+            # worst-case per-batch floor
+            extra = dict(
+                scores=scores_df(spark, k, per_batch), keep_frac=0.95,
+                embeddings=embs_df(spark, k, per_batch),
+            )
         return ing.ingest_batch(
             spark, state, docs_df(spark, k, per_batch), f"mb{k:05d}",
-            group_cap=("src", 10**9), accounting_col="src",
+            group_cap=("src", 10**9), accounting_col="src", **extra,
         )
 
     # warm the state to steady-state (probe planes exist, appends run)
