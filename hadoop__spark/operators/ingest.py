@@ -1651,7 +1651,11 @@ def retract_documents(
     the first destructive snapshot rewrite — a typo'd kwarg or a
     wrong ``text_method``/``num_perm`` refuses while the state is
     still intact instead of stranding retracted ids probe-visible
-    after a half-done rewrite.
+    after a half-done rewrite.  Runs fsck-first under the maintenance
+    lock (a crashed coalesce's partially-deleted sources would
+    otherwise scope the retraction to a PARTIAL corpus, and the later
+    fsck would adopt the pre-retraction staged epoch — resurrecting
+    the ids; see :func:`_fsck_first`).
 
     Retraction semantics are the inverse of first-arrival: once a
     document is retracted, it is GONE from every plane — a later
@@ -2164,7 +2168,12 @@ def compact_state(
     purpose: ``batches/*`` (immutable snapshots — the rebuild and
     retraction source of truth) and ``ivf/`` (partitioned by
     centroid; compacting would flatten the partition pruning the
-    probes rely on).
+    probes rely on).  Runs fsck-first under the lock: a
+    previously-crashed compact's ``__compact_tmp`` is restored before
+    the existence check (which would otherwise skip the table), and a
+    mid-surgery table (whose duplicate rows a compaction would bake
+    in while dropping the needs-rebuild flag) refuses
+    (:func:`_fsck_first`).
 
     Returns ``{table: files_written}`` for the tables that existed.
     """
@@ -2259,8 +2268,12 @@ def coalesce_snapshots(
     :func:`rebuild_state` is their path).  Fewer than two candidates
     is a no-op.
 
-    Runs under the maintenance lock.  Returns ``{"epoch": name or
-    None, "coalesced": [names...], "skipped_uncommitted": [...]}``.
+    Runs under the maintenance lock, fsck-first (a crashed
+    surgery/coalesce stage is repaired before the snapshot set is
+    read; a crashed fast retraction refuses — see :func:`_fsck_first`).
+    Returns ``{"epoch": name or None, "coalesced": [names...],
+    "skipped_uncommitted": [...]}``.  :func:`maintain_state` composes
+    this with the fsck and the table compaction as one verb.
 
     Beyond-reference scope (the reference, README.md:744-764, is an
     analysis-only HiveQL lineage tool); the epoch/compaction shape
@@ -2431,10 +2444,23 @@ def fsck_state(spark, state_dir: str) -> dict:
     and is swept; one with it is FINISHED idempotently — surgery:
     staged replacement files in, listed hit files deleted; coalesce:
     remaining sources retired, epoch adopted (see the inline
-    comments).  Also sweeps incomplete (``_SUCCESS``-less) tmps and
-    reports — but does not repair — mid-surgery flat tables
+    comments).  One manifest-less stage is NOT swept: a complete
+    staged copy (``_SUCCESS``) whose ``batches/{name}`` is missing is
+    a pre-file-local-protocol (round ≤9) whole-snapshot swap that
+    crashed between delete and rename — it holds the snapshot's ONLY
+    copy and is renamed into place.  Also sweeps incomplete
+    (``_SUCCESS``-less) tmps, stray ``_COALESCE_MANIFEST`` files left
+    inside adopted epochs (a crash in the post-rename cleanup
+    window), and a crashed ingest's single-execution staging tables
+    (``tmp/*_eligible`` / ``tmp/*_text_survivors`` — skipped while an
+    ingest marker stands, since a LIVE run holds them transiently);
+    and reports — but does not repair — mid-surgery flat tables
     (``_RETRACT_SURGERY`` marker: duplicate rows possible; run
     :func:`rebuild_state`).
+
+    Every maintenance verb runs this first under its lock and refuses
+    while anything needs a rebuild (:func:`_fsck_first`) — crashed
+    stages must never compose into a later verb's snapshot walk.
 
     Returns ``{"restored": [...], "swept": [...],
     "needs_rebuild": [...]}`` (paths relative to ``state_dir``).
