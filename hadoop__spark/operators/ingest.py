@@ -608,9 +608,15 @@ def ingest_batch(
     ``{state_dir}/batches/{batch_name}`` BEFORE the state appends, so
     the appends and the returned frame all scan that table instead of
     re-deriving the filter chain (and no state table is ever read and
-    appended in the same job).  Within-batch semantic dedup fits its
-    own centroids on the (small) batch; cross-batch probing always
-    uses the index's frozen centroids.
+    appended in the same job).  The probe-filtered rows themselves
+    are staged once at ``tmp/{batch_name}_eligible`` before the
+    within-batch dedup, so the probe chain executes exactly once per
+    batch — the within-batch pair materialization and the snapshot
+    write read the staging, not the chain (the dominant slice of the
+    fixed per-micro-batch floor; tools/ingest_profile.py).
+    Within-batch semantic dedup fits its own centroids on the (small)
+    batch; cross-batch probing always uses the index's frozen
+    centroids.
 
     ``text_method`` picks the near-dup TEXT plane: ``"minhash"``
     (default — LSH-banded Jaccard at ``threshold``), ``"simhash"``
