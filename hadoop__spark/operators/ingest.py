@@ -2170,11 +2170,13 @@ def compact_state(
     :func:`~hadoop__spark.sources.io.compact_parquet` (sorted by its
     probe key, so row-group stats cluster) and swapped in
     (write-new / delete / rename).  Row CONTENT is untouched — probes
-    read the same state, just from fewer files (tested).  Skipped on
-    purpose: ``batches/*`` (immutable snapshots — the rebuild and
-    retraction source of truth) and ``ivf/`` (partitioned by
-    centroid; compacting would flatten the partition pruning the
-    probes rely on).  Runs fsck-first under the lock: a
+    read the same state, just from fewer files (tested).  The IVF
+    assigned table gets the partition-PRESERVING variant
+    (:func:`_compact_ivf_assigned` — one file per centroid bucket,
+    pruning layout intact); ``batches/*`` is skipped on purpose
+    (immutable snapshots — the rebuild and retraction source of
+    truth; :func:`coalesce_snapshots` is their axis).  Runs
+    fsck-first under the lock: a
     previously-crashed compact's ``__compact_tmp`` is restored before
     the existence check (which would otherwise skip the table), and a
     mid-surgery table (whose duplicate rows a compaction would bake
@@ -2217,7 +2219,54 @@ def _compact_state_locked(
         # rebuild_state, or standalone) restores it
         _rename_path(spark, tmp, path)
         done[rel] = n
+    n = _compact_ivf_assigned(spark, state_dir)
+    if n is not None:
+        done["ivf/assigned"] = n
     return done
+
+
+def _compact_ivf_assigned(spark, state_dir: str) -> int | None:
+    """Partition-PRESERVING compaction of the IVF assigned table —
+    the embedding plane's small-files bound.  Every
+    :func:`~hadoop__spark.operators.similarity.ivf_append_index` call
+    (one per :func:`ingest_batch` with embeddings) lands new parquet
+    files INSIDE the existing ``centroid_id=…`` bucket directories,
+    so at stream cadence each bucket fragments without bound — the
+    same axis :func:`compact_state` already closes for the flat
+    tables, but a flat rewrite here would destroy the Hive-partition
+    pruning the probes rely on.  Instead the table is rewritten
+    ``repartition("centroid_id")`` + ``partitionBy("centroid_id")``
+    (each bucket lands in exactly one task → ONE file per bucket
+    directory, layout identical), sorted within partitions by the
+    scalar id columns so retraction's pushed-IN discovery keeps its
+    row-group pruning.  Same write-tmp/delete/rename swap and fsck
+    coverage as the flat tables.  Returns the bucket-file count, or
+    None when no index exists."""
+    from pyspark.sql.types import ArrayType
+
+    path = f"{state_dir}/ivf/assigned"
+    if not _table_exists(spark, path):
+        return None
+    df = spark.read.parquet(path)
+    sort_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name != "centroid_id" and not isinstance(f.dataType, ArrayType)
+    ]
+    out = df.repartition(F.col("centroid_id"))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = f"{path}__compact_tmp"
+    _delete_path(spark, tmp)
+    (
+        out.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    n_buckets = len(_list_child_dirs(spark, tmp))
+    _delete_path(spark, path)
+    _rename_path(spark, tmp, path)
+    return n_buckets
 
 
 def coalesce_snapshots(
@@ -2472,7 +2521,9 @@ def fsck_state(spark, state_dir: str) -> dict:
     "needs_rebuild": [...]}`` (paths relative to ``state_dir``).
     """
     restored, swept, needs_rebuild = [], [], []
-    for rel in _STATE_TABLES:
+    # "ivf/assigned" shares the flat tables' write-tmp/delete/rename
+    # compaction swap (partition-preserving variant) — same windows
+    for rel in list(_STATE_TABLES) + ["ivf/assigned"]:
         path = f"{state_dir}/{rel}"
         tmp = f"{path}__compact_tmp"
         if _table_exists(spark, tmp):
@@ -2717,7 +2768,7 @@ def state_summary(
             if covered is None:
                 needs_rebuild = True
     orphans = []
-    for rel in _STATE_TABLES:
+    for rel in list(_STATE_TABLES) + ["ivf/assigned"]:
         for suffix in ("__compact_tmp", "__retract_add"):
             if _table_exists(spark, f"{state_dir}/{rel}{suffix}"):
                 orphans.append(f"{rel}{suffix}")
@@ -2765,18 +2816,26 @@ def state_summary(
         for d in _list_child_dirs(spark, f"{state_dir}/decontamination")
     )
     n_committed = sum(1 for b in batches if b["committed"])
+    compact_rec = any(
+        n > compact_after
+        for rel, n in table_files.items()
+        if rel in _STATE_TABLES
+    )
+    if "ivf/assigned" in table_files:
+        # the IVF floor is one file per bucket directory (the pruning
+        # layout compaction preserves), so its trigger is fragmentation
+        # ABOVE that floor, not an absolute count
+        n_buckets = len(
+            _list_child_dirs(spark, f"{state_dir}/ivf/assigned")
+        )
+        compact_rec = compact_rec or table_files["ivf/assigned"] > max(
+            compact_after, 2 * n_buckets
+        )
     advice = {
         "snapshot_count": n_committed,
         "table_files": table_files,
         "coalesce_recommended": n_committed > coalesce_after,
-        # ivf/ is partitioned by centroid and deliberately not
-        # compacted (compact_state skips it) — only the flat probe
-        # tables trigger the recommendation
-        "compact_recommended": any(
-            n > compact_after
-            for rel, n in table_files.items()
-            if rel in _STATE_TABLES
-        ),
+        "compact_recommended": compact_rec,
     }
     return {
         "text_method": method,

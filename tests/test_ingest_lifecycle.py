@@ -1361,3 +1361,53 @@ def test_fsck_sweeps_crashed_ingest_staging(spark, tmp_path):
     rebuild_state(spark, state)
     assert not os.path.exists(f"{state}/tmp/mb3_text_survivors")
     assert not table_exists(spark, f"{state}/{_INGEST_MARKER}")
+
+
+def test_compact_state_compacts_ivf_partitions(spark, tmp_path):
+    """The IVF assigned table fragments one file per touched bucket
+    per append — compact_state's partition-preserving variant
+    collapses each centroid bucket to ONE file with the Hive layout
+    (and thus the probes' partition pruning) intact, rows identical;
+    the swap's crash window is fsck-covered like the flat tables."""
+    state = str(tmp_path / "state")
+    _build_state(spark, state, BATCHES)
+    assigned = f"{state}/ivf/assigned"
+
+    def bucket_files():
+        out = {}
+        for d in sorted(os.listdir(assigned)):
+            if d.startswith("centroid_id="):
+                out[d] = sum(
+                    1 for f in os.listdir(f"{assigned}/{d}")
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before_files = bucket_files()
+    assert sum(before_files.values()) > len(before_files), (
+        "appends should have fragmented at least one bucket"
+    )
+    rows_before = _rows(spark, assigned, ["doc_id", "centroid_id"])
+    s = state_summary(spark, state, compact_after=0)
+    assert s["advice"]["compact_recommended"]
+    done = compact_state(spark, state)
+    assert done["ivf/assigned"] == len(before_files)
+    after_files = bucket_files()
+    assert set(after_files) == set(before_files)  # same bucket layout
+    assert all(n == 1 for n in after_files.values())
+    assert _rows(spark, assigned, ["doc_id", "centroid_id"]) == rows_before
+    # retraction after compaction still works bucket-locally
+    victims = spark.createDataFrame([(2,)], "doc_id LONG")
+    retract_documents(spark, state, victims, mode="fast")
+    assert (2,) not in {
+        (r.doc_id,)
+        for r in spark.read.parquet(assigned).select("doc_id").collect()
+    }
+    rows_after_retract = _rows(spark, assigned, ["doc_id", "centroid_id"])
+    # crash window: assigned vanished mid-swap with the tmp complete
+    shutil.move(assigned, f"{assigned}__compact_tmp")
+    rep = fsck_state(spark, state)
+    assert "ivf/assigned" in rep["restored"]
+    assert _rows(
+        spark, assigned, ["doc_id", "centroid_id"]
+    ) == rows_after_retract
