@@ -16,6 +16,7 @@ from hadoop__spark.streaming.rollup import (
     sessionize,
     sliding_rollup,
 )
+from hadoop__spark.streaming.ingest_loop import ingest_foreach_batch
 from hadoop__spark.streaming.joins import attribute_conversions
 from hadoop__spark.streaming.continuous import (
     read_rollup,
@@ -27,6 +28,7 @@ __all__ = [
     "attribute_conversions",
     "dedup_events_stream",
     "hourly_rollup",
+    "ingest_foreach_batch",
     "parse_kafka_events",
     "read_events_stream",
     "read_rollup",

@@ -1411,3 +1411,71 @@ def test_compact_state_compacts_ivf_partitions(spark, tmp_path):
     assert _rows(
         spark, assigned, ["doc_id", "centroid_id"]
     ) == rows_after_retract
+
+
+def test_streaming_auto_maintenance_loop(spark, tmp_path):
+    """streaming.ingest_foreach_batch: the production loop — each
+    micro-batch ingested exactly-once, and maintain_state fired
+    automatically between micro-batches when state_summary's advice
+    thresholds trip — corpus equal to the plain batch timeline with
+    the snapshot count bounded."""
+    from hadoop__spark.streaming import ingest_foreach_batch
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    stream_state = str(tmp_path / "stream_state")
+    batch_state = str(tmp_path / "batch_state")
+    waves = {
+        "w0": list(range(1, 15)),
+        "w1": list(range(15, 30)),
+        "w2": list(range(30, 42)),
+    }
+    with pytest.raises(ValueError, match="keep_recent"):
+        ingest_foreach_batch(stream_state, keep_recent=0)
+    ing = ingest_foreach_batch(
+        stream_state,
+        options=dict(group_cap=("src", 50), accounting_col="src"),
+        coalesce_after=2,
+        check_every=1,
+        keep_recent=1,
+    )
+    schema = _docs(spark, [1]).schema
+    for i, (name, ids) in enumerate(waves.items()):
+        d = tmp_path / name
+        _docs(spark, ids).coalesce(1).write.parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0],
+            src_dir / f"f{i}.parquet",
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = (
+            stream.writeStream.foreachBatch(ing)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    s = state_summary(spark, stream_state)
+    names = [b["name"] for b in s["batches"]]
+    assert any(n.startswith("epoch-") for n in names), (
+        "auto-maintenance should have coalesced old snapshots"
+    )
+    assert s["advice"]["snapshot_count"] <= 3
+    assert not s["maintenance_lock"] and not s["ingest_in_progress"]
+    # equal to the plain batch timeline
+    for name, ids in waves.items():
+        ingest_batch(spark, batch_state, _docs(spark, ids), name,
+                     group_cap=("src", 50), accounting_col="src")
+    assert _rows(spark, f"{stream_state}/batches/*", ["doc_id"]) == _rows(
+        spark, f"{batch_state}/batches/*", ["doc_id"]
+    )
+    assert _rows(spark, f"{stream_state}/fingerprints", ["fp", "keep_id"]) == (
+        _rows(spark, f"{batch_state}/fingerprints", ["fp", "keep_id"])
+    )
+    # a foreachBatch retry — even of a batch id the maintenance
+    # already COALESCED away — leaves the corpus unchanged (the
+    # documented keep_recent contract: a retired name re-runs and
+    # every doc dies as a known dup)
+    before = _rows(spark, f"{stream_state}/batches/*", ["doc_id"])
+    ing(spark.read.parquet(str(src_dir / "f0.parquet")), 0)
+    assert _rows(spark, f"{stream_state}/batches/*", ["doc_id"]) == before
