@@ -123,6 +123,13 @@ _SURGERY_MANIFEST = "_SURGERY_MANIFEST"
 # intact without the epoch).
 _COALESCE_MANIFEST = "_COALESCE_MANIFEST"
 
+# commit point of refit_ivf_index's staged index swap: written into
+# tmp/ivf_refit once BOTH new tables (assigned + centroids) are
+# durable; before it fsck sweeps the stage (old index intact), after
+# it fsck finishes the swap — both tables together, never a mixed
+# old-centroids/new-assignments hybrid
+_REFIT_MARKER = "_REFIT_COMPLETE"
+
 # planted for the duration of a FAST-path retraction: its multi-table
 # mutations (negative cap rows, snapshot swaps, file surgeries) are
 # not atomic as a group, and a naive RETRY after a crash would
@@ -2269,6 +2276,86 @@ def _compact_ivf_assigned(spark, state_dir: str) -> int | None:
     return n_buckets
 
 
+def refit_ivf_index(
+    spark,
+    state_dir: str,
+    nlist: int | None = None,
+    seed: int = 42,
+) -> dict:
+    """Re-fit the ingest state's IVF index on the CURRENT surviving
+    vectors — the maintenance half of the standard IVF caveat
+    (:func:`~hadoop__spark.operators.similarity.ivf_append_index`:
+    centroids are frozen at bootstrap, so as the appended corpus
+    drifts from the fitted distribution, bucket balance degrades —
+    recall never breaks, but a hot bucket makes every probe scan it).
+    :func:`state_summary` reports the skew
+    (``advice["ivf_bucket_skew"]``) and recommends this verb.
+
+    Safe where a bare ``ivf_write_index`` onto the state path is not:
+    that would overwrite the ``assigned`` table it is reading
+    (refused by Spark), take no lock against a concurrent ingest, and
+    leave no crash protocol.  Here the new index (fresh centroids +
+    re-assigned vectors, ``nlist`` defaulting to the faiss
+    ``max(16, 4√N)`` rule) is built at ``tmp/ivf_refit`` reading the
+    OLD table, a ``_REFIT_COMPLETE`` marker is written as the commit
+    point, and only then are the old ``assigned``/``centroids``
+    swapped out — both together, never mixed (an old-centroids /
+    new-assignments hybrid would silently mis-route probes).
+    :func:`fsck_state` sweeps a pre-marker stage (old index intact)
+    and FINISHES a post-marker one (delete old remnants, adopt both
+    new tables).  Runs under the maintenance lock, fsck-first.
+
+    Probe exactness needs only internal consistency, so subsequent
+    :func:`ingest_batch` calls append against the NEW frozen
+    centroids unchanged (the same argument as the rebuild path's
+    refit).  Returns ``{"n_vectors": int, "nlist": int}``.
+    """
+    from hadoop__spark.operators.similarity import ivf_write_index
+    from pyspark.sql.types import ArrayType
+
+    with _maintenance_lock(spark, state_dir):
+        _fsck_first(spark, state_dir, "refit_ivf_index")
+        assigned_path = f"{state_dir}/ivf/assigned"
+        if not _table_exists(spark, assigned_path):
+            raise ValueError(
+                f"no IVF index at {state_dir}/ivf — nothing to re-fit"
+            )
+        assigned = spark.read.parquet(assigned_path)
+        vec_col = next(
+            f.name
+            for f in assigned.schema.fields
+            if isinstance(f.dataType, ArrayType)
+        )
+        id_col = next(
+            f.name
+            for f in assigned.schema.fields
+            if f.name not in (vec_col, "centroid_id")
+        )
+        n = assigned.count()
+        fit_nlist = nlist or max(16, int(4 * n**0.5))
+        tmp = f"{state_dir}/tmp/ivf_refit"
+        _delete_path(spark, tmp)
+        ivf_write_index(
+            assigned.select(id_col, vec_col),
+            tmp,
+            nlist=fit_nlist,
+            vec_col=vec_col,
+            id_col=id_col,
+            seed=seed,
+        )
+        # commit point: both new tables are durable; the swap below is
+        # finishable from the stage alone
+        _touch_file(spark, f"{tmp}/{_REFIT_MARKER}")
+        _delete_path(spark, assigned_path)
+        _delete_path(spark, f"{state_dir}/ivf/centroids")
+        _rename_path(spark, f"{tmp}/assigned", assigned_path)
+        _rename_path(
+            spark, f"{tmp}/centroids", f"{state_dir}/ivf/centroids"
+        )
+        _delete_path(spark, tmp)
+        return {"n_vectors": int(n), "nlist": int(fit_nlist)}
+
+
 def coalesce_snapshots(
     spark,
     state_dir: str,
@@ -2624,6 +2711,39 @@ def fsck_state(spark, state_dir: str) -> dict:
         # not; the staged copy is never authoritative
         _delete_path(spark, ivf_tmp)
         swept.append("ivf/__retract_kept_tmp")
+    refit_tmp = f"{state_dir}/tmp/ivf_refit"
+    if _table_exists(spark, refit_tmp):
+        # a crashed refit_ivf_index.  Pre-marker: the old index was
+        # never touched — sweep the stage.  Post-marker AND the swap
+        # started (a target missing): FINISH by replacing BOTH tables
+        # from the stage (adopting only one would mix old centroids
+        # with new assignments and silently mis-route probes).
+        # Post-marker but BOTH targets still fully present: the swap
+        # never started — sweep the stage rather than finish, because
+        # an ingest may have appended to the old assigned between the
+        # crash and this fsck, and adopting the stage would discard
+        # those vectors; the refit is simply lost (re-run it).  Once
+        # the swap HAS started no ingest can complete against the
+        # half-missing index, so the finish cannot lose appends.
+        swap_started = not (
+            _table_exists(spark, f"{state_dir}/ivf/assigned")
+            and _table_exists(spark, f"{state_dir}/ivf/centroids")
+        )
+        if (
+            _table_exists(spark, f"{refit_tmp}/{_REFIT_MARKER}")
+            and swap_started
+        ):
+            for t in ("assigned", "centroids"):
+                if _table_exists(spark, f"{refit_tmp}/{t}"):
+                    _delete_path(spark, f"{state_dir}/ivf/{t}")
+                    _rename_path(
+                        spark, f"{refit_tmp}/{t}", f"{state_dir}/ivf/{t}"
+                    )
+            _delete_path(spark, refit_tmp)
+            restored.append("ivf")
+        else:
+            _delete_path(spark, refit_tmp)
+            swept.append("tmp/ivf_refit")
     ids_tmp = f"{state_dir}/tmp/retract_ids"
     if _table_exists(spark, ids_tmp):
         # the frozen retract-id staging table of a crashed
@@ -2781,6 +2901,8 @@ def state_summary(
         orphans.append(f"tmp/coalesce/{tmp.rstrip('/').rsplit('/', 1)[-1]}")
     if _table_exists(spark, f"{state_dir}/tmp/retract_ids"):
         orphans.append("tmp/retract_ids")
+    if _table_exists(spark, f"{state_dir}/tmp/ivf_refit"):
+        orphans.append("tmp/ivf_refit")
     if not _table_exists(spark, f"{state_dir}/{_INGEST_MARKER}"):
         # only when no ingest is in flight: a LIVE ingest_batch holds
         # these staging tables transiently — they are orphans (fsck
@@ -2821,21 +2943,38 @@ def state_summary(
         for rel, n in table_files.items()
         if rel in _STATE_TABLES
     )
+    skew = None
+    refit_rec = False
     if "ivf/assigned" in table_files:
         # the IVF floor is one file per bucket directory (the pruning
         # layout compaction preserves), so its trigger is fragmentation
         # ABOVE that floor, not an absolute count
-        n_buckets = len(
-            _list_child_dirs(spark, f"{state_dir}/ivf/assigned")
-        )
+        buckets = _list_child_dirs(spark, f"{state_dir}/ivf/assigned")
         compact_rec = compact_rec or table_files["ivf/assigned"] > max(
-            compact_after, 2 * n_buckets
+            compact_after, 2 * len(buckets)
         )
+        # bucket balance (parquet footers, zero jobs): frozen
+        # centroids degrade as the appended corpus drifts from the
+        # bootstrap distribution — a hot bucket makes every probe
+        # that touches it scan it in full.  refit_ivf_index is the
+        # repair.
+        rows = [parquet_row_count(spark, b) for b in buckets]
+        if rows and sum(rows):
+            mean = sum(rows) / len(rows)
+            skew = {
+                "buckets": len(rows),
+                "max_rows": max(rows),
+                "mean_rows": round(mean, 1),
+                "skew": round(max(rows) / mean, 2),
+            }
+            refit_rec = len(rows) > 1 and skew["skew"] > 8.0
     advice = {
         "snapshot_count": n_committed,
         "table_files": table_files,
         "coalesce_recommended": n_committed > coalesce_after,
         "compact_recommended": compact_rec,
+        "ivf_bucket_skew": skew,
+        "refit_recommended": refit_rec,
     }
     return {
         "text_method": method,

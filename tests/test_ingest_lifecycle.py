@@ -1479,3 +1479,99 @@ def test_streaming_auto_maintenance_loop(spark, tmp_path):
     before = _rows(spark, f"{stream_state}/batches/*", ["doc_id"])
     ing(spark.read.parquet(str(src_dir / "f0.parquet")), 0)
     assert _rows(spark, f"{stream_state}/batches/*", ["doc_id"]) == before
+
+
+def test_refit_ivf_index(spark, tmp_path, monkeypatch):
+    """refit_ivf_index re-fits the frozen IVF centroids on the
+    current surviving vectors — same vector membership, fresh
+    balance — and the next ingest / retraction compose against the
+    NEW centroids.  Crash windows: pre-marker stage swept (old index
+    intact); post-marker mid-swap finished with BOTH tables from the
+    stage; post-marker with the swap not started swept (an interim
+    ingest may have appended — the refit is lost, never the data)."""
+    from hadoop__spark.operators import ingest as ing
+    from hadoop__spark.operators.ingest import refit_ivf_index
+
+    state = str(tmp_path / "state")
+    admitted = _build_state(spark, state, BATCHES)
+    assigned = f"{state}/ivf/assigned"
+    ids_before = {r.doc_id for r in spark.read.parquet(assigned).collect()}
+    assert ids_before == admitted
+    s = state_summary(spark, state)
+    assert s["advice"]["ivf_bucket_skew"]["buckets"] >= 2
+    assert isinstance(s["advice"]["refit_recommended"], bool)
+
+    out = refit_ivf_index(spark, state)
+    assert out["n_vectors"] == len(admitted)
+    assert {
+        r.doc_id for r in spark.read.parquet(assigned).collect()
+    } == admitted
+    assert not state_summary(spark, state)["maintenance_lock"]
+    # internal consistency with the NEW centroids: an exact vector
+    # copy of a retained doc still dies on the semantic plane, and
+    # retraction still rewrites bucket-locally
+    all_ids = [i for ids in BATCHES.values() for i in ids]
+    keeper = min(admitted)
+    nxt = _docs(spark, [47]).withColumn(
+        "text", F.lit("a wholly novel text that matches nothing else")
+    )
+    emb_copy = _embs(spark, [keeper]).withColumn(
+        "doc_id", F.lit(47).cast("long")
+    )
+    surv = ingest_batch(
+        spark, state, nxt, "b_post_refit",
+        **{**_full_opts(spark, all_ids + [47]),
+           "embeddings": emb_copy,
+           "scores": _scores(spark, all_ids + [47])},
+    )
+    assert surv.count() == 0  # semantic dup of a retained vector
+    retract_documents(
+        spark, state,
+        spark.createDataFrame([(keeper,)], "doc_id LONG"), mode="fast",
+    )
+    assert keeper not in {
+        r.doc_id for r in spark.read.parquet(assigned).collect()
+    }
+
+    # window A: pre-marker stage (junk, no _REFIT_COMPLETE) → swept
+    os.makedirs(f"{state}/tmp/ivf_refit/assigned", exist_ok=True)
+    assert "tmp/ivf_refit" in state_summary(spark, state)["orphans"]
+    rep = fsck_state(spark, state)
+    assert "tmp/ivf_refit" in rep["swept"]
+
+    # window B: post-marker, swap NOT started → swept, index kept
+    shutil.copytree(f"{state}/ivf", f"{state}/tmp/ivf_refit")
+    touch_file(spark, f"{state}/tmp/ivf_refit/_REFIT_COMPLETE")
+    ids_now = {r.doc_id for r in spark.read.parquet(assigned).collect()}
+    rep = fsck_state(spark, state)
+    assert "tmp/ivf_refit" in rep["swept"]
+    assert {
+        r.doc_id for r in spark.read.parquet(assigned).collect()
+    } == ids_now
+
+    # window C: post-marker, mid-swap crash → fsck finishes BOTH
+    real_rename = ing._rename_path
+
+    def crash_on_first_refit_rename(spark_, src, dst):
+        if "/tmp/ivf_refit/" in src:
+            raise RuntimeError("chaos: crash before index rename")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(ing, "_rename_path", crash_on_first_refit_rename)
+    with pytest.raises(RuntimeError, match="chaos"):
+        refit_ivf_index(spark, state)
+    monkeypatch.setattr(ing, "_rename_path", real_rename)
+    assert not table_exists(spark, assigned)  # old deleted, swap started
+    rep = fsck_state(spark, state)
+    assert "ivf" in rep["restored"]
+    assert {
+        r.doc_id for r in spark.read.parquet(assigned).collect()
+    } == ids_now
+    # the finished index is internally consistent (assigned ↔ centroids)
+    cents = spark.read.parquet(f"{state}/ivf/centroids")
+    cids = {r.centroid_id for r in cents.collect()}
+    assert {
+        r.centroid_id
+        for r in spark.read.parquet(assigned)
+        .select("centroid_id").distinct().collect()
+    } <= cids
