@@ -2262,7 +2262,12 @@ def _compact_ivf_assigned(spark, state_dir: str) -> int | None:
     ]
     out = df.repartition(F.col("centroid_id"))
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
+        # centroid_id FIRST: the partitioned writer requires task rows
+        # clustered by the partition column and would insert its own
+        # (order-destroying) sort if they weren't — leading with it
+        # satisfies that requirement, so the secondary id order
+        # actually reaches the row groups
+        out = out.sortWithinPartitions("centroid_id", *sort_cols)
     tmp = f"{path}__compact_tmp"
     _delete_path(spark, tmp)
     (
