@@ -1273,9 +1273,15 @@ def rebuild_state(
     # fsck skips the ingest-staging sweep while the marker stands),
     # then repair swap-window orphans (a crash inside
     # retract/compact's delete→rename protocol leaves data at a tmp
-    # path — restored or swept here, never hand-renamed at 3 a.m.)
+    # path — restored or swept here, never hand-renamed at 3 a.m.).
+    # The LOCKED fsck body, not the public wrapper: rebuild is the
+    # operator-initiated recovery verb, documented to run on a
+    # quiesced state — it must repair past a STALE maintenance lock
+    # (the crash that warrants the rebuild may have left one), and
+    # retract_documents(mode="rebuild") calls it while already
+    # holding the lock (the wrapper would refuse on our own lock)
     _delete_path(spark, f"{state_dir}/{_INGEST_MARKER}")
-    fsck_state(spark, state_dir)
+    _fsck_state_locked(spark, state_dir)
     pol = _read_policy(spark, state_dir)
     text_method, n, num_perm, threshold = _resolve_rebuild_params(
         pol, _detect_plane(spark, state_dir), text_method, n, num_perm,
@@ -2197,10 +2203,18 @@ def compact_state(
 
 
 def _compact_state_locked(
-    spark, state_dir: str, target_file_bytes: int
+    spark,
+    state_dir: str,
+    target_file_bytes: int,
+    fsck: bool = True,
+    skip_ivf: bool = False,
 ) -> dict[str, int]:
     """:func:`compact_state`'s body, run under the maintenance lock
-    (shared with :func:`maintain_state`'s single lock hold)."""
+    (shared with :func:`maintain_state`'s single lock hold —
+    ``fsck=False`` skips the fsck-first pass when the composing verb
+    already ran it under the same hold; ``skip_ivf=True`` skips the
+    IVF rewrite when a just-finished refit already rewrote the index
+    one-file-per-bucket)."""
     from hadoop__spark.sources.io import compact_parquet
 
     done: dict[str, int] = {}
@@ -2210,7 +2224,8 @@ def _compact_state_locked(
     # its data sits at the tmp path), and refuses mid-surgery tables
     # whose duplicate rows a compaction would silently bake in while
     # dropping the _RETRACT_SURGERY marker that flags them
-    _fsck_first(spark, state_dir, "compact_state")
+    if fsck:
+        _fsck_first(spark, state_dir, "compact_state")
     for rel, sort_by in _STATE_TABLES.items():
         path = f"{state_dir}/{rel}"
         if not _table_exists(spark, path):
@@ -2226,13 +2241,16 @@ def _compact_state_locked(
         # rebuild_state, or standalone) restores it
         _rename_path(spark, tmp, path)
         done[rel] = n
-    n = _compact_ivf_assigned(spark, state_dir)
-    if n is not None:
-        done["ivf/assigned"] = n
+    if not skip_ivf:
+        n = _compact_ivf_assigned(spark, state_dir, target_file_bytes)
+        if n is not None:
+            done["ivf/assigned"] = n
     return done
 
 
-def _compact_ivf_assigned(spark, state_dir: str) -> int | None:
+def _compact_ivf_assigned(
+    spark, state_dir: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int | None:
     """Partition-PRESERVING compaction of the IVF assigned table —
     the embedding plane's small-files bound.  Every
     :func:`~hadoop__spark.operators.similarity.ivf_append_index` call
@@ -2242,14 +2260,29 @@ def _compact_ivf_assigned(spark, state_dir: str) -> int | None:
     same axis :func:`compact_state` already closes for the flat
     tables, but a flat rewrite here would destroy the Hive-partition
     pruning the probes rely on.  Instead the table is rewritten
-    ``repartition("centroid_id")`` + ``partitionBy("centroid_id")``
-    (each bucket lands in exactly one task → ONE file per bucket
-    directory, layout identical), sorted within partitions by the
-    scalar id columns so retraction's pushed-IN discovery keeps its
-    row-group pruning.  Same write-tmp/delete/rename swap and fsck
-    coverage as the flat tables.  Returns the bucket-file count, or
-    None when no index exists."""
+    clustered by ``centroid_id`` + ``partitionBy("centroid_id")``
+    (layout identical), sorted within partitions by the scalar id
+    columns so retraction's pushed-IN discovery keeps its row-group
+    pruning.
+
+    A bucket is normally ONE task → ONE file, but a bucket whose
+    on-disk bytes exceed ``target_file_bytes`` (a hot bucket on a
+    drifted corpus) is split into ``ceil(bytes/target)`` files via a
+    deterministic id-hash salt — pruning needs only the directory
+    layout, not one-file-per-bucket, and without the cap a
+    pathological bucket becomes one giant write task and one
+    oversized file (:func:`refit_ivf_index` is the rebalance; this
+    keeps the compact itself parallel until it runs).  Same
+    write-tmp/delete/rename swap and fsck coverage as the flat
+    tables.  Returns the file count written, or None when no index
+    exists."""
     from pyspark.sql.types import ArrayType
+
+    from hadoop__spark.operators.util import (
+        list_files,
+        parquet_row_count,
+        path_bytes,
+    )
 
     path = f"{state_dir}/ivf/assigned"
     if not _table_exists(spark, path):
@@ -2260,25 +2293,64 @@ def _compact_ivf_assigned(spark, state_dir: str) -> int | None:
         for f in df.schema.fields
         if f.name != "centroid_id" and not isinstance(f.dataType, ArrayType)
     ]
-    out = df.repartition(F.col("centroid_id"))
-    if sort_cols:
-        # centroid_id FIRST: the partitioned writer requires task rows
-        # clustered by the partition column and would insert its own
-        # (order-destroying) sort if they weren't — leading with it
-        # satisfies that requirement, so the secondary id order
-        # actually reaches the row groups
-        out = out.sortWithinPartitions("centroid_id", *sort_cols)
+    # per-bucket split counts from directory byte sizes (driver-side
+    # metadata): ceil(bytes/target) files for buckets over the target,
+    # 1 for the rest.  Parquet bytes undercount the in-flight row size
+    # slightly (encoding), which only errs toward fewer, larger files.
+    splits = {}
+    for b in _list_child_dirs(spark, path):
+        cid = b.rstrip("/").rsplit("/", 1)[-1].split("=", 1)[-1]
+        k = max(1, -(-path_bytes(spark, b) // target_file_bytes))
+        if k > 1:
+            splits[cid] = k
+    if splits and sort_cols:
+        # salt the hot buckets only: rows hash-route to one of k
+        # sub-shards of their bucket, each shard one task → one file
+        # inside the same centroid_id= directory
+        k_col = F.coalesce(
+            *[
+                F.when(
+                    F.col("centroid_id").cast("string") == cid, F.lit(k)
+                )
+                for cid, k in splits.items()
+            ],
+            F.lit(1),
+        )
+        df = df.withColumn(
+            "_shard", F.pmod(F.xxhash64(*sort_cols), k_col)
+        )
+        out = df.repartition(F.col("centroid_id"), F.col("_shard"))
+        out = out.sortWithinPartitions(
+            "centroid_id", "_shard", *sort_cols
+        ).drop("_shard")
+        # the salt spreads a hot bucket across tasks (parallel write);
+        # maxRecordsPerFile is the HARD size cap — two shards of one
+        # bucket hash-colliding into the same task would otherwise be
+        # merged back into one oversized file by the per-task writer
+        total_rows = parquet_row_count(spark, path)
+        total_bytes = max(1, path_bytes(spark, path))
+        rows_per_file = max(
+            1, int(target_file_bytes * total_rows / total_bytes)
+        )
+    else:
+        out = df.repartition(F.col("centroid_id"))
+        if sort_cols:
+            # centroid_id FIRST: the partitioned writer requires task
+            # rows clustered by the partition column and would insert
+            # its own (order-destroying) sort if they weren't —
+            # leading with it satisfies that requirement, so the
+            # secondary id order actually reaches the row groups
+            out = out.sortWithinPartitions("centroid_id", *sort_cols)
     tmp = f"{path}__compact_tmp"
     _delete_path(spark, tmp)
-    (
-        out.write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(tmp)
-    )
-    n_buckets = len(_list_child_dirs(spark, tmp))
+    writer = out.write.mode("overwrite").partitionBy("centroid_id")
+    if splits and sort_cols:
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.parquet(tmp)
+    n_files = len(list_files(spark, tmp, suffix=".parquet"))
     _delete_path(spark, path)
     _rename_path(spark, tmp, path)
-    return n_buckets
+    return n_files
 
 
 def refit_ivf_index(
@@ -2314,51 +2386,64 @@ def refit_ivf_index(
     :func:`ingest_batch` calls append against the NEW frozen
     centroids unchanged (the same argument as the rebuild path's
     refit).  Returns ``{"n_vectors": int, "nlist": int}``.
+
+    :func:`maintain_state` runs this automatically (under its one
+    lock hold) when called with ``refit="advice"`` and the bucket
+    skew crosses the :func:`state_summary` threshold.
     """
+    with _maintenance_lock(spark, state_dir):
+        _fsck_first(spark, state_dir, "refit_ivf_index")
+        return _refit_ivf_locked(spark, state_dir, nlist, seed)
+
+
+def _refit_ivf_locked(
+    spark, state_dir: str, nlist: int | None, seed: int
+) -> dict:
+    """:func:`refit_ivf_index`'s body, run under the maintenance lock
+    (shared with :func:`maintain_state`'s single lock hold)."""
     from hadoop__spark.operators.similarity import ivf_write_index
     from pyspark.sql.types import ArrayType
 
-    with _maintenance_lock(spark, state_dir):
-        _fsck_first(spark, state_dir, "refit_ivf_index")
-        assigned_path = f"{state_dir}/ivf/assigned"
-        if not _table_exists(spark, assigned_path):
-            raise ValueError(
-                f"no IVF index at {state_dir}/ivf — nothing to re-fit"
-            )
-        assigned = spark.read.parquet(assigned_path)
-        vec_col = next(
-            f.name
-            for f in assigned.schema.fields
-            if isinstance(f.dataType, ArrayType)
+    assigned_path = f"{state_dir}/ivf/assigned"
+    if not _table_exists(spark, assigned_path):
+        raise ValueError(
+            f"no IVF index at {state_dir}/ivf — nothing to re-fit"
         )
-        id_col = next(
-            f.name
-            for f in assigned.schema.fields
-            if f.name not in (vec_col, "centroid_id")
-        )
-        n = assigned.count()
-        fit_nlist = nlist or max(16, int(4 * n**0.5))
-        tmp = f"{state_dir}/tmp/ivf_refit"
-        _delete_path(spark, tmp)
-        ivf_write_index(
-            assigned.select(id_col, vec_col),
-            tmp,
-            nlist=fit_nlist,
-            vec_col=vec_col,
-            id_col=id_col,
-            seed=seed,
-        )
-        # commit point: both new tables are durable; the swap below is
-        # finishable from the stage alone
-        _touch_file(spark, f"{tmp}/{_REFIT_MARKER}")
-        _delete_path(spark, assigned_path)
-        _delete_path(spark, f"{state_dir}/ivf/centroids")
-        _rename_path(spark, f"{tmp}/assigned", assigned_path)
-        _rename_path(
-            spark, f"{tmp}/centroids", f"{state_dir}/ivf/centroids"
-        )
-        _delete_path(spark, tmp)
-        return {"n_vectors": int(n), "nlist": int(fit_nlist)}
+    assigned = spark.read.parquet(assigned_path)
+    vec_col = next(
+        f.name
+        for f in assigned.schema.fields
+        if isinstance(f.dataType, ArrayType)
+    )
+    id_col = next(
+        f.name
+        for f in assigned.schema.fields
+        if f.name not in (vec_col, "centroid_id")
+    )
+    n = assigned.count()
+    fit_nlist = nlist or max(16, int(4 * n**0.5))
+    tmp = f"{state_dir}/tmp/ivf_refit"
+    _delete_path(spark, tmp)
+    ivf_write_index(
+        assigned.select(id_col, vec_col),
+        tmp,
+        nlist=fit_nlist,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+    )
+    # commit point: both new tables are durable; the swap below is
+    # finishable from the stage alone
+    _touch_file(spark, f"{tmp}/{_REFIT_MARKER}")
+    _delete_path(spark, assigned_path)
+    _delete_path(spark, f"{state_dir}/ivf/centroids")
+    _rename_path(spark, f"{tmp}/assigned", assigned_path)
+    _rename_path(
+        spark, f"{tmp}/centroids", f"{state_dir}/ivf/centroids"
+    )
+    _delete_path(spark, tmp)
+    return {"n_vectors": int(n), "nlist": int(fit_nlist)}
+
 
 
 def coalesce_snapshots(
@@ -2441,9 +2526,12 @@ def _coalesce_snapshots_locked(
     names: list[str] | None,
     keep_recent: int,
     target_file_bytes: int,
+    fsck: bool = True,
 ) -> dict:
     """:func:`coalesce_snapshots`'s body, run under the maintenance
-    lock (shared with :func:`maintain_state`'s single lock hold)."""
+    lock (shared with :func:`maintain_state`'s single lock hold —
+    ``fsck=False`` skips the fsck-first pass when the composing verb
+    already ran it under the same hold)."""
     import hashlib
 
     from hadoop__spark.operators.util import path_bytes, path_mtime
@@ -2452,7 +2540,8 @@ def _coalesce_snapshots_locked(
     # repaired (or the state refused) before the snapshot set
     # below is read — see _fsck_first for the two failure
     # compositions this closes
-    _fsck_first(spark, state_dir, "coalesce_snapshots")
+    if fsck:
+        _fsck_first(spark, state_dir, "coalesce_snapshots")
     complete = [
         b
         for b in _list_child_dirs(spark, f"{state_dir}/batches")
@@ -2542,29 +2631,69 @@ def maintain_state(
     state_dir: str,
     keep_recent: int = 1,
     target_file_bytes: int = 128 * 1024 * 1024,
+    refit: str = "off",
+    refit_skew: float | None = None,
+    seed: int = 42,
 ) -> dict:
     """The maintenance window as ONE verb: repair (:func:`fsck_state`),
-    bound the snapshot count (:func:`coalesce_snapshots`), and
+    bound the snapshot count (:func:`coalesce_snapshots`), rebalance a
+    drifted IVF index when asked (:func:`refit_ivf_index`), and
     right-size the probe tables (:func:`compact_state`) under a single
-    maintenance-lock acquisition — so an operator's cron job is one
+    maintenance-lock acquisition (the fsck pass runs ONCE and the
+    composed steps skip theirs) — so an operator's cron job is one
     call and a concurrent :func:`ingest_batch` sees one exclusion
-    window instead of three lock/unlock races it could slip between.
+    window instead of several lock/unlock races it could slip between.
 
-    Equivalent to the three-call composition (tested); refuses exactly
+    ``refit="advice"`` consults the same zero-job bucket-balance
+    measurement :func:`state_summary` exposes as
+    ``advice["ivf_bucket_skew"]`` and, when the max/mean bucket-row
+    ratio exceeds ``refit_skew`` (the summary's
+    ``refit_recommended`` threshold), runs the centroid re-fit inside
+    this window — after which the compact step skips the IVF table
+    (the refit already rewrote it bucket-clustered).  Default
+    ``"off"``: a refit is heavier than a coalesce+compact and swaps
+    the index layout mid-stream, so it stays opt-in.
+
+    Equivalent to the per-verb composition (tested); refuses exactly
     when the parts would (a crashed fast retraction still needs
     :func:`rebuild_state` first).  Returns the combined report::
 
-        {"fsck": {...}, "coalesce": {...}, "compact": {...}}
+        {"fsck": {...}, "coalesce": {...}, "compact": {...},
+         "refit": {"n_vectors": ..., "nlist": ...} | None}
     """
     if keep_recent < 0:
         raise ValueError(f"keep_recent must be >= 0, got {keep_recent}")
+    if refit not in ("advice", "off"):
+        raise ValueError(f"refit must be 'advice' or 'off', got {refit!r}")
     with _maintenance_lock(spark, state_dir):
         fsck = _fsck_first(spark, state_dir, "maintain_state")
         coalesce = _coalesce_snapshots_locked(
-            spark, state_dir, None, keep_recent, target_file_bytes
+            spark, state_dir, None, keep_recent, target_file_bytes,
+            fsck=False,
         )
-        compact = _compact_state_locked(spark, state_dir, target_file_bytes)
-    return {"fsck": fsck, "coalesce": coalesce, "compact": compact}
+        refit_report = None
+        if refit == "advice":
+            skew = _ivf_skew(spark, state_dir)
+            if (
+                skew is not None
+                and skew["buckets"] > 1
+                and skew["skew"] > (
+                    _REFIT_SKEW if refit_skew is None else refit_skew
+                )
+            ):
+                refit_report = _refit_ivf_locked(
+                    spark, state_dir, None, seed
+                )
+        compact = _compact_state_locked(
+            spark, state_dir, target_file_bytes,
+            fsck=False, skip_ivf=refit_report is not None,
+        )
+    return {
+        "fsck": fsck,
+        "coalesce": coalesce,
+        "compact": compact,
+        "refit": refit_report,
+    }
 
 
 def fsck_state(spark, state_dir: str) -> dict:
@@ -2609,9 +2738,41 @@ def fsck_state(spark, state_dir: str) -> dict:
     while anything needs a rebuild (:func:`_fsck_first`) — crashed
     stages must never compose into a later verb's snapshot walk.
 
+    Standalone runs take the maintenance lock themselves: a fsck
+    racing a LIVE compact/refit could otherwise sweep the verb's
+    in-flight ``__compact_tmp`` / ``tmp/ivf_refit`` between its staged
+    write and its delete→rename — after which the verb deletes the
+    live table and renames a now-missing tmp, permanent table loss.
+    Held lock → refuse (a stale lock from a hard crash is deleted by
+    hand after confirming nothing runs — the same contract as every
+    other verb).  A live ingest does NOT block the fsck: its staging
+    artifacts are protected by the in-progress-marker guard below,
+    and nothing else it writes is a repair target.
+
     Returns ``{"restored": [...], "swept": [...],
     "needs_rebuild": [...]}`` (paths relative to ``state_dir``).
     """
+    from hadoop__spark.operators.util import create_exclusive
+
+    lock = f"{state_dir}/{_MAINT_LOCK}"
+    if not create_exclusive(spark, lock):
+        raise RuntimeError(
+            f"maintenance lock {lock} is held — a live compact/"
+            "retract/refit may be mid-swap, and fsck racing it could "
+            "sweep its staged tables out from under the rename (or "
+            "the lock is stale from a hard crash; delete the file "
+            "after confirming nothing runs)"
+        )
+    try:
+        return _fsck_state_locked(spark, state_dir)
+    finally:
+        _delete_path(spark, lock)
+
+
+def _fsck_state_locked(spark, state_dir: str) -> dict:
+    """:func:`fsck_state`'s body, run while the caller holds the
+    maintenance lock (the standalone wrapper above, or a maintenance
+    verb's :func:`_fsck_first`)."""
     restored, swept, needs_rebuild = [], [], []
     # "ivf/assigned" shares the flat tables' write-tmp/delete/rename
     # compaction swap (partition-preserving variant) — same windows
@@ -2800,7 +2961,7 @@ def _fsck_first(spark, state_dir: str, op: str) -> dict:
     closes both directions; the refusal mirrors
     :func:`_retract_fast`'s marker check (a half-applied fast
     retraction only reconsolidates through a rebuild)."""
-    report = fsck_state(spark, state_dir)
+    report = _fsck_state_locked(spark, state_dir)
     if report["needs_rebuild"]:
         raise RuntimeError(
             f"{op} on {state_dir} refused: a crashed fast retraction "
@@ -2812,11 +2973,102 @@ def _fsck_first(spark, state_dir: str, op: str) -> dict:
     return report
 
 
+# bucket-balance ratio (max bucket rows / mean bucket rows) above
+# which state_summary recommends — and maintain_state(refit="advice")
+# runs — an IVF centroid re-fit
+_REFIT_SKEW = 8.0
+
+
+def _ivf_skew(
+    spark,
+    state_dir: str,
+    file_list: list[str] | None = None,
+    max_buckets: int = 512,
+) -> dict | None:
+    """Bucket-balance measurement for the ingest state's IVF index —
+    the zero-job observability behind ``advice["ivf_bucket_skew"]``
+    and :func:`maintain_state`'s ``refit="advice"`` trigger.
+
+    Cost is bounded for monitoring pollers: ONE recursive file
+    listing (or the caller's already-obtained ``file_list``) grouped
+    by ``centroid_id=`` path component, then parquet-footer row
+    counts — and past ``max_buckets`` buckets a deterministic stride
+    sample is measured instead of every bucket (the refit default
+    ``nlist = 4√N`` reaches thousands of buckets at corpus scale, and
+    per-bucket listing walks there made every streaming-loop advice
+    check pay thousands of driver FS calls).  A sampled measurement
+    can miss THE hot bucket, but skew is a distribution property —
+    512 buckets bound the advice's error while keeping the poll
+    cheap; ``sampled_buckets`` reports when sampling was in effect.
+    Non-local filesystems (no pyarrow footer path) fall back to one
+    Spark ``groupBy("centroid_id").count()`` job — exact, all
+    buckets.
+
+    Returns ``{"buckets", "sampled_buckets", "max_rows",
+    "mean_rows", "skew"}`` or None when no index / no rows exist.
+    """
+    from hadoop__spark.operators.util import list_files
+
+    path = f"{state_dir}/ivf/assigned"
+    if not _table_exists(spark, path):
+        return None
+    files = (
+        file_list
+        if file_list is not None
+        else list_files(spark, path, suffix=".parquet")
+    )
+    by_bucket: dict[str, list[str]] = {}
+    for f in files:
+        for part in f.split("/"):
+            if part.startswith("centroid_id="):
+                by_bucket.setdefault(part, []).append(f)
+                break
+    if not by_bucket:
+        return None
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    scheme = fs.getUri().getScheme()
+    n_buckets = len(by_bucket)
+    sampled = None
+    if scheme in ("file", None, ""):
+        import pyarrow.parquet as pq
+
+        names = sorted(by_bucket)
+        if n_buckets > max_buckets:
+            stride = -(-n_buckets // max_buckets)
+            names = names[::stride]
+            sampled = len(names)
+        rows = [
+            sum(pq.ParquetFile(f).metadata.num_rows for f in by_bucket[b])
+            for b in names
+        ]
+    else:
+        rows = [
+            r["count"]
+            for r in spark.read.parquet(path)
+            .groupBy("centroid_id")
+            .count()
+            .collect()
+        ]
+    if not rows or not sum(rows):
+        return None
+    mean = sum(rows) / len(rows)
+    return {
+        "buckets": n_buckets,
+        "sampled_buckets": sampled,
+        "max_rows": max(rows),
+        "mean_rows": round(mean, 1),
+        "skew": round(max(rows) / mean, 2),
+    }
+
+
 def state_summary(
     spark,
     state_dir: str,
     coalesce_after: int = 32,
     compact_after: int = 64,
+    refit_skew: float | None = None,
 ) -> dict:
     """Operational snapshot of an ingest state dir — what an on-call
     engineer (or a dashboard poller) checks before touching it: which
@@ -2847,6 +3099,10 @@ def state_summary(
          "decontaminated": [...],  # audit tables, one per benchmark
          "advice": {"coalesce_recommended": bool,
                     "compact_recommended": bool,
+                    "refit_recommended": bool,
+                    "ivf_bucket_skew": {"buckets", "sampled_buckets",
+                                        "max_rows", "mean_rows",
+                                        "skew"} | None,
                     "snapshot_count": int,
                     "table_files": {relpath: n_files, ...}}}
 
@@ -2858,20 +3114,26 @@ def state_summary(
     ``compact_recommended`` when any flat state table's parquet file
     count exceeds ``compact_after`` (default 64 — probe scan cost
     turns into task launch + footer reads past that, the classic
-    small-files failure).  :func:`maintain_state` is the matching
-    one-call window.
+    small-files failure); ``refit_recommended`` when the IVF
+    bucket-balance ratio exceeds ``refit_skew`` (default
+    ``_REFIT_SKEW`` = 8 — see :func:`_ivf_skew`;
+    :func:`refit_ivf_index` is the repair, and
+    ``maintain_state(refit="advice")`` runs it on this signal).
+    :func:`maintain_state` is the matching one-call window.
     """
     from hadoop__spark.operators.util import list_files, parquet_row_count
 
     method = _detect_plane(spark, state_dir)
     tables = {}
     table_files = {}
+    ivf_files = None
     for rel in list(_STATE_TABLES) + ["ivf/assigned"]:
         if _table_exists(spark, f"{state_dir}/{rel}"):
             tables[rel] = parquet_row_count(spark, f"{state_dir}/{rel}")
-            table_files[rel] = len(
-                list_files(spark, f"{state_dir}/{rel}", suffix=".parquet")
-            )
+            fl = list_files(spark, f"{state_dir}/{rel}", suffix=".parquet")
+            table_files[rel] = len(fl)
+            if rel == "ivf/assigned":
+                ivf_files = fl
     batches = []
     needs_rebuild = False
     snapshot_rows = 0
@@ -2958,21 +3220,21 @@ def state_summary(
         compact_rec = compact_rec or table_files["ivf/assigned"] > max(
             compact_after, 2 * len(buckets)
         )
-        # bucket balance (parquet footers, zero jobs): frozen
+        # bucket balance (one listing + parquet footers, zero jobs,
+        # stride-sampled past 512 buckets — see _ivf_skew): frozen
         # centroids degrade as the appended corpus drifts from the
         # bootstrap distribution — a hot bucket makes every probe
         # that touches it scan it in full.  refit_ivf_index is the
-        # repair.
-        rows = [parquet_row_count(spark, b) for b in buckets]
-        if rows and sum(rows):
-            mean = sum(rows) / len(rows)
-            skew = {
-                "buckets": len(rows),
-                "max_rows": max(rows),
-                "mean_rows": round(mean, 1),
-                "skew": round(max(rows) / mean, 2),
-            }
-            refit_rec = len(rows) > 1 and skew["skew"] > 8.0
+        # repair (maintain_state(refit="advice") runs it on this
+        # signal).
+        skew = _ivf_skew(spark, state_dir, file_list=ivf_files)
+        refit_rec = (
+            skew is not None
+            and skew["buckets"] > 1
+            and skew["skew"] > (
+                _REFIT_SKEW if refit_skew is None else refit_skew
+            )
+        )
     advice = {
         "snapshot_count": n_committed,
         "table_files": table_files,

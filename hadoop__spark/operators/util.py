@@ -2,18 +2,44 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
 # logical operators that put an exchange (or a local collection
 # barrier) below everything downstream — presence of any in the
 # analyzed plan means the frame's parallelism is already governed by
-# spark.sql.shuffle.partitions / AQE, not by its source's file layout
-_WIDE_PLAN_NODES = (
-    "Aggregate", "Join", "Window", "Sort", "Repartition",
-    "RepartitionByExpression", "Deduplicate", "Except", "Intersect",
-    "GlobalLimit", "Distinct",
+# spark.sql.shuffle.partitions / AQE, not by its source's file layout.
+# Includes the grouped-Arrow operators (applyInPandas / cogroup): they
+# sit above a shuffle too, and df.rdd below one would materialize its
+# query stages under AQE exactly like a Join's.
+_WIDE_PLAN_NODES = frozenset(
+    {
+        "Aggregate", "Join", "Window", "Sort", "Repartition",
+        "RepartitionByExpression", "Deduplicate", "Except", "Intersect",
+        "GlobalLimit", "Distinct", "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas", "CoGroup",
+    }
 )
+
+# a treeString line is tree-drawing prefix (spaces, ':', '+- ') then
+# the operator name: anchoring the match past that prefix means a
+# column alias or string literal that happens to CONTAIN a node name
+# ("... AS Sort#12", a filter on 'Join ') can no longer false-match —
+# those render mid-line, inside the operator's bracketed expression
+# list, never as the line's leading token
+_TREE_NODE_RE = re.compile(r"^[\s:+\-]*'?([A-Za-z]+)")
+
+
+def _has_wide_node(tree: str) -> bool:
+    """True when any line of an analyzed-plan ``treeString`` leads
+    with a shuffle-inducing operator from ``_WIDE_PLAN_NODES``."""
+    for line in tree.splitlines():
+        m = _TREE_NODE_RE.match(line)
+        if m and m.group(1) in _WIDE_PLAN_NODES:
+            return True
+    return False
 
 
 def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
@@ -46,8 +72,7 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
     plan = df._jdf.queryExecution().analyzed().treeString()
-    if any(f"{node} " in plan or f"{node}\n" in plan
-           for node in _WIDE_PLAN_NODES):
+    if _has_wide_node(plan):
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -40,6 +40,8 @@ def ingest_foreach_batch(
     compact_after: int = 64,
     check_every: int = 10,
     name_prefix: str = "mb",
+    refit: str = "off",
+    refit_skew: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` callback for a streaming ingest
     loop::
@@ -73,10 +75,41 @@ def ingest_foreach_batch(
     instead); ``keep_recent`` must stay ≥ the stream's replay horizon
     (a retry of a COALESCED batch name re-runs and re-dedups — corpus-
     safe but not free; see ``coalesce_snapshots``).
+
+    ``refit="advice"`` extends the automatic window to the embedding
+    plane: when the advice check sees IVF bucket skew past the
+    :func:`state_summary` threshold (``refit_recommended`` — a
+    drifting embedding stream concentrating into a hot bucket every
+    probe then scans), the maintenance call also re-fits the
+    centroids (``maintain_state(refit="advice")``).  Off by default:
+    a refit is heavier than coalesce+compact and swaps the index
+    layout mid-stream.  ``refit_skew`` overrides the summary's
+    default max/mean trigger ratio (8).
+
+    Restart semantics, both directions:
+
+    * **Retry of a COMMITTED batch** (the stream replays offsets the
+      sink already folded in): ``on_existing="skip"`` no-ops on the
+      commit marker — exactly-once, tested.
+    * **Restart after a crash MID-INGEST**: the crashed attempt left
+      ``_INGEST_INPROGRESS`` standing, so the foreachBatch retry —
+      and every later one — raises "another ingest_batch run is in
+      flight" and the query stays down.  That is deliberate (the
+      marker cannot distinguish a dead run from a live one on another
+      driver); the recovery path is
+      :func:`~hadoop__spark.operators.ingest.rebuild_state`, which
+      clears the stale marker, repairs every half-appended table from
+      the immutable snapshots, and leaves the state ready for the
+      stream to restart — the interrupted micro-batch then re-runs
+      cleanly from the source's checkpoint.
     """
     if maintain not in ("advice", "off"):
         raise ValueError(
             f"maintain must be 'advice' or 'off', got {maintain!r}"
+        )
+    if refit not in ("advice", "off"):
+        raise ValueError(
+            f"refit must be 'advice' or 'off', got {refit!r}"
         )
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
@@ -111,8 +144,19 @@ def ingest_foreach_batch(
             state_dir,
             coalesce_after=coalesce_after,
             compact_after=compact_after,
+            refit_skew=refit_skew,
         )["advice"]
-        if advice["coalesce_recommended"] or advice["compact_recommended"]:
-            maintain_state(spark, state_dir, keep_recent=keep_recent)
+        if (
+            advice["coalesce_recommended"]
+            or advice["compact_recommended"]
+            or (refit == "advice" and advice["refit_recommended"])
+        ):
+            maintain_state(
+                spark,
+                state_dir,
+                keep_recent=keep_recent,
+                refit=refit,
+                refit_skew=refit_skew,
+            )
 
     return _ingest

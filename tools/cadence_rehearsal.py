@@ -38,11 +38,21 @@ Env: REHEARSAL_MAINTAIN=compact (default; compact_state only — lets
 the snapshot axis grow so the end-of-run coalesce shows the collapse)
 or full (maintain_state with keep_recent=8 — bounds both axes at
 cadence, the production setting).
+REHEARSAL_EMBED=1 turns the embedding plane on (judge r12 item 2):
+every batch carries deterministic 16-dim vectors whose distribution
+DRIFTS over the run (later batches pile onto one direction — the
+frozen-centroid degradation ivf_append_index documents), so the run
+measures the IVF axes the text-only rehearsal never exercised:
+per-append bucket fragmentation, the partition-preserving compaction
+at cadence, probe (ivf_read_topk) latency vs file count, bucket skew
+growth, and — in full mode, which passes refit="advice" — whether the
+advice-driven centroid re-fit fires and rebalances mid-run.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -53,6 +63,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 from hadoop__spark.operators import ingest as ing  # noqa: E402
+
+EMBED = os.environ.get("REHEARSAL_EMBED", "") == "1"
+EMBED_DIM = 16
 
 
 def docs_df(spark, batch_no: int, n: int):
@@ -71,6 +84,41 @@ def docs_df(spark, batch_no: int, n: int):
     )
 
 
+def embs_df(spark, batch_no: int, n: int):
+    """Deterministic drifting embeddings: a sin-hash noise base plus a
+    dim-0 offset that ramps over the first ~50 batches — late vectors
+    crowd one direction, so the bootstrap centroids' bucket balance
+    degrades exactly the way a drifting production stream's would
+    (pairwise cosines stay < the semantic threshold: every vector
+    survives, the corpus matches the text-only timeline)."""
+    base = batch_no * 10_000
+    drift = min(1.0, batch_no / 50.0) * 3.0
+    rows = []
+    for i in range(n):
+        vid = base + i
+        vec = [
+            math.sin(((vid * 31 + d * 17) % 197) * 0.5)
+            for d in range(EMBED_DIM)
+        ]
+        vec[0] += drift
+        rows.append((vid, vec))
+    return spark.createDataFrame(rows, "doc_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def ivf_stats(state: str) -> dict:
+    a = f"{state}/ivf/assigned"
+    files = buckets = 0
+    if os.path.isdir(a):
+        for d in os.listdir(a):
+            if d.startswith("centroid_id="):
+                buckets += 1
+                files += sum(
+                    1 for f in os.listdir(f"{a}/{d}")
+                    if f.endswith(".parquet")
+                )
+    return {"ivf_buckets": buckets, "ivf_files": files}
+
+
 def timed(thunk):
     t0 = time.perf_counter()
     out = thunk()
@@ -86,18 +134,34 @@ def n_files(root: str) -> int:
 
 def checkpoint_probe(spark, state: str, k: int) -> dict:
     sum_wall, s = timed(lambda: ing.state_summary(spark, state))
+    out = {
+        "batches": len(s["batches"]),
+        "files": n_files(state),
+        "summary_sec": sum_wall,
+    }
+    if EMBED:
+        # IVF stats BEFORE the retraction probe below rewrites buckets,
+        # so they line up with the summary's skew measurement
+        from hadoop__spark.operators import similarity as sim
+
+        out.update(ivf_stats(state))
+        out["ivf_skew"] = s["advice"]["ivf_bucket_skew"]
+        queries = embs_df(spark, k, 2)
+        probe_wall, _ = timed(
+            lambda: sim.ivf_read_topk(
+                spark, f"{state}/ivf", queries, k=5, nprobe=2,
+                vec_col="embedding", id_col="doc_id",
+            ).count()
+        )
+        out["ivf_probe_sec"] = probe_wall
     victims = spark.createDataFrame(
         [(k * 10_000 + 3,), (k * 10_000 + 5,)], "doc_id LONG"
     )
     ret_wall, _ = timed(
         lambda: ing.retract_documents(spark, state, victims, mode="fast")
     )
-    return {
-        "batches": len(s["batches"]),
-        "files": n_files(state),
-        "summary_sec": sum_wall,
-        "retract2_sec": ret_wall,
-    }
+    out["retract2_sec"] = ret_wall
+    return out
 
 
 def main() -> None:
@@ -130,27 +194,44 @@ def main() -> None:
         {max(1, n_batches // 8), n_batches // 4, n_batches // 2, n_batches}
     )
     for k in range(1, n_batches + 1):
+        kwargs = dict(group_cap=("src", 10**9), accounting_col="src")
+        if EMBED:
+            kwargs["embeddings"] = embs_df(spark, k, per_batch)
         wall, _ = timed(
             lambda: ing.ingest_batch(
                 spark, state, docs_df(spark, k, per_batch), f"mb{k:05d}",
-                group_cap=("src", 10**9), accounting_col="src",
+                **kwargs,
             )
         )
         ingest_walls.append(wall)
         if maintain_every and k % maintain_every == 0 and k < n_batches:
             before = n_files(state)
+            ivf_before = ivf_stats(state) if EMBED else {}
             if os.environ.get("REHEARSAL_MAINTAIN", "compact") == "full":
                 # the one-verb window: fsck + coalesce + compact under
-                # one lock hold — bounds BOTH growth axes at cadence
-                cw, _ = timed(
-                    lambda: ing.maintain_state(spark, state, keep_recent=8)
+                # one lock hold — bounds BOTH growth axes at cadence;
+                # with the embedding plane on, refit="advice" lets the
+                # skew advice trigger the centroid re-fit mid-run
+                cw, rep = timed(
+                    lambda: ing.maintain_state(
+                        spark, state, keep_recent=8,
+                        refit="advice" if EMBED else "off",
+                    )
                 )
             else:
                 cw, _ = timed(lambda: ing.compact_state(spark, state))
+                rep = None
             compactions[k] = {
                 "sec": cw, "files_before": before,
                 "files_after": n_files(state),
             }
+            if EMBED:
+                compactions[k].update(
+                    {f"{n}_before": v for n, v in ivf_before.items()}
+                )
+                compactions[k].update(ivf_stats(state))
+                if rep is not None:
+                    compactions[k]["refit"] = rep.get("refit")
             print(f"== compaction @{k}: {compactions[k]}", flush=True)
         if k in probe_at:
             checkpoints[k] = checkpoint_probe(spark, state, k)
@@ -159,7 +240,18 @@ def main() -> None:
     def avg(xs):
         return round(sum(xs) / len(xs), 3)
 
-    rebuild_before, _ = timed(lambda: ing.rebuild_state(spark, state))
+    rebuild_kwargs = {}
+    if EMBED:
+        # the rebuild re-fits the IVF only when handed the vectors
+        # (snapshots hold documents, not embeddings) — regenerate the
+        # full deterministic set; the rebuild joins it to survivors
+        every = embs_df(spark, 1, per_batch)
+        for k in range(2, n_batches + 1):
+            every = every.unionByName(embs_df(spark, k, per_batch))
+        rebuild_kwargs["embeddings"] = every.coalesce(8)
+    rebuild_before, _ = timed(
+        lambda: ing.rebuild_state(spark, state, **rebuild_kwargs)
+    )
     # retention: coalesce everything but the newest, then compact the
     # probe tables — the combined maintenance a long-lived state runs
     coal_wall, out = timed(
@@ -167,11 +259,14 @@ def main() -> None:
     )
     compact_wall, _ = timed(lambda: ing.compact_state(spark, state))
     after = checkpoint_probe(spark, state, n_batches + 1)
-    rebuild_after, _ = timed(lambda: ing.rebuild_state(spark, state))
+    rebuild_after, _ = timed(
+        lambda: ing.rebuild_state(spark, state, **rebuild_kwargs)
+    )
     report = {
         "n_batches": n_batches,
         "docs_per_batch": per_batch,
         "maintain_every": maintain_every,
+        "embed": EMBED,
         "ingest_wall_first10": avg(ingest_walls[:10]),
         "ingest_wall_mid10": avg(
             ingest_walls[n_batches // 2 : n_batches // 2 + 10]
