@@ -223,10 +223,16 @@ def main() -> None:
                 # one lock hold — bounds BOTH growth axes at cadence;
                 # with the embedding plane on, refit="advice" lets the
                 # skew advice trigger the centroid re-fit mid-run
+                # (REHEARSAL_REFIT_SKEW lowers the trigger so a short
+                # run can capture a live refit firing at cadence)
+                refit_skew = float(
+                    os.environ.get("REHEARSAL_REFIT_SKEW", "8.0")
+                )
                 cw, rep = timed(
                     lambda: ing.maintain_state(
                         spark, state, keep_recent=8,
                         refit="advice" if EMBED else "off",
+                        refit_skew=refit_skew,
                     )
                 )
             else:
