@@ -388,26 +388,7 @@ def minhash_write_signatures(
     (``similarity.ivf_write_index``).
     """
     if mode == "append":
-        # a num_perm mismatch would append files whose schema differs
-        # from the stored table — Spark's non-merging parquet read
-        # would then resolve to an arbitrary file's schema (silent
-        # corruption); fail loudly instead.  Existence is checked
-        # explicitly (NOT by catching the read error, which would
-        # also swallow transient I/O failures and skip the guard at
-        # exactly the wrong moment).  (An n mismatch is not
-        # schema-visible — the docstring contract covers it.)
-        from hadoop__spark.operators.util import table_exists
-
-        if table_exists(df.sparkSession, f"{path}/signatures"):
-            stored = df.sparkSession.read.parquet(
-                f"{path}/signatures"
-            ).columns
-            stored_perm = sum(c.startswith("mh_") for c in stored)
-            if stored_perm != num_perm:
-                raise ValueError(
-                    f"append with num_perm={num_perm} onto a table "
-                    f"written with num_perm={stored_perm}"
-                )
+        _check_append_num_perm(df.sparkSession, path, num_perm)
     base = shingle_frame(df, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -420,6 +401,49 @@ def minhash_write_signatures(
         # both consumers are eager write jobs, so this unpersist point
         # is safe — unlike the lazy-return in minhash_lsh_pairs
         base.unpersist()
+
+
+def _check_append_num_perm(spark, path: str, num_perm: int) -> None:
+    """Refuse an append whose ``num_perm`` differs from the stored
+    signature table's: the mismatched files' schema differs, and
+    Spark's non-merging parquet read would then resolve to an
+    arbitrary file's schema (silent corruption) — fail loudly
+    instead.  Existence is checked explicitly (NOT by catching the
+    read error, which would also swallow transient I/O failures and
+    skip the guard at exactly the wrong moment).  (An ``n`` mismatch
+    is not schema-visible — the writers' docstring contract covers
+    it.)"""
+    from hadoop__spark.operators.util import table_exists
+
+    if table_exists(spark, f"{path}/signatures"):
+        stored = spark.read.parquet(f"{path}/signatures").columns
+        stored_perm = sum(c.startswith("mh_") for c in stored)
+        if stored_perm != num_perm:
+            raise ValueError(
+                f"append with num_perm={num_perm} onto a table "
+                f"written with num_perm={stored_perm}"
+            )
+
+
+def minhash_write_signatures_frames(
+    spark,
+    path: str,
+    sh: DataFrame,
+    mh: DataFrame,
+    mode: str = "append",
+) -> None:
+    """:func:`minhash_write_signatures` from ALREADY-COMPUTED frames —
+    ``sh`` is an (_id, _sh) shingle frame, ``mh`` an (_id, mh_*)
+    signature frame (e.g. a batch's staged signature tables that the
+    probe and the within-batch pairing already consumed).  Writes the
+    same two tables with the same ``num_perm`` append guard; nothing
+    is re-tokenized or re-hashed — the single-computation half of the
+    ingest loop's signature staging."""
+    num_perm = sum(c.startswith("mh_") for c in mh.columns)
+    if mode == "append":
+        _check_append_num_perm(spark, path, num_perm)
+    sh.select("_id", "_sh").write.mode(mode).parquet(f"{path}/shingles")
+    mh.write.mode(mode).parquet(f"{path}/signatures")
 
 
 def minhash_lsh_pairs_from(
@@ -441,6 +465,31 @@ def minhash_lsh_pairs_from(
     if num_perm % bands:
         raise ValueError(
             f"bands={bands} must divide the stored num_perm={num_perm}"
+        )
+    return _lsh_pairs_from_frames(
+        mh, sh_sets, num_perm, bands, threshold, max_bucket
+    )
+
+
+def minhash_lsh_pairs_frames(
+    mh: DataFrame,
+    sh_sets: DataFrame,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` from ALREADY-COMPUTED frames — ``mh``
+    an (_id, mh_*) signature frame, ``sh_sets`` an (_id, _sh) shingle
+    frame (e.g. the ingest loop's per-batch signature staging,
+    semi-joined down to the ids still alive after the exact pass).
+    Identical banding/cap/verify plan and output to the text path —
+    the per-row shingle and signature projections are deterministic,
+    so frames computed once on a superset and filtered equal frames
+    recomputed on the subset."""
+    num_perm = sum(c.startswith("mh_") for c in mh.columns)
+    if num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide the frame's num_perm={num_perm}"
         )
     return _lsh_pairs_from_frames(
         mh, sh_sets, num_perm, bands, threshold, max_bucket
@@ -481,15 +530,9 @@ def minhash_lsh_pairs_between(
     index's signature scan is column-pruned to mh_*; the verify join
     reads stored shingles only for candidate ids.
     """
-    from pyspark.sql import Window
-
     sh_old = spark.read.parquet(f"{path}/shingles")
     mh_old = spark.read.parquet(f"{path}/signatures")
     num_perm = sum(c.startswith("mh_") for c in mh_old.columns)
-    if num_perm % bands:
-        raise ValueError(
-            f"bands={bands} must divide the stored num_perm={num_perm}"
-        )
     # same persist-with-no-unpersist-point tradeoff as
     # minhash_lsh_pairs (documented there): the batch shingle frame
     # feeds both the signatures and the verify join; registered so
@@ -500,6 +543,50 @@ def minhash_lsh_pairs_between(
         )
     )
     mh_new = _minhash_signatures(base_new, num_perm)
+    return minhash_lsh_pairs_between_frames(
+        spark,
+        path,
+        mh_new,
+        base_new.select("_id", "_sh"),
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+
+
+def minhash_lsh_pairs_between_frames(
+    spark,
+    path: str,
+    mh_new: DataFrame,
+    sh_new: DataFrame,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs_between` from the batch's
+    ALREADY-COMPUTED frames — ``mh_new`` an (_id, mh_*) signature
+    frame, ``sh_new`` an (_id, _sh) shingle frame, both shingled/signed
+    at the index's own ``n``/``num_perm`` (the ingest loop stages them
+    once per batch and reuses them here, in the within-batch pairing,
+    and in the plane append — one tokenize+hash pass instead of
+    three).  Identical plan and output to the text path; ``mh_new``'s
+    width must match the stored index's ``num_perm``."""
+    from pyspark.sql import Window
+
+    sh_old = spark.read.parquet(f"{path}/shingles")
+    mh_old = spark.read.parquet(f"{path}/signatures")
+    num_perm = sum(c.startswith("mh_") for c in mh_old.columns)
+    new_perm = sum(c.startswith("mh_") for c in mh_new.columns)
+    if new_perm != num_perm:
+        raise ValueError(
+            f"batch signature frame has num_perm={new_perm}, the "
+            f"stored index num_perm={num_perm} — probe is meaningless "
+            "across widths"
+        )
+    if num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide the stored num_perm={num_perm}"
+        )
 
     def _cap(buckets: DataFrame) -> DataFrame:
         w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
@@ -523,7 +610,7 @@ def minhash_lsh_pairs_between(
     )
     return (
         cand.join(
-            base_new.select(
+            sh_new.select(
                 F.col("_id").alias("id_new"), F.col("_sh").alias("sh_a")
             ),
             "id_new",

@@ -34,16 +34,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from hadoop__spark.operators.dedup import (
+    _minhash_signatures,
     dedup_corpus,
     embedding_pairs_against_index,
     fingerprint_filter_new,
     fingerprint_write,
-    minhash_lsh_pairs_between,
+    minhash_lsh_pairs_between_frames,
+    minhash_lsh_pairs_frames,
     minhash_write_signatures,
+    minhash_write_signatures_frames,
     ngram_append_index,
     ngram_jaccard_pairs_between,
     ngram_write_index,
     semantic_dedup,
+    shingle_frame,
     simhash_pairs_between,
     simhash_write_signatures,
 )
@@ -373,6 +377,7 @@ def _write_state_tables(
     nlist: int | None = None,
     seed: int = 42,
     include: set[str] | None = None,
+    sig_frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> set[str]:
     """THE survivors→state-table mapping, shared by
     :func:`ingest_batch`'s append section, :func:`rebuild_state`'s
@@ -399,6 +404,14 @@ def _write_state_tables(
     from a written snapshot) — every writer below scans it, and a lazy
     chain would re-run the whole dedup per table.
 
+    ``sig_frames`` is :func:`ingest_batch`'s per-batch signature
+    staging — an ((_id, _sh), (_id, mh_*)) pair computed once at the
+    batch's own ``n``/``num_perm`` and possibly covering a SUPERSET of
+    the survivors; when given, the minhash plane appends the frames
+    semi-joined to ``surv`` instead of re-tokenizing and re-hashing
+    the survivor text (the rebuild paths omit it and keep the
+    from-text route).
+
     Returns the set of coverage-marker plane names actually written
     (``"embeddings"`` is claimed even when zero survivors carried a
     vector — a replay would find nothing to add either, so coverage
@@ -411,96 +424,167 @@ def _write_state_tables(
         return include is None or plane in include
 
     write_mode = "append" if mode == "append" else "overwrite"
-    covered = set()
+    # each plane's writer is an independent job (or short job chain)
+    # over the same materialized snapshot, touching a disjoint table —
+    # collected here and submitted CONCURRENTLY below.  Driver threads
+    # overlap the per-job scheduling latency that dominates small
+    # batches and the write I/O that dominates large ones; the crash
+    # contract is unchanged (any subset may have committed when a run
+    # dies — exactly as with sequential appends — and only the commit
+    # marker, written by the caller after ALL writers return, declares
+    # the batch durable; a marker-less snapshot still refuses replay
+    # and repairs through rebuild_state).
+    writers: list[tuple[str, object]] = []
     if group_cap_col is not None and _on("group_counts"):
         # the survivors' per-group admitted counts — the cap state
         # counts what the corpus retains, not what was offered
-        (
-            surv.groupBy(group_cap_col)
-            .agg(F.count("*").cast("bigint").alias("n_admitted"))
-            .write.mode(write_mode)
-            .parquet(f"{state_dir}/group_counts")
-        )
-        covered.add("group_counts")
+        def _w_group_counts():
+            (
+                surv.groupBy(group_cap_col)
+                .agg(F.count("*").cast("bigint").alias("n_admitted"))
+                .write.mode(write_mode)
+                .parquet(f"{state_dir}/group_counts")
+            )
+
+        writers.append(("group_counts", _w_group_counts))
     if write_gate and _on("gate"):
         if scores is None:
             raise ValueError("gate state needs a scores frame")
         # the SURVIVORS' score sketch: the gate state tracks the
         # distribution of what the corpus actually retains (collapse
         # to one row per id first — idempotent when already collapsed)
-        surv_scores = (
-            scores.groupBy(id_col)
-            .agg(F.max(score_col).alias(score_col))
-            .join(
-                surv.select(F.col(id_col).alias("_sid")),
-                F.col(id_col) == F.col("_sid"),
-                "left_semi",
+        def _w_gate():
+            surv_scores = (
+                scores.groupBy(id_col)
+                .agg(F.max(score_col).alias(score_col))
+                .join(
+                    surv.select(F.col(id_col).alias("_sid")),
+                    F.col(id_col) == F.col("_sid"),
+                    "left_semi",
+                )
             )
-        )
-        score_sketch(surv_scores, score_col=score_col).write.mode(
-            write_mode
-        ).parquet(f"{state_dir}/score_sketches")
-        covered.add("gate")
+            score_sketch(surv_scores, score_col=score_col).write.mode(
+                write_mode
+            ).parquet(f"{state_dir}/score_sketches")
+
+        writers.append(("gate", _w_gate))
     if accounting_col is not None and _on("accounting"):
         # kilobytes per group, merged at read time; cache=False so a
         # daily loop leaves no CacheManager residency behind (the base
         # frame is batch-sized; tokenizing twice is cheaper than a leak)
-        corpus_stats_sketch(
-            surv, group_cols=[accounting_col], text_col=text_col,
-            id_col=id_col, cache=False,
-        ).write.mode(write_mode).parquet(f"{state_dir}/accounting/stats")
-        overlap_sketch(
-            surv, group_col=accounting_col, text_col=text_col
-        ).write.mode(write_mode).parquet(f"{state_dir}/accounting/overlap")
-        covered.add("accounting")
+        def _w_acct_stats():
+            corpus_stats_sketch(
+                surv, group_cols=[accounting_col], text_col=text_col,
+                id_col=id_col, cache=False,
+            ).write.mode(write_mode).parquet(
+                f"{state_dir}/accounting/stats"
+            )
+
+        def _w_acct_overlap():
+            overlap_sketch(
+                surv, group_col=accounting_col, text_col=text_col
+            ).write.mode(write_mode).parquet(
+                f"{state_dir}/accounting/overlap"
+            )
+
+        writers.append(("accounting", _w_acct_stats))
+        writers.append(("accounting", _w_acct_overlap))
     if _on("fingerprints"):
-        fingerprint_write(surv, state_dir, text_col, id_col, mode=write_mode)
-        covered.add("fingerprints")
+        def _w_fingerprints():
+            fingerprint_write(
+                surv, state_dir, text_col, id_col, mode=write_mode
+            )
+
+        writers.append(("fingerprints", _w_fingerprints))
     if _on("text"):
         plane_path, _ = _plane_paths(state_dir, text_method)
         if text_method == "minhash":
-            minhash_write_signatures(
-                surv, plane_path, text_col, id_col, n=n, num_perm=num_perm,
-                mode=write_mode,
-            )
+            if sig_frames is not None:
+                sh_b, mh_b = sig_frames
+
+                def _w_text():
+                    alive = surv.select(F.col(id_col).alias("_id"))
+                    minhash_write_signatures_frames(
+                        spark,
+                        plane_path,
+                        sh_b.join(alive, "_id", "left_semi"),
+                        mh_b.join(alive, "_id", "left_semi"),
+                        mode=write_mode,
+                    )
+            else:
+                def _w_text():
+                    minhash_write_signatures(
+                        surv, plane_path, text_col, id_col, n=n,
+                        num_perm=num_perm, mode=write_mode,
+                    )
         elif text_method == "simhash":
-            simhash_write_signatures(
-                surv, plane_path, text_col, id_col, n=n, mode=write_mode
-            )
+            def _w_text():
+                simhash_write_signatures(
+                    surv, plane_path, text_col, id_col, n=n,
+                    mode=write_mode,
+                )
         elif mode == "append":
             # the append cross-checks n/threshold against the stored meta
-            ngram_append_index(
-                spark, plane_path, surv, text_col, id_col, n=n,
-                threshold=threshold,
-            )
+            def _w_text():
+                ngram_append_index(
+                    spark, plane_path, surv, text_col, id_col, n=n,
+                    threshold=threshold,
+                )
         else:
-            ngram_write_index(
-                surv, plane_path, text_col, id_col, n=n, threshold=threshold
-            )
-        covered.add("text")
+            def _w_text():
+                ngram_write_index(
+                    surv, plane_path, text_col, id_col, n=n,
+                    threshold=threshold,
+                )
+
+        writers.append(("text", _w_text))
     if embeddings is not None and _on("embeddings"):
         ivf_path = f"{state_dir}/ivf"
-        emb = embeddings.select(
-            F.col(id_col).alias("_eid"), F.col(embedding_col)
-        ).join(
-            surv.select(F.col(id_col).alias("_eid")), "_eid", "left_semi"
-        ).select(F.col("_eid").alias(id_col), embedding_col)
-        if mode == "append" and _table_exists(spark, f"{ivf_path}/centroids"):
-            ivf_append_index(
-                spark, ivf_path, emb, vec_col=embedding_col, id_col=id_col
-            )
-        else:
-            n_emb = emb.count()
-            if n_emb:
-                fit_nlist = nlist or max(16, int(4 * n_emb**0.5))
-                ivf_write_index(
-                    emb, ivf_path, nlist=fit_nlist, vec_col=embedding_col,
-                    id_col=id_col, seed=seed,
+
+        def _w_embeddings():
+            emb = embeddings.select(
+                F.col(id_col).alias("_eid"), F.col(embedding_col)
+            ).join(
+                surv.select(F.col(id_col).alias("_eid")),
+                "_eid",
+                "left_semi",
+            ).select(F.col("_eid").alias(id_col), embedding_col)
+            if mode == "append" and _table_exists(
+                spark, f"{ivf_path}/centroids"
+            ):
+                ivf_append_index(
+                    spark, ivf_path, emb, vec_col=embedding_col,
+                    id_col=id_col,
                 )
-            # n_emb == 0: no embedded survivors to fit on — leave the
-            # index unwritten; a later batch with embeddings bootstraps
-        covered.add("embeddings")
-    return covered
+            else:
+                n_emb = emb.count()
+                if n_emb:
+                    fit_nlist = nlist or max(16, int(4 * n_emb**0.5))
+                    ivf_write_index(
+                        emb, ivf_path, nlist=fit_nlist,
+                        vec_col=embedding_col, id_col=id_col, seed=seed,
+                    )
+                # n_emb == 0: no embedded survivors to fit on — leave
+                # the index unwritten; a later batch with embeddings
+                # bootstraps
+
+        writers.append(("embeddings", _w_embeddings))
+    if len(writers) == 1:
+        writers[0][1]()
+    elif writers:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Spark job submission is thread-safe (PySpark pins each
+        # Python thread to its own JVM thread); every writer reads the
+        # shared materialized snapshot and writes its own table, so
+        # there is no cross-writer ordering to preserve.  The pool's
+        # exit joins every thread, then result() re-raises the first
+        # failure — a failed batch never reaches the commit marker.
+        with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+            futures = [pool.submit(fn) for _, fn in writers]
+        for fut in futures:
+            fut.result()
+    return {plane for plane, _ in writers}
 
 
 def ingest_batch(
@@ -620,7 +704,12 @@ def ingest_batch(
     within-batch dedup, so the probe chain executes exactly once per
     batch — the within-batch pair materialization and the snapshot
     write read the staging, not the chain (the dominant slice of the
-    fixed per-micro-batch floor; tools/ingest_profile.py).
+    fixed per-micro-batch floor; tools/ingest_profile.py).  On the
+    minhash plane the batch's shingle + signature frames are likewise
+    staged once at ``tmp/{batch_name}_sigs`` and reused by the
+    cross-corpus probe, the within-batch pairing, and the plane
+    append — one tokenize+hash pass per batch instead of three, at
+    ANY batch size.
     Within-batch semantic dedup fits its own centroids on the (small)
     batch; cross-batch probing always uses the index's frozen
     centroids.
@@ -885,18 +974,39 @@ def _ingest_batch_inner(
         fresh = fingerprint_filter_new(
             spark, state_dir, fresh, text_col, id_col
         )
+    sigs_path = sh_new = mh_new = None
+    if text_method == "minhash":
+        # stage the batch's shingle + signature frames ONCE (same
+        # two-table layout as the plane itself): the cross-corpus
+        # probe, the within-batch LSH pairing, and the end-of-batch
+        # plane append all reuse these parquet-backed frames — one
+        # tokenize→shingle→num_perm-minhash pass per batch instead of
+        # three (per-row projections are deterministic, so frames
+        # computed here and semi-joined down to each stage's surviving
+        # ids equal frames recomputed on the subset).  Deleted with
+        # the other staging once the batch commits; a crashed run's
+        # copy is swept by fsck_state (never while an ingest is live —
+        # the in-progress-marker guard).
+        sigs_path = f"{state_dir}/tmp/{batch_name}_sigs"
+        shingle_frame(fresh, text_col, id_col, n).write.mode(
+            "overwrite"
+        ).parquet(f"{sigs_path}/shingles")
+        sh_new = spark.read.parquet(f"{sigs_path}/shingles")
+        _minhash_signatures(sh_new, num_perm).write.mode(
+            "overwrite"
+        ).parquet(f"{sigs_path}/signatures")
+        mh_new = spark.read.parquet(f"{sigs_path}/signatures")
+    if not bootstrap:
         # plane 2: near-dups of the indexed corpus, probed on the
         # state's text plane (each probe's exactness claim — equal to
         # the cross-corpus slice of a full self-pairing — is its own
         # docstring's and test's)
         if text_method == "minhash":
-            cross = minhash_lsh_pairs_between(
+            cross = minhash_lsh_pairs_between_frames(
                 spark,
                 plane_path,
-                fresh,
-                text_col,
-                id_col,
-                n=n,
+                mh_new,
+                sh_new,
                 bands=bands,
                 threshold=threshold,
                 max_bucket=max_bucket,
@@ -982,26 +1092,45 @@ def _ingest_batch_inner(
     # one-row-per-text consistent.
     surv = dedup_corpus(fresh, text_col, id_col, method="fingerprint")
     if text_method == "minhash":
-        method_kwargs = dict(
-            threshold=threshold, n=n, num_perm=num_perm, bands=bands,
+        # within-batch near-dup pairs from the staged signature
+        # frames, semi-joined down to the ids still alive after the
+        # exact pass — identical pairs to recomputing on the subset
+        # (per-row projections; bucket caps applied after the filter,
+        # same as the text path), at zero re-hash cost
+        alive = surv.select(F.col(id_col).alias("_id"))
+        pairs_wb = minhash_lsh_pairs_frames(
+            mh_new.join(alive, "_id", "left_semi"),
+            sh_new.join(alive, "_id", "left_semi"),
+            bands=bands,
+            threshold=threshold,
             max_bucket=max_bucket,
         )
-    elif text_method == "simhash":
-        method_kwargs = dict(
-            n=n, max_hamming=max_hamming, n_chunks=n_chunks,
+        surv = dedup_corpus(
+            surv,
+            text_col,
+            id_col,
+            pairs=pairs_wb,
+            scores=scores,
+            score_col=score_col,
+            checkpoint_dir=checkpoint_dir,
         )
     else:
-        method_kwargs = dict(threshold=threshold, n=n)
-    surv = dedup_corpus(
-        surv,
-        text_col,
-        id_col,
-        method=text_method,
-        scores=scores,
-        score_col=score_col,
-        checkpoint_dir=checkpoint_dir,
-        **method_kwargs,
-    )
+        if text_method == "simhash":
+            method_kwargs = dict(
+                n=n, max_hamming=max_hamming, n_chunks=n_chunks,
+            )
+        else:
+            method_kwargs = dict(threshold=threshold, n=n)
+        surv = dedup_corpus(
+            surv,
+            text_col,
+            id_col,
+            method=text_method,
+            scores=scores,
+            score_col=score_col,
+            checkpoint_dir=checkpoint_dir,
+            **method_kwargs,
+        )
 
     ivf_path = f"{state_dir}/ivf"
     text_surv_path = None
@@ -1090,11 +1219,18 @@ def _ingest_batch_inner(
         embedding_col=embedding_col,
         nlist=nlist,
         seed=seed,
+        sig_frames=(
+            (sh_new, mh_new) if sigs_path is not None else None
+        ),
     )
     # LAST step: the batch's commit marker — every state append above
     # completed, so an on_existing="skip" replay may safely no-op; the
     # marker content records WHICH planes it covers
     _write_commit_marker(spark, batch_path, covered)
+    if sigs_path is not None:
+        # the staged signature frames fed the probe, the within-batch
+        # pairing, and the plane append — all durable now
+        _delete_path(spark, sigs_path)
     return surv_m
 
 
@@ -2728,8 +2864,9 @@ def fsck_state(spark, state_dir: str) -> dict:
     (``_SUCCESS``-less) tmps, stray ``_COALESCE_MANIFEST`` files left
     inside adopted epochs (a crash in the post-rename cleanup
     window), and a crashed ingest's single-execution staging tables
-    (``tmp/*_eligible`` / ``tmp/*_text_survivors`` — skipped while an
-    ingest marker stands, since a LIVE run holds them transiently);
+    (``tmp/*_eligible`` / ``tmp/*_text_survivors`` / ``tmp/*_sigs`` —
+    skipped while an ingest marker stands, since a LIVE run holds
+    them transiently);
     and reports — but does not repair — mid-surgery flat tables
     (``_RETRACT_SURGERY`` marker: duplicate rows possible; run
     :func:`rebuild_state`).
@@ -2925,8 +3062,10 @@ def _fsck_state_locked(spark, state_dir: str) -> dict:
         # must not sweep them out from under it.
         for tmp in _list_child_dirs(spark, f"{state_dir}/tmp"):
             name = tmp.rstrip("/").rsplit("/", 1)[-1]
-            if name.endswith("_eligible") or name.endswith(
-                "_text_survivors"
+            if (
+                name.endswith("_eligible")
+                or name.endswith("_text_survivors")
+                or name.endswith("_sigs")
             ):
                 _delete_path(spark, tmp)
                 swept.append(f"tmp/{name}")
@@ -3176,8 +3315,10 @@ def state_summary(
         # sweeps) only once the run that made them is gone
         for tmp in _list_child_dirs(spark, f"{state_dir}/tmp"):
             name = tmp.rstrip("/").rsplit("/", 1)[-1]
-            if name.endswith("_eligible") or name.endswith(
-                "_text_survivors"
+            if (
+                name.endswith("_eligible")
+                or name.endswith("_text_survivors")
+                or name.endswith("_sigs")
             ):
                 orphans.append(f"tmp/{name}")
     if _table_exists(spark, f"{state_dir}/{_RETRACT_MARKER}"):

@@ -535,15 +535,23 @@ def test_rebuild_state_after_crash(spark, docs, tmp_path, monkeypatch):
     ingest_batch(spark, clean, b2, "b2")
 
     ingest_batch(spark, crashed, b1, "b1")
-    real_writer = ingest_mod.minhash_write_signatures
+    # the ingest loop appends the text plane through the staged-frames
+    # writer (minhash_write_signatures_frames) — crash THAT name; the
+    # other plane writers run (concurrently) to completion, so the
+    # planes land at different frontiers below
+    real_writer = ingest_mod.minhash_write_signatures_frames
 
     def boom(*a, **k):
         raise RuntimeError("simulated crash between state appends")
 
-    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", boom)
+    monkeypatch.setattr(
+        ingest_mod, "minhash_write_signatures_frames", boom
+    )
     with pytest.raises(RuntimeError, match="simulated crash"):
         ingest_batch(spark, crashed, b2, "b2")
-    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", real_writer)
+    monkeypatch.setattr(
+        ingest_mod, "minhash_write_signatures_frames", real_writer
+    )
     # the crash left the planes at different frontiers: fingerprints
     # saw b2, signatures did not
     fp_n = spark.read.parquet(f"{crashed}/fingerprints").count()
@@ -1047,15 +1055,19 @@ def test_on_existing_skip_exactly_once(spark, tmp_path, monkeypatch):
     b2 = spark.createDataFrame(
         [(10, "third novel body appears now")], "doc_id LONG, text STRING"
     )
-    real = ingest_mod.minhash_write_signatures
+    real = ingest_mod.minhash_write_signatures_frames
 
     def boom(*a, **k):
         raise RuntimeError("simulated crash")
 
-    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", boom)
+    monkeypatch.setattr(
+        ingest_mod, "minhash_write_signatures_frames", boom
+    )
     with pytest.raises(RuntimeError):
         ingest_batch(spark, state, b2, "b2")
-    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", real)
+    monkeypatch.setattr(
+        ingest_mod, "minhash_write_signatures_frames", real
+    )
     with pytest.raises(ValueError, match="crashed mid-append"):
         ingest_batch(spark, state, b2, "b2", on_existing="skip")
     rebuild_state(spark, state)
@@ -1094,8 +1106,10 @@ def test_state_summary_reports_crash(spark, tmp_path, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("simulated crash")
 
-    real = ingest_mod.minhash_write_signatures
-    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", boom)
+    real = ingest_mod.minhash_write_signatures_frames
+    monkeypatch.setattr(
+        ingest_mod, "minhash_write_signatures_frames", boom
+    )
     with pytest.raises(RuntimeError):
         ingest_batch(
             spark, state,
@@ -1104,7 +1118,9 @@ def test_state_summary_reports_crash(spark, tmp_path, monkeypatch):
             ),
             "b2",
         )
-    monkeypatch.setattr(ingest_mod, "minhash_write_signatures", real)
+    monkeypatch.setattr(
+        ingest_mod, "minhash_write_signatures_frames", real
+    )
     s = state_summary(spark, state)
     assert s["needs_rebuild"]
     rebuild_state(spark, state)

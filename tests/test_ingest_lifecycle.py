@@ -1343,17 +1343,24 @@ def test_fsck_sweeps_crashed_ingest_staging(spark, tmp_path):
     ingest_batch(spark, state, _docs(spark, range(1, 10)), "b1")
     os.makedirs(f"{state}/tmp/mb2_eligible", exist_ok=True)
     touch_file(spark, f"{state}/tmp/mb2_eligible/part-0.parquet")
+    os.makedirs(f"{state}/tmp/mb2_sigs/shingles", exist_ok=True)
+    touch_file(spark, f"{state}/tmp/mb2_sigs/shingles/part-0.parquet")
     touch_file(spark, f"{state}/{_INGEST_MARKER}")
     # live ingest: neither reported nor swept
     assert "tmp/mb2_eligible" not in state_summary(spark, state)["orphans"]
     fsck_state(spark, state)
     assert os.path.exists(f"{state}/tmp/mb2_eligible")
+    assert os.path.exists(f"{state}/tmp/mb2_sigs")
     # crashed ingest (marker gone): reported, then swept
     os.remove(f"{state}/{_INGEST_MARKER}")
-    assert "tmp/mb2_eligible" in state_summary(spark, state)["orphans"]
+    orphans = state_summary(spark, state)["orphans"]
+    assert "tmp/mb2_eligible" in orphans
+    assert "tmp/mb2_sigs" in orphans
     rep = fsck_state(spark, state)
     assert "tmp/mb2_eligible" in rep["swept"]
+    assert "tmp/mb2_sigs" in rep["swept"]
     assert not os.path.exists(f"{state}/tmp/mb2_eligible")
+    assert not os.path.exists(f"{state}/tmp/mb2_sigs")
     # rebuild after a crash clears the stale marker FIRST, so its own
     # fsck pass sweeps the staging in the same call
     os.makedirs(f"{state}/tmp/mb3_text_survivors", exist_ok=True)

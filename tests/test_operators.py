@@ -639,6 +639,91 @@ def test_minhash_pairs_between_matches_full_run(spark, docs, tmp_path):
     assert not {p for p in got if p[0] >= OFFSET * 2}, "novel docs paired"
 
 
+def test_minhash_frames_variants_match_text_paths(spark, docs, tmp_path):
+    """The frames-based minhash entry points — the ingest loop's
+    single-computation path, where a batch's shingle+signature frames
+    are staged once and reused by the probe, the within-batch pairing,
+    and the plane append — must equal their from-text twins exactly,
+    and a signature-width mismatch must be refused (a probe across
+    num_perm widths is meaningless)."""
+    path = str(tmp_path / "frames_idx")
+    dedup.minhash_write_signatures(docs, path)
+    OFFSET = 1_000_000
+    batch = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" freshly appended tail")).alias(
+            "text"
+        ),
+    )
+    # stage the frames exactly as ingest_batch does: shingles written
+    # once, signatures computed from the READ-BACK shingles
+    sigs_dir = str(tmp_path / "sigs")
+    dedup.shingle_frame(batch, "text", "doc_id", 3).write.parquet(
+        f"{sigs_dir}/shingles"
+    )
+    sh_new = spark.read.parquet(f"{sigs_dir}/shingles")
+    dedup._minhash_signatures(sh_new, 64).write.parquet(
+        f"{sigs_dir}/signatures"
+    )
+    mh_new = spark.read.parquet(f"{sigs_dir}/signatures")
+
+    want_between = {
+        (r.id_new, r.id_old, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_between(
+            spark, path, batch
+        ).collect()
+    }
+    got_between = {
+        (r.id_new, r.id_old, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_between_frames(
+            spark, path, mh_new, sh_new
+        ).collect()
+    }
+    assert got_between == want_between and len(want_between) > 0
+
+    # within-batch pairing from staged frames == the text path (the
+    # docs fixture carries planted near-duplicates)
+    sigs2 = str(tmp_path / "sigs_docs")
+    dedup.shingle_frame(docs, "text", "doc_id", 3).write.parquet(
+        f"{sigs2}/shingles"
+    )
+    sh_d = spark.read.parquet(f"{sigs2}/shingles")
+    dedup._minhash_signatures(sh_d, 64).write.parquet(
+        f"{sigs2}/signatures"
+    )
+    mh_d = spark.read.parquet(f"{sigs2}/signatures")
+    got_within = _pairs(dedup.minhash_lsh_pairs_frames(mh_d, sh_d))
+    want_within = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.8))
+    assert got_within == want_within and len(want_within) > 0
+
+    # a frames append writes the same plane tables as the text append
+    p_text = str(tmp_path / "plane_text")
+    p_frames = str(tmp_path / "plane_frames")
+    dedup.minhash_write_signatures(batch, p_text)
+    dedup.minhash_write_signatures_frames(
+        spark, p_frames, sh_new, mh_new, mode="overwrite"
+    )
+    for rel in ("shingles", "signatures"):
+        a = spark.read.parquet(f"{p_text}/{rel}")
+        b = spark.read.parquet(f"{p_frames}/{rel}")
+        assert a.columns == b.columns
+        key = sorted(a.columns)
+        assert sorted(map(tuple, a.select(*key).collect())) == sorted(
+            map(tuple, b.select(*key).collect())
+        )
+
+    # width mismatches are refused: probe and append both check
+    mh_32 = dedup._minhash_signatures(sh_new, 32)
+    with pytest.raises(ValueError, match="num_perm"):
+        dedup.minhash_lsh_pairs_between_frames(
+            spark, path, mh_32, sh_new
+        )
+    with pytest.raises(ValueError, match="num_perm"):
+        dedup.minhash_write_signatures_frames(
+            spark, p_frames, sh_new, mh_32, mode="append"
+        )
+
+
 def test_fingerprint_incremental_filter(spark, docs, tmp_path):
     """Exact incremental dedup: batch rows whose fingerprint already
     exists in the stored table are dropped; novel rows survive

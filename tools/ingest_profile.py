@@ -38,13 +38,16 @@ import hadoop__spark.operators.ingest as ing  # noqa: E402
 PHASES = [
     "decontaminate",
     "fingerprint_filter_new",
-    "minhash_lsh_pairs_between",
+    "shingle_frame",
+    "_minhash_signatures",
+    "minhash_lsh_pairs_between_frames",
+    "minhash_lsh_pairs_frames",
     "eligibility_filter",
     "dedup_corpus",
     "embedding_pairs_against_index",
     "semantic_dedup",
     "fingerprint_write",
-    "minhash_write_signatures",
+    "minhash_write_signatures_frames",
     "corpus_stats_sketch",
     "overlap_sketch",
     "score_sketch",
