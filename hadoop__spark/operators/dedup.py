@@ -1282,6 +1282,47 @@ def simhash_write_signatures(
     ).write.mode(mode).parquet(f"{path}/signatures")
 
 
+def simhash_write_signatures_frames(
+    spark,
+    path: str,
+    sigs: DataFrame,
+    mode: str = "append",
+) -> None:
+    """:func:`simhash_write_signatures` from an ALREADY-COMPUTED
+    (_id, simhash) frame — e.g. a batch's staged signature table that
+    the probe and the within-batch pairing already consumed (the
+    ingest loop's single-computation path, mirroring
+    :func:`minhash_write_signatures_frames`).  Nothing is re-shingled
+    or re-hashed."""
+    sigs.select("_id", "simhash").write.mode(mode).parquet(
+        f"{path}/signatures"
+    )
+
+
+def simhash_pairs_frames(
+    sigs: DataFrame,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+    max_expected_pairs_per_bucket: int | None = 10_000_000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """:func:`simhash_pairs` from an ALREADY-COMPUTED (_id, simhash)
+    frame — the per-row signature aggregation is deterministic, so a
+    frame computed once on a superset and semi-joined down to the ids
+    of interest pairs identically to recomputing on the subset.  The
+    expected-pairs guard counts the given frame when ``n_docs`` is
+    not supplied (signature rows, i.e. docs with ≥1 shingle — the
+    from-text twin counts all rows; both are the same order of
+    magnitude, and the guard is an order-of-magnitude cliff check)."""
+    if max_expected_pairs_per_bucket is not None:
+        _simhash_bucket_guard(
+            sigs.count() if n_docs is None else n_docs,
+            64 // n_chunks,
+            max_expected_pairs_per_bucket,
+        )
+    return _simhash_pairs_from_sigs(sigs, max_hamming, n_chunks)
+
+
 def simhash_pairs_from(
     spark,
     path: str,
@@ -1338,6 +1379,34 @@ def simhash_pairs_between(
     :func:`simhash_pairs_from` (pass ``n_docs`` to skip its count).
     ``n``/``n_chunks`` must describe the stored index's signing.
     """
+    sigs_new = simhash(df, text_col, id_col, n).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    return simhash_pairs_between_frames(
+        spark,
+        path,
+        sigs_new,
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        max_expected_pairs_per_bucket=max_expected_pairs_per_bucket,
+        n_docs=n_docs,
+    )
+
+
+def simhash_pairs_between_frames(
+    spark,
+    path: str,
+    sigs_new: DataFrame,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+    max_expected_pairs_per_bucket: int | None = 10_000_000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """:func:`simhash_pairs_between` from the batch's ALREADY-COMPUTED
+    (_id, simhash) frame (e.g. the ingest loop's per-batch signature
+    staging) — identical join plan and output to the text path; the
+    stored-occupancy guard is unchanged (it bounds the INDEX side,
+    which this variant still reads from ``path``)."""
     sigs_old = spark.read.parquet(f"{path}/signatures")
     if max_expected_pairs_per_bucket is not None:
         _simhash_bucket_guard(
@@ -1345,9 +1414,6 @@ def simhash_pairs_between(
             64 // n_chunks,
             max_expected_pairs_per_bucket,
         )
-    sigs_new = simhash(df, text_col, id_col, n).select(
-        F.col(id_col).alias("_id"), "simhash"
-    )
     new_chunks = _simhash_chunks(sigs_new, n_chunks).select(
         F.col("_id").alias("id_new"),
         F.col("simhash").alias("_sig_new"),

@@ -48,8 +48,11 @@ from hadoop__spark.operators.dedup import (
     ngram_write_index,
     semantic_dedup,
     shingle_frame,
-    simhash_pairs_between,
+    simhash,
+    simhash_pairs_between_frames,
+    simhash_pairs_frames,
     simhash_write_signatures,
+    simhash_write_signatures_frames,
 )
 from hadoop__spark.operators.corpus import (
     contamination_report,
@@ -377,7 +380,7 @@ def _write_state_tables(
     nlist: int | None = None,
     seed: int = 42,
     include: set[str] | None = None,
-    sig_frames: tuple[DataFrame, DataFrame] | None = None,
+    sig_frames: dict | None = None,
 ) -> set[str]:
     """THE survivors→state-table mapping, shared by
     :func:`ingest_batch`'s append section, :func:`rebuild_state`'s
@@ -405,12 +408,14 @@ def _write_state_tables(
     chain would re-run the whole dedup per table.
 
     ``sig_frames`` is :func:`ingest_batch`'s per-batch signature
-    staging — an ((_id, _sh), (_id, mh_*)) pair computed once at the
-    batch's own ``n``/``num_perm`` and possibly covering a SUPERSET of
-    the survivors; when given, the minhash plane appends the frames
-    semi-joined to ``surv`` instead of re-tokenizing and re-hashing
-    the survivor text (the rebuild paths omit it and keep the
-    from-text route).
+    staging, keyed by shape — ``{"sh": (_id, _sh), "mh": (_id,
+    mh_*)}`` for the minhash plane, ``{"sim": (_id, simhash)}`` for
+    simhash — computed once at the batch's own ``n``/``num_perm`` and
+    possibly covering a SUPERSET of the survivors; when given, the
+    text plane appends the frames semi-joined to ``surv`` instead of
+    re-tokenizing and re-hashing the survivor text (the rebuild paths
+    omit it and keep the from-text route; the ngram plane has no
+    staged shape).
 
     Returns the set of coverage-marker plane names actually written
     (``"embeddings"`` is claimed even when zero survivors carried a
@@ -500,7 +505,7 @@ def _write_state_tables(
         plane_path, _ = _plane_paths(state_dir, text_method)
         if text_method == "minhash":
             if sig_frames is not None:
-                sh_b, mh_b = sig_frames
+                sh_b, mh_b = sig_frames["sh"], sig_frames["mh"]
 
                 def _w_text():
                     alive = surv.select(F.col(id_col).alias("_id"))
@@ -518,11 +523,23 @@ def _write_state_tables(
                         num_perm=num_perm, mode=write_mode,
                     )
         elif text_method == "simhash":
-            def _w_text():
-                simhash_write_signatures(
-                    surv, plane_path, text_col, id_col, n=n,
-                    mode=write_mode,
-                )
+            if sig_frames is not None:
+                sim_b = sig_frames["sim"]
+
+                def _w_text():
+                    alive = surv.select(F.col(id_col).alias("_id"))
+                    simhash_write_signatures_frames(
+                        spark,
+                        plane_path,
+                        sim_b.join(alive, "_id", "left_semi"),
+                        mode=write_mode,
+                    )
+            else:
+                def _w_text():
+                    simhash_write_signatures(
+                        surv, plane_path, text_col, id_col, n=n,
+                        mode=write_mode,
+                    )
         elif mode == "append":
             # the append cross-checks n/threshold against the stored meta
             def _w_text():
@@ -705,11 +722,13 @@ def ingest_batch(
     batch — the within-batch pair materialization and the snapshot
     write read the staging, not the chain (the dominant slice of the
     fixed per-micro-batch floor; tools/ingest_profile.py).  On the
-    minhash plane the batch's shingle + signature frames are likewise
-    staged once at ``tmp/{batch_name}_sigs`` and reused by the
-    cross-corpus probe, the within-batch pairing, and the plane
+    minhash and simhash planes the batch's signature frames are
+    likewise staged once at ``tmp/{batch_name}_sigs`` and reused by
+    the cross-corpus probe, the within-batch pairing, and the plane
     append — one tokenize+hash pass per batch instead of three, at
-    ANY batch size.
+    ANY batch size (the ngram plane keeps the from-text route: its
+    frozen df-order append contract is not worth entangling for a
+    hash-free recompute).
     Within-batch semantic dedup fits its own centroids on the (small)
     batch; cross-batch probing always uses the index's frozen
     centroids.
@@ -974,19 +993,23 @@ def _ingest_batch_inner(
         fresh = fingerprint_filter_new(
             spark, state_dir, fresh, text_col, id_col
         )
-    sigs_path = sh_new = mh_new = None
+    # stage the batch's signature frames ONCE (minhash: the plane's
+    # own two-table layout; simhash: the one signatures table): the
+    # cross-corpus probe, the within-batch pairing, and the
+    # end-of-batch plane append all reuse these parquet-backed
+    # frames — one tokenize→shingle→hash pass per batch instead of
+    # three (per-row projections and per-doc aggregations are
+    # deterministic, so frames computed here and semi-joined down to
+    # each stage's surviving ids equal frames recomputed on the
+    # subset).  Deleted with the other staging once the batch
+    # commits; a crashed run's copy is swept by fsck_state (never
+    # while an ingest is live — the in-progress-marker guard).  The
+    # ngram plane keeps the from-text route: its index appends under
+    # a frozen df-order contract, and its per-batch recompute is one
+    # tokenize+slice pass (no hash fan-out) — not worth entangling
+    # that invariant for.
+    sigs_path = sh_new = mh_new = sim_new = None
     if text_method == "minhash":
-        # stage the batch's shingle + signature frames ONCE (same
-        # two-table layout as the plane itself): the cross-corpus
-        # probe, the within-batch LSH pairing, and the end-of-batch
-        # plane append all reuse these parquet-backed frames — one
-        # tokenize→shingle→num_perm-minhash pass per batch instead of
-        # three (per-row projections are deterministic, so frames
-        # computed here and semi-joined down to each stage's surviving
-        # ids equal frames recomputed on the subset).  Deleted with
-        # the other staging once the batch commits; a crashed run's
-        # copy is swept by fsck_state (never while an ingest is live —
-        # the in-progress-marker guard).
         sigs_path = f"{state_dir}/tmp/{batch_name}_sigs"
         shingle_frame(fresh, text_col, id_col, n).write.mode(
             "overwrite"
@@ -996,6 +1019,12 @@ def _ingest_batch_inner(
             "overwrite"
         ).parquet(f"{sigs_path}/signatures")
         mh_new = spark.read.parquet(f"{sigs_path}/signatures")
+    elif text_method == "simhash":
+        sigs_path = f"{state_dir}/tmp/{batch_name}_sigs"
+        simhash(fresh, text_col, id_col, n).select(
+            F.col(id_col).alias("_id"), "simhash"
+        ).write.mode("overwrite").parquet(f"{sigs_path}/signatures")
+        sim_new = spark.read.parquet(f"{sigs_path}/signatures")
     if not bootstrap:
         # plane 2: near-dups of the indexed corpus, probed on the
         # state's text plane (each probe's exactness claim — equal to
@@ -1012,13 +1041,10 @@ def _ingest_batch_inner(
                 max_bucket=max_bucket,
             )
         elif text_method == "simhash":
-            cross = simhash_pairs_between(
+            cross = simhash_pairs_between_frames(
                 spark,
                 plane_path,
-                fresh,
-                text_col,
-                id_col,
-                n=n,
+                sim_new,
                 max_hamming=max_hamming,
                 n_chunks=n_chunks,
             )
@@ -1091,20 +1117,28 @@ def _ingest_batch_inner(
     # survivors.  The published corpus and the fingerprint table stay
     # one-row-per-text consistent.
     surv = dedup_corpus(fresh, text_col, id_col, method="fingerprint")
-    if text_method == "minhash":
+    if text_method in ("minhash", "simhash"):
         # within-batch near-dup pairs from the staged signature
         # frames, semi-joined down to the ids still alive after the
         # exact pass — identical pairs to recomputing on the subset
-        # (per-row projections; bucket caps applied after the filter,
-        # same as the text path), at zero re-hash cost
+        # (per-row projections / per-doc aggregations; minhash bucket
+        # caps applied after the filter, same as the text path), at
+        # zero re-hash cost
         alive = surv.select(F.col(id_col).alias("_id"))
-        pairs_wb = minhash_lsh_pairs_frames(
-            mh_new.join(alive, "_id", "left_semi"),
-            sh_new.join(alive, "_id", "left_semi"),
-            bands=bands,
-            threshold=threshold,
-            max_bucket=max_bucket,
-        )
+        if text_method == "minhash":
+            pairs_wb = minhash_lsh_pairs_frames(
+                mh_new.join(alive, "_id", "left_semi"),
+                sh_new.join(alive, "_id", "left_semi"),
+                bands=bands,
+                threshold=threshold,
+                max_bucket=max_bucket,
+            )
+        else:
+            pairs_wb = simhash_pairs_frames(
+                sim_new.join(alive, "_id", "left_semi"),
+                max_hamming=max_hamming,
+                n_chunks=n_chunks,
+            )
         surv = dedup_corpus(
             surv,
             text_col,
@@ -1115,12 +1149,6 @@ def _ingest_batch_inner(
             checkpoint_dir=checkpoint_dir,
         )
     else:
-        if text_method == "simhash":
-            method_kwargs = dict(
-                n=n, max_hamming=max_hamming, n_chunks=n_chunks,
-            )
-        else:
-            method_kwargs = dict(threshold=threshold, n=n)
         surv = dedup_corpus(
             surv,
             text_col,
@@ -1129,7 +1157,8 @@ def _ingest_batch_inner(
             scores=scores,
             score_col=score_col,
             checkpoint_dir=checkpoint_dir,
-            **method_kwargs,
+            threshold=threshold,
+            n=n,
         )
 
     ivf_path = f"{state_dir}/ivf"
@@ -1220,7 +1249,13 @@ def _ingest_batch_inner(
         nlist=nlist,
         seed=seed,
         sig_frames=(
-            (sh_new, mh_new) if sigs_path is not None else None
+            None
+            if sigs_path is None
+            else (
+                {"sh": sh_new, "mh": mh_new}
+                if text_method == "minhash"
+                else {"sim": sim_new}
+            )
         ),
     )
     # LAST step: the batch's commit marker — every state append above

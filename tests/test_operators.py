@@ -724,6 +724,59 @@ def test_minhash_frames_variants_match_text_paths(spark, docs, tmp_path):
         )
 
 
+def test_simhash_frames_variants_match_text_paths(spark, docs, tmp_path):
+    """The frames-based simhash entry points (the ingest loop's
+    single-computation path) must equal their from-text twins: same
+    cross pairs, same within pairs, same appended signature table."""
+    path = str(tmp_path / "sim_idx")
+    dedup.simhash_write_signatures(docs, path)
+    OFFSET = 1_000_000
+    batch = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    sigs_dir = str(tmp_path / "sim_sigs")
+    dedup.simhash(batch, "text", "doc_id", 3).select(
+        F.col("doc_id").alias("_id"), "simhash"
+    ).write.parquet(f"{sigs_dir}/signatures")
+    sim_new = spark.read.parquet(f"{sigs_dir}/signatures")
+
+    want_between = {
+        (r.id_new, r.id_old, r.hamming)
+        for r in dedup.simhash_pairs_between(
+            spark, path, batch
+        ).collect()
+    }
+    got_between = {
+        (r.id_new, r.id_old, r.hamming)
+        for r in dedup.simhash_pairs_between_frames(
+            spark, path, sim_new
+        ).collect()
+    }
+    assert got_between == want_between and len(want_between) > 0
+
+    sigs_docs = str(tmp_path / "sim_sigs_docs")
+    dedup.simhash(docs, "text", "doc_id", 3).select(
+        F.col("doc_id").alias("_id"), "simhash"
+    ).write.parquet(f"{sigs_docs}/signatures")
+    sim_d = spark.read.parquet(f"{sigs_docs}/signatures")
+    got_within = _pairs(dedup.simhash_pairs_frames(sim_d))
+    want_within = _pairs(dedup.simhash_pairs(docs))
+    assert got_within == want_within and len(want_within) > 0
+
+    p_text = str(tmp_path / "sim_plane_text")
+    p_frames = str(tmp_path / "sim_plane_frames")
+    dedup.simhash_write_signatures(batch, p_text)
+    dedup.simhash_write_signatures_frames(
+        spark, p_frames, sim_new, mode="overwrite"
+    )
+    a = spark.read.parquet(f"{p_text}/signatures")
+    b = spark.read.parquet(f"{p_frames}/signatures")
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+
+
 def test_fingerprint_incremental_filter(spark, docs, tmp_path):
     """Exact incremental dedup: batch rows whose fingerprint already
     exists in the stored table are dropped; novel rows survive
