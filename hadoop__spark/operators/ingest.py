@@ -266,9 +266,31 @@ def _write_policy(spark, state_dir: str, pol: dict) -> None:
 
 
 def _read_policy(spark, state_dir: str) -> dict | None:
-    if not _table_exists(spark, f"{state_dir}/policy"):
+    path = f"{state_dir}/policy"
+    if not _table_exists(spark, path):
         return None
-    return spark.read.parquet(f"{state_dir}/policy").first().asDict()
+    # local-FS fast path: the policy is ONE row in one coalesced part
+    # file, and every non-bootstrap ingest AND every state_summary
+    # poll reads it — a driver-side pyarrow read costs no Spark job
+    # (same pattern as _ivf_skew / parquet_row_count); non-local
+    # filesystems, or an unexpected layout, fall back to the Spark
+    # read (pyarrow's int/float/bool/str/None natives match what
+    # Row.asDict() returns, so _policy_drift comparisons see
+    # identical values either way)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getUri().getScheme() in ("file", None, ""):
+        from hadoop__spark.operators.util import list_files
+
+        import pyarrow.parquet as pq
+
+        parts = list_files(spark, path, suffix=".parquet")
+        if len(parts) == 1:
+            rows = pq.read_table(parts[0]).to_pylist()
+            if len(rows) == 1:
+                return rows[0]
+    return spark.read.parquet(path).first().asDict()
 
 
 def _policy_drift(stored: dict, current: dict) -> list[str]:
