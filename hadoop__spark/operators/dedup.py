@@ -430,7 +430,7 @@ def minhash_write_signatures_frames(
     path: str,
     sh: DataFrame,
     mh: DataFrame,
-    mode: str = "append",
+    mode: str,
 ) -> None:
     """:func:`minhash_write_signatures` from ALREADY-COMPUTED frames —
     ``sh`` is an (_id, _sh) shingle frame, ``mh`` an (_id, mh_*)
@@ -438,7 +438,11 @@ def minhash_write_signatures_frames(
     probe and the within-batch pairing already consumed).  Writes the
     same two tables with the same ``num_perm`` append guard; nothing
     is re-tokenized or re-hashed — the single-computation half of the
-    ingest loop's signature staging."""
+    ingest loop's signature staging.  ``mode`` is REQUIRED (no
+    default): the from-text twin defaults to ``"overwrite"`` while
+    this variant's natural use is the ingest loop's ``"append"`` — a
+    silent default either way would flip write semantics under a
+    caller porting between the two."""
     num_perm = sum(c.startswith("mh_") for c in mh.columns)
     if mode == "append":
         _check_append_num_perm(spark, path, num_perm)
@@ -530,9 +534,16 @@ def minhash_lsh_pairs_between(
     index's signature scan is column-pruned to mh_*; the verify join
     reads stored shingles only for candidate ids.
     """
-    sh_old = spark.read.parquet(f"{path}/shingles")
-    mh_old = spark.read.parquet(f"{path}/signatures")
-    num_perm = sum(c.startswith("mh_") for c in mh_old.columns)
+    num_perm = sum(
+        c.startswith("mh_")
+        for c in spark.read.parquet(f"{path}/signatures").columns
+    )
+    if num_perm % bands:
+        # validate BEFORE the persist below: raising after it would
+        # strand a registered CacheManager entry on the error path
+        raise ValueError(
+            f"bands={bands} must divide the stored num_perm={num_perm}"
+        )
     # same persist-with-no-unpersist-point tradeoff as
     # minhash_lsh_pairs (documented there): the batch shingle frame
     # feeds both the signatures and the verify join; registered so
@@ -1286,14 +1297,16 @@ def simhash_write_signatures_frames(
     spark,
     path: str,
     sigs: DataFrame,
-    mode: str = "append",
+    mode: str,
 ) -> None:
     """:func:`simhash_write_signatures` from an ALREADY-COMPUTED
     (_id, simhash) frame — e.g. a batch's staged signature table that
     the probe and the within-batch pairing already consumed (the
     ingest loop's single-computation path, mirroring
     :func:`minhash_write_signatures_frames`).  Nothing is re-shingled
-    or re-hashed."""
+    or re-hashed.  ``mode`` is REQUIRED (no default) for the same
+    porting-trap reason as the minhash frames writer: the from-text
+    twin defaults to ``"overwrite"``."""
     sigs.select("_id", "simhash").write.mode(mode).parquet(
         f"{path}/signatures"
     )

@@ -277,12 +277,9 @@ def _read_policy(spark, state_dir: str) -> dict | None:
     # read (pyarrow's int/float/bool/str/None natives match what
     # Row.asDict() returns, so _policy_drift comparisons see
     # identical values either way)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.getUri().getScheme() in ("file", None, ""):
-        from hadoop__spark.operators.util import list_files
+    from hadoop__spark.operators.util import is_local_fs, list_files
 
+    if is_local_fs(spark, path):
         import pyarrow.parquet as pq
 
         parts = list_files(spark, path, suffix=".parquet")
@@ -3203,7 +3200,7 @@ def _ivf_skew(
     Returns ``{"buckets", "sampled_buckets", "max_rows",
     "mean_rows", "skew"}`` or None when no index / no rows exist.
     """
-    from hadoop__spark.operators.util import list_files
+    from hadoop__spark.operators.util import is_local_fs, list_files
 
     path = f"{state_dir}/ivf/assigned"
     if not _table_exists(spark, path):
@@ -3221,13 +3218,9 @@ def _ivf_skew(
                 break
     if not by_bucket:
         return None
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    scheme = fs.getUri().getScheme()
     n_buckets = len(by_bucket)
     sampled = None
-    if scheme in ("file", None, ""):
+    if is_local_fs(spark, path):
         import pyarrow.parquet as pq
 
         names = sorted(by_bucket)

@@ -254,6 +254,19 @@ def list_files(spark, path: str, suffix: str = "") -> list[str]:
     return sorted(out)
 
 
+def is_local_fs(spark, path: str) -> bool:
+    """True when ``path`` resolves to the local filesystem on the
+    session's Hadoop configuration — the dispatch behind every
+    driver-side pyarrow fast path (footer row counts, the one-row
+    policy read, IVF skew measurement): local schemes read file
+    footers directly with zero Spark jobs, anything else falls back
+    to a Spark read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getUri().getScheme() in ("file", None, "")
+
+
 def parquet_row_count(spark, path: str) -> int:
     """Row count of a parquet table from file FOOTERS — driver-side
     metadata, zero Spark jobs — so observability calls
@@ -264,11 +277,7 @@ def parquet_row_count(spark, path: str) -> int:
     Local-filesystem paths are read with pyarrow directly; any other
     scheme falls back to a Spark ``count()`` (still correct, one
     metadata-cheap job)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    scheme = fs.getUri().getScheme()
-    if scheme not in ("file", None, ""):
+    if not is_local_fs(spark, path):
         return spark.read.parquet(path).count()
     import pyarrow.parquet as pq
 
