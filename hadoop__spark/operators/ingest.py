@@ -610,16 +610,35 @@ def _write_state_tables(
     elif writers:
         from concurrent.futures import ThreadPoolExecutor
 
-        # Spark job submission is thread-safe (PySpark pins each
-        # Python thread to its own JVM thread); every writer reads the
-        # shared materialized snapshot and writes its own table, so
-        # there is no cross-writer ordering to preserve.  The pool's
-        # exit joins every thread, then result() re-raises the first
-        # failure — a failed batch never reaches the commit marker.
+        # Spark job submission is thread-safe under pinned-thread
+        # mode (PYSPARK_PIN_THREAD, the default since Spark 3.2: each
+        # Python thread gets its own JVM thread — and no job-group /
+        # local properties are set here, so even unpinned mode only
+        # risks property interleaving we don't rely on); every writer
+        # reads the shared materialized snapshot and writes its own
+        # table, so there is no cross-writer ordering to preserve.
+        # The pool's exit joins every thread; ALL failures are then
+        # collected — a shared cause (say a filesystem outage) hits
+        # every plane at once, and surfacing only the list-order first
+        # would hide the real picture — and the first is re-raised
+        # with the others attached as notes.  A failed batch never
+        # reaches the commit marker.
         with ThreadPoolExecutor(max_workers=len(writers)) as pool:
-            futures = [pool.submit(fn) for _, fn in writers]
-        for fut in futures:
-            fut.result()
+            futures = [
+                (plane, pool.submit(fn)) for plane, fn in writers
+            ]
+        errs = []
+        for plane, fut in futures:
+            if fut.exception() is not None:
+                errs.append((plane, fut.exception()))
+        if errs:
+            first = errs[0][1]
+            for plane, e in errs[1:]:
+                first.add_note(
+                    f"concurrent state writer {plane!r} also failed: "
+                    f"{type(e).__name__}: {e}"
+                )
+            raise first
     return {plane for plane, _ in writers}
 
 
@@ -1153,10 +1172,20 @@ def _ingest_batch_inner(
                 max_bucket=max_bucket,
             )
         else:
+            # the frame is batch-sized by construction (staged sigs
+            # semi-joined to the exact-pass survivors, all ⊆ the
+            # eligible staging just written above) — pass that bound
+            # as n_docs so the occupancy guard costs a driver-side
+            # footer read instead of a join-backed count() job per
+            # batch (the guard is monotone in n_docs, so an upper
+            # bound can only refuse earlier, never admit more)
+            from hadoop__spark.operators.util import parquet_row_count
+
             pairs_wb = simhash_pairs_frames(
                 sim_new.join(alive, "_id", "left_semi"),
                 max_hamming=max_hamming,
                 n_chunks=n_chunks,
+                n_docs=parquet_row_count(spark, eligible_path),
             )
         surv = dedup_corpus(
             surv,
@@ -2488,13 +2517,53 @@ def _compact_ivf_assigned(
     # 1 for the rest.  Parquet bytes undercount the in-flight row size
     # slightly (encoding), which only errs toward fewer, larger files.
     splits = {}
+    split_dirs = {}
     for b in _list_child_dirs(spark, path):
         cid = b.rstrip("/").rsplit("/", 1)[-1].split("=", 1)[-1]
         k = max(1, -(-path_bytes(spark, b) // target_file_bytes))
         if k > 1:
             splits[cid] = k
+            split_dirs[cid] = b
+    def _cluster(frame):
+        out = frame.repartition(F.col("centroid_id"))
+        if sort_cols:
+            # centroid_id FIRST: the partitioned writer requires task
+            # rows clustered by the partition column and would insert
+            # its own (order-destroying) sort if they weren't —
+            # leading with it satisfies that requirement, so the
+            # secondary id order actually reaches the row groups
+            out = out.sortWithinPartitions("centroid_id", *sort_cols)
+        return out
+
+    tmp = f"{path}__compact_tmp"
+    _delete_path(spark, tmp)
     if splits and sort_cols:
-        # salt the hot buckets only: rows hash-route to one of k
+        # TWO writers into the same tmp: maxRecordsPerFile is a
+        # writer-GLOBAL option, so one writer carrying the hot
+        # buckets' row quota would shatter every COLD bucket into
+        # quota-row fragments — the exact small-files problem this
+        # compact exists to close.  Cold buckets (under the target
+        # whole) keep the one-task→one-file rewrite; hot buckets get
+        # the salt + cap.  The predicate compares TYPED literals (not
+        # a cast of the partition column) so both scans
+        # partition-prune to their own buckets — together one read of
+        # the table, not two.
+        cid_type = df.schema["centroid_id"].dataType.simpleString()
+
+        def _typed(cid):
+            if cid_type in ("tinyint", "smallint", "int", "bigint"):
+                return int(cid)
+            if cid_type in ("float", "double"):
+                return float(cid)
+            return cid
+
+        hot_pred = F.col("centroid_id").isin(
+            [_typed(c) for c in splits]
+        )
+        _cluster(df.filter(~hot_pred)).write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(tmp)
+        # salt the hot buckets: rows hash-route to one of k
         # sub-shards of their bucket, each shard one task → one file
         # inside the same centroid_id= directory
         k_col = F.coalesce(
@@ -2506,37 +2575,54 @@ def _compact_ivf_assigned(
             ],
             F.lit(1),
         )
-        df = df.withColumn(
+        hot = df.filter(hot_pred).withColumn(
             "_shard", F.pmod(F.xxhash64(*sort_cols), k_col)
         )
-        out = df.repartition(F.col("centroid_id"), F.col("_shard"))
-        out = out.sortWithinPartitions(
+        hot = hot.repartition(
+            F.col("centroid_id"), F.col("_shard")
+        ).sortWithinPartitions(
             "centroid_id", "_shard", *sort_cols
         ).drop("_shard")
         # the salt spreads a hot bucket across tasks (parallel write);
         # maxRecordsPerFile is the HARD size cap — two shards of one
         # bucket hash-colliding into the same task would otherwise be
-        # merged back into one oversized file by the per-task writer
-        total_rows = parquet_row_count(spark, path)
-        total_bytes = max(1, path_bytes(spark, path))
-        rows_per_file = max(
-            1, int(target_file_bytes * total_rows / total_bytes)
-        )
+        # merged back into one oversized file by the per-task writer.
+        # Size it from each hot bucket's OWN bytes/row (min across
+        # them — still one option for all hot buckets), not the
+        # table-wide mean: a bucket whose rows are systematically
+        # wider than average (wide id columns; vectors are fixed-dim)
+        # would otherwise exceed target_file_bytes in proportion to
+        # its width.  The min errs toward extra sub-target files only
+        # among hot buckets of unequal widths.  Non-local FS falls
+        # back to the table-wide mean (per-bucket footer reads there
+        # would cost a Spark job per hot bucket).
+        from hadoop__spark.operators.util import is_local_fs
+
+        if is_local_fs(spark, path):
+            rows_per_file = max(
+                1,
+                min(
+                    int(
+                        target_file_bytes
+                        * max(1, parquet_row_count(spark, d))
+                        / max(1, path_bytes(spark, d))
+                    )
+                    for d in split_dirs.values()
+                ),
+            )
+        else:
+            total_rows = parquet_row_count(spark, path)
+            total_bytes = max(1, path_bytes(spark, path))
+            rows_per_file = max(
+                1, int(target_file_bytes * total_rows / total_bytes)
+            )
+        hot.write.mode("append").partitionBy("centroid_id").option(
+            "maxRecordsPerFile", rows_per_file
+        ).parquet(tmp)
     else:
-        out = df.repartition(F.col("centroid_id"))
-        if sort_cols:
-            # centroid_id FIRST: the partitioned writer requires task
-            # rows clustered by the partition column and would insert
-            # its own (order-destroying) sort if they weren't —
-            # leading with it satisfies that requirement, so the
-            # secondary id order actually reaches the row groups
-            out = out.sortWithinPartitions("centroid_id", *sort_cols)
-    tmp = f"{path}__compact_tmp"
-    _delete_path(spark, tmp)
-    writer = out.write.mode("overwrite").partitionBy("centroid_id")
-    if splits and sort_cols:
-        writer = writer.option("maxRecordsPerFile", rows_per_file)
-    writer.parquet(tmp)
+        _cluster(df).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(tmp)
     n_files = len(list_files(spark, tmp, suffix=".parquet"))
     _delete_path(spark, path)
     _rename_path(spark, tmp, path)
@@ -2886,7 +2972,7 @@ def maintain_state(
     }
 
 
-def fsck_state(spark, state_dir: str) -> dict:
+def fsck_state(spark, state_dir: str, blocking: bool = True) -> dict:
     """Detect AND REPAIR the swap-window orphans of a crashed
     :func:`retract_documents` / :func:`compact_state` — the recovery
     step that used to be a prose "rename it back by hand" note, as
@@ -2936,17 +3022,25 @@ def fsck_state(spark, state_dir: str) -> dict:
     live table and renames a now-missing tmp, permanent table loss.
     Held lock → refuse (a stale lock from a hard crash is deleted by
     hand after confirming nothing runs — the same contract as every
-    other verb).  A live ingest does NOT block the fsck: its staging
-    artifacts are protected by the in-progress-marker guard below,
-    and nothing else it writes is a repair target.
+    other verb).  A monitoring cron that merely happens to poll during
+    a maintenance window should pass ``blocking=False`` to get
+    ``{"skipped": "lock held"}`` instead of the exception (the default
+    raises, so an operator running fsck BECAUSE they suspect damage is
+    never handed a silent no-op).  A live ingest does NOT block the
+    fsck: its staging artifacts are protected by the
+    in-progress-marker guard below, and nothing else it writes is a
+    repair target.
 
     Returns ``{"restored": [...], "swept": [...],
-    "needs_rebuild": [...]}`` (paths relative to ``state_dir``).
+    "needs_rebuild": [...]}`` (paths relative to ``state_dir``), or
+    ``{"skipped": "lock held"}`` under ``blocking=False``.
     """
     from hadoop__spark.operators.util import create_exclusive
 
     lock = f"{state_dir}/{_MAINT_LOCK}"
     if not create_exclusive(spark, lock):
+        if not blocking:
+            return {"skipped": "lock held"}
         raise RuntimeError(
             f"maintenance lock {lock} is held — a live compact/"
             "retract/refit may be mid-swap, and fsck racing it could "

