@@ -1792,8 +1792,10 @@ ivf_append_index` completes the ingest loop without ever re-pairing
     Scale shape: the batch is assigned to the index's FROZEN centroids
     (``n_assign``-way, the boundary-recall fix; ``assign="arrow"`` for
     the vectorized kernel), the index scan is partition-pruned to the
-    batch's bucket set (``centroid_id IN (…)`` → PartitionFilters —
-    the collected list is ≤ nlist ints), and the cross join is
+    batch's bucket set (dir-targeted
+    :func:`~hadoop__spark.operators.similarity.read_probed_buckets` —
+    the collected list is ≤ nlist ints and only the probed bucket
+    dirs are ever LISTED), and the cross join is
     bucket-local: O(|batch| × bucket), never O(|batch| × corpus).
     Exact batch copies of indexed vectors are always found (identical
     vector → identical nearest-centroid set).
@@ -1813,9 +1815,10 @@ ivf_append_index` completes the ingest loop without ever re-pairing
         r.centroid_id
         for r in b.select("centroid_id").distinct().collect()
     )
+    from hadoop__spark.operators.similarity import read_probed_buckets
+
     idx = (
-        spark.read.parquet(f"{index_path}/assigned")
-        .where(F.col("centroid_id").isin(probe_ids))
+        read_probed_buckets(spark, f"{index_path}/assigned", probe_ids)
         .withColumn("_inrm", _norm(F.col(vec_col)))
         .select(
             F.col(id_col).alias("_iid"),

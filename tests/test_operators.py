@@ -3,6 +3,8 @@ approximate-method recall, determinism, and multimodal batch plumbing."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -860,6 +862,79 @@ def test_ivf_append_index_equals_single_write(spark, embs, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_collect_centroid_array_expr_equals_per_element(spark):
+    """The one-expr centroid literal (r13: ~nlist×dim py4j round trips
+    → one server-side parse) must be VALUE-identical to the
+    per-element F.lit build it replaced — exercised on hostile doubles
+    (negatives, tiny/huge exponents, shortest-repr decimals), plus the
+    non-finite fallback route."""
+    import pyspark.sql.functions as F
+
+    vals = [
+        [-0.5, 1e-300, 1.2e16, 0.1],
+        [0.3703703670369, -1e-07, 2.0, 123456789.123456],
+    ]
+    cents = spark.createDataFrame(
+        list(enumerate(vals)), "centroid_id INT, centroid ARRAY<DOUBLE>"
+    )
+    new = similarity.collect_centroid_array(cents)
+    old = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"), F.lit(v).alias("cv")
+            )
+            for i, v in enumerate(vals)
+        ]
+    )
+    row = spark.range(1).select(
+        new.alias("n"), old.alias("o")
+    ).collect()[0]
+    assert row.n == row.o
+    # non-finite centroid -> the per-element fallback, same shape
+    bad = spark.createDataFrame(
+        [(0, [float("nan"), 1.0])],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    )
+    got = spark.range(1).select(
+        similarity.collect_centroid_array(bad).alias("a")
+    ).collect()[0].a
+    assert got[0].cid == 0 and math.isnan(got[0].cv[0])
+
+
+def test_read_probed_buckets_equals_pruned_full_read(spark, embs, tmp_path):
+    """The dir-targeted assigned read (listing ∝ probed buckets, not
+    nlist — the r13 fix for partition discovery re-listing every
+    bucket dir per probe) must return exactly what the full
+    read + centroid_id-isin prune returns: same rows for existing
+    buckets, zero rows for a probed id whose bucket dir never
+    received rows, full-read schema on an all-missing probe set,
+    and the partition column intact."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(embs, path, nlist=8)
+    base = f"{path}/assigned"
+    present = sorted(
+        r.centroid_id
+        for r in spark.read.parquet(base)
+        .select("centroid_id").distinct().collect()
+    )
+    # existing buckets + one id with no bucket dir on disk
+    probes = [present[0], present[-1], max(present) + 1000]
+    got = similarity.read_probed_buckets(spark, base, probes)
+    want = spark.read.parquet(base).where(
+        F.col("centroid_id").isin(probes)
+    )
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # all probed ids missing -> the fallback full read: same (empty)
+    # result and same schema
+    none = similarity.read_probed_buckets(spark, base, [10**9])
+    assert none.schema == want.schema and none.count() == 0
 
 
 def test_semantic_dedup_equals_piecewise(spark, embs):
