@@ -3317,6 +3317,10 @@ def _ivf_skew(
     if is_local_fs(spark, path):
         import pyarrow.parquet as pq
 
+        # LEXICAL sort ("centroid_id=10" < "=2"): deterministic, and
+        # since k-means ids carry no relation to bucket occupancy the
+        # stride sample stays unbiased for a distribution property
+        # like skew — numeric order would buy nothing here
         names = sorted(by_bucket)
         if n_buckets > max_buckets:
             stride = -(-n_buckets // max_buckets)
