@@ -251,6 +251,10 @@ def main() -> None:
                 refit_skew = float(
                     os.environ.get("REHEARSAL_REFIT_SKEW", "8.0")
                 )
+                skew_before = (
+                    (ing._ivf_skew(spark, state) or {}).get("skew")
+                    if EMBED else None
+                )
                 cw, rep = timed(
                     lambda: ing.maintain_state(
                         spark, state, keep_recent=8,
@@ -272,6 +276,13 @@ def main() -> None:
                 compactions[k].update(ivf_stats(state))
                 if rep is not None:
                     compactions[k]["refit"] = rep.get("refit")
+                    # per-window skew pair: shows the crossing AND
+                    # that the post-refit regime does not thrash
+                    # (driver-side footer reads, zero jobs)
+                    compactions[k]["skew_before"] = skew_before
+                    compactions[k]["skew_after"] = (
+                        ing._ivf_skew(spark, state) or {}
+                    ).get("skew")
             print(f"== compaction @{k}: {compactions[k]}", flush=True)
         if k in probe_at:
             checkpoints[k] = checkpoint_probe(spark, state, k)
