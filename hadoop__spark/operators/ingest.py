@@ -634,10 +634,18 @@ def _write_state_tables(
         if errs:
             first = errs[0][1]
             for plane, e in errs[1:]:
-                first.add_note(
+                note = (
                     f"concurrent state writer {plane!r} also failed: "
                     f"{type(e).__name__}: {e}"
                 )
+                # BaseException.add_note is 3.11+; PySpark supports
+                # 3.9+ — never let the diagnostic path itself raise.
+                if hasattr(first, "add_note"):
+                    first.add_note(note)
+                else:  # pragma: no cover - py<3.11 only
+                    import logging
+
+                    logging.getLogger(__name__).error(note)
             raise first
     return {plane for plane, _ in writers}
 
@@ -2519,7 +2527,18 @@ def _compact_ivf_assigned(
     splits = {}
     split_dirs = {}
     for b in _list_child_dirs(spark, path):
-        cid = b.rstrip("/").rsplit("/", 1)[-1].split("=", 1)[-1]
+        name = b.rstrip("/").rsplit("/", 1)[-1]
+        # only real partition dirs: a hard-crashed append can leave
+        # _temporary (non-numeric → _typed would raise; truncated
+        # footers → parquet_row_count would raise), and the reader
+        # ignores _/.-prefixed dirs anyway.  The null bucket
+        # (__HIVE_DEFAULT_PARTITION__) stays COLD: its rows read back
+        # as NULL centroid_id, which isin() can never select.
+        if not name.startswith("centroid_id="):
+            continue
+        cid = name.split("=", 1)[-1]
+        if cid == "__HIVE_DEFAULT_PARTITION__":
+            continue
         k = max(1, -(-path_bytes(spark, b) // target_file_bytes))
         if k > 1:
             splits[cid] = k
@@ -2560,7 +2579,12 @@ def _compact_ivf_assigned(
         hot_pred = F.col("centroid_id").isin(
             [_typed(c) for c in splits]
         )
-        _cluster(df.filter(~hot_pred)).write.mode(
+        # NULL centroid_id (__HIVE_DEFAULT_PARTITION__ rows) makes
+        # BOTH isin() and its negation NULL — a bare ~hot_pred would
+        # silently drop those rows from the rewrite.  Route them to
+        # the cold writer (they are never in `splits`).
+        cold_pred = ~F.coalesce(hot_pred, F.lit(False))
+        _cluster(df.filter(cold_pred)).write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(tmp)
         # salt the hot buckets: rows hash-route to one of k
@@ -3294,16 +3318,19 @@ def _ivf_skew(
     Returns ``{"buckets", "sampled_buckets", "max_rows",
     "mean_rows", "skew"}`` or None when no index / no rows exist.
     """
-    from hadoop__spark.operators.util import is_local_fs, list_files
+    from hadoop__spark.operators.util import (
+        is_local_fs,
+        visible_parquet_files,
+    )
 
     path = f"{state_dir}/ivf/assigned"
     if not _table_exists(spark, path):
         return None
-    files = (
-        file_list
-        if file_list is not None
-        else list_files(spark, path, suffix=".parquet")
-    )
+    # hidden-segment filter even on a caller-provided list: a crashed
+    # append's _temporary attempt dirs replicate the centroid_id=
+    # partition structure, so their truncated in-flight files would
+    # otherwise group as real buckets (and fail the footer read)
+    files = visible_parquet_files(spark, path, files=file_list)
     by_bucket: dict[str, list[str]] = {}
     for f in files:
         for part in f.split("/"):
@@ -3408,7 +3435,10 @@ def state_summary(
     ``maintain_state(refit="advice")`` runs it on this signal).
     :func:`maintain_state` is the matching one-call window.
     """
-    from hadoop__spark.operators.util import list_files, parquet_row_count
+    from hadoop__spark.operators.util import (
+        parquet_row_count,
+        visible_parquet_files,
+    )
 
     method = _detect_plane(spark, state_dir)
     tables = {}
@@ -3417,7 +3447,9 @@ def state_summary(
     for rel in list(_STATE_TABLES) + ["ivf/assigned"]:
         if _table_exists(spark, f"{state_dir}/{rel}"):
             tables[rel] = parquet_row_count(spark, f"{state_dir}/{rel}")
-            fl = list_files(spark, f"{state_dir}/{rel}", suffix=".parquet")
+            # visible files only: crashed-write _temporary junk must
+            # not inflate the fragmentation advice or reach _ivf_skew
+            fl = visible_parquet_files(spark, f"{state_dir}/{rel}")
             table_files[rel] = len(fl)
             if rel == "ivf/assigned":
                 ivf_files = fl

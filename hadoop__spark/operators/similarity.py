@@ -467,6 +467,9 @@ def read_probed_buckets(spark, base: str, probe_ids) -> DataFrame:
     full read's schema and its missing-table error)."""
     from hadoop__spark.operators.util import list_child_dirs
 
+    # materialize once: a generator argument would be exhausted by the
+    # set-build, leaving the later isin() an always-false isin([])
+    probe_ids = list(probe_ids)
     probe_set = {str(c) for c in probe_ids}
     hit = [
         f"{base}/{name}"

@@ -267,6 +267,32 @@ def is_local_fs(spark, path: str) -> bool:
     return fs.getUri().getScheme() in ("file", None, "")
 
 
+def visible_parquet_files(
+    spark, path: str, files: list[str] | None = None
+) -> list[str]:
+    """The DATA files of a parquet table at ``path``: a recursive
+    ``*.parquet`` listing with anything under a hidden (``_``- or
+    ``.``-prefixed) path segment below ``path`` excluded — the same
+    visibility rule Spark's file index applies.  Driver-side footer
+    walks (row counts, IVF bucket skew) must agree with what a Spark
+    read of the table sees: a hard-crashed write leaves
+    ``_temporary/`` attempt dirs holding truncated in-flight files
+    whose footers don't parse (and whose partition segments LOOK like
+    real buckets), and the Spark fallback branch of
+    :func:`parquet_row_count` already ignores them.  ``files``
+    short-circuits the listing when the caller already holds one."""
+    if files is None:
+        files = list_files(spark, path, suffix=".parquet")
+    base = path.rstrip("/") + "/"
+    out = []
+    for f in files:
+        rel = f[len(base):] if f.startswith(base) else f.rsplit("/", 1)[-1]
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append(f)
+    return out
+
+
 def parquet_row_count(spark, path: str) -> int:
     """Row count of a parquet table from file FOOTERS — driver-side
     metadata, zero Spark jobs — so observability calls
@@ -282,7 +308,7 @@ def parquet_row_count(spark, path: str) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for f in list_files(spark, path, suffix=".parquet"):
+    for f in visible_parquet_files(spark, path):
         total += pq.ParquetFile(f).metadata.num_rows
     return total
 

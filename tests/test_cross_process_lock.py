@@ -141,9 +141,10 @@ def test_second_driver_contends_maintenance(spark, tmp_path):
     peer_py = str(tmp_path / "peer.py")
     with open(peer_py, "w") as f:
         f.write(_PEER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
-        PYTHONPATH="/root/repo",
+        PYTHONPATH=repo_root,
         SPARK_GRAFT_DRIVER_MEM="2g",
     )
     proc = subprocess.Popen(

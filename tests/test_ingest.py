@@ -1165,3 +1165,38 @@ def test_maintenance_lock_excludes_ingest(spark, tmp_path):
     assert not os.path.exists(f"{state}/{_MAINT_LOCK}")
     s = ingest_batch(spark, state, b2, "b2")
     assert {r.doc_id for r in s.collect()} == {10}
+
+
+def test_concurrent_writer_failures_all_surface(spark, tmp_path, monkeypatch):
+    """When several concurrent state-plane writers fail together (e.g.
+    a filesystem outage hitting every table), the raised error must be
+    the FIRST plane's exception with every other failed plane attached
+    as a note (advice r12) — not just the list-order first with the
+    rest silently discarded."""
+    import hadoop__spark.operators.ingest as ing
+
+    surv = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id LONG, text STRING",
+    )
+
+    def boom_fp(*a, **k):
+        raise IOError("fingerprints plane down")
+
+    def boom_mh(*a, **k):
+        raise IOError("text plane down")
+
+    monkeypatch.setattr(ing, "fingerprint_write", boom_fp)
+    monkeypatch.setattr(ing, "minhash_write_signatures", boom_mh)
+    with pytest.raises(IOError) as ei:
+        ing._write_state_tables(
+            spark, str(tmp_path / "state"), surv, mode="bootstrap",
+            text_col="text", id_col="doc_id", text_method="minhash",
+            n=3, num_perm=8, threshold=0.8,
+        )
+    # futures are collected in writer-list order: fingerprints first
+    assert "fingerprints plane down" in str(ei.value)
+    notes = getattr(ei.value, "__notes__", [])
+    assert any(
+        "'text'" in n and "text plane down" in n for n in notes
+    ), notes

@@ -1808,6 +1808,92 @@ def test_compact_ivf_hot_bucket_wide_row_sizing(spark, tmp_path):
     )
 
 
+def test_compact_ivf_hot_split_null_bucket_and_junk_dirs(spark, tmp_path):
+    """The hot/cold split compaction must (a) skip non-partition child
+    dirs — a hard-crashed append leaves ``_temporary`` with truncated
+    files, where int("_temporary") or a footer read would abort the
+    whole maintenance window — and (b) preserve NULL-centroid rows
+    (``__HIVE_DEFAULT_PARTITION__``): both ``isin(...)`` and its bare
+    negation evaluate to NULL for them, so an unguarded two-writer
+    split would silently drop the rows the single-writer rewrite
+    always kept."""
+    from hadoop__spark.operators.ingest import _compact_ivf_assigned
+
+    state = str(tmp_path / "state")
+    assigned = f"{state}/ivf/assigned"
+    rows = [(f"d{i}", [float(i)] * 4, 0) for i in range(40)] + [
+        (f"n{i}", [float(i)] * 4, None) for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id STRING, embedding ARRAY<DOUBLE>, centroid_id INT"
+    ).write.partitionBy("centroid_id").parquet(assigned)
+    # simulate the crashed append: an in-flight commit dir holding a
+    # truncated parquet file (no readable footer)
+    junk = f"{assigned}/_temporary/0/task"
+    os.makedirs(junk)
+    with open(f"{junk}/part-00000.parquet", "wb") as fh:
+        fh.write(b"PAR1\x00\x00garbage")
+    before = sorted(
+        (r.doc_id, r.centroid_id)
+        for r in spark.read.parquet(assigned).collect()
+    )
+    assert any(c is None for _, c in before)
+    # 1-byte target: bucket 0 goes hot (two-writer split path) and the
+    # splits loop walks every child dir
+    _compact_ivf_assigned(spark, state, target_file_bytes=1)
+    after = sorted(
+        (r.doc_id, r.centroid_id)
+        for r in spark.read.parquet(assigned).collect()
+    )
+    assert after == before
+    assert os.path.isdir(
+        f"{assigned}/centroid_id=__HIVE_DEFAULT_PARTITION__"
+    )
+    # the swap rebuilt the table from the authoritative read: the
+    # junk dir did not survive into the new layout
+    assert not os.path.exists(f"{assigned}/_temporary")
+
+
+def test_state_summary_ignores_crashed_write_junk(spark, tmp_path):
+    """state_summary / _ivf_skew are monitoring pollers: a hard-crashed
+    write's ``_temporary`` attempt dirs (which replicate the
+    ``centroid_id=`` partition structure and hold truncated in-flight
+    files) must not crash the footer walk, inflate row/file counts, or
+    group as phantom IVF buckets — Spark's own reader ignores hidden
+    path segments, and the driver-side pyarrow fast path must agree."""
+    from hadoop__spark.operators.ingest import _ivf_skew
+
+    state = str(tmp_path / "state")
+    _build_state(spark, state, BATCHES)
+    before = state_summary(spark, state)
+    skew_before = _ivf_skew(spark, state)
+
+    # plant crashed-write junk: truncated parquet under _temporary
+    # attempt dirs, both inside the assigned table (with a partition
+    # segment that LOOKS like a real bucket) and inside a batch dir
+    junk_a = (
+        f"{state}/ivf/assigned/_temporary/0/attempt_0/centroid_id=99999"
+    )
+    junk_b = f"{state}/batches/b1/_temporary/0"
+    for d in (junk_a, junk_b):
+        os.makedirs(d)
+        with open(f"{d}/part-00000.parquet", "wb") as fh:
+            fh.write(b"PAR1\x00truncated")
+
+    after = state_summary(spark, state)
+    skew_after = _ivf_skew(spark, state)
+    assert after["tables"] == before["tables"]
+    assert (
+        after["advice"]["table_files"] == before["advice"]["table_files"]
+    )
+    assert [b["rows"] for b in after["batches"]] == [
+        b["rows"] for b in before["batches"]
+    ]
+    # identical skew dict == the phantom centroid_id=99999 junk bucket
+    # neither entered the bucket count nor the footer row sums
+    assert skew_after == skew_before and skew_before is not None
+
+
 def test_policy_pyarrow_and_spark_reads_agree(spark, tmp_path):
     """The zero-job pyarrow policy fast path must stay value-identical
     to the Spark read it shadows (advice r12): if _POLICY_SCHEMA ever

@@ -935,6 +935,13 @@ def test_read_probed_buckets_equals_pruned_full_read(spark, embs, tmp_path):
     # result and same schema
     none = similarity.read_probed_buckets(spark, base, [10**9])
     assert none.schema == want.schema and none.count() == 0
+    # a generator argument must behave like the list: probe_ids is
+    # iterated twice internally (set-build + isin), so an unguarded
+    # generator would be exhausted into an always-false isin([])
+    got_gen = similarity.read_probed_buckets(spark, base, iter(probes))
+    assert sorted(map(tuple, got_gen.collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 def test_semantic_dedup_equals_piecewise(spark, embs):
