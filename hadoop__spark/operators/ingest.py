@@ -277,12 +277,17 @@ def _read_policy(spark, state_dir: str) -> dict | None:
     # read (pyarrow's int/float/bool/str/None natives match what
     # Row.asDict() returns, so _policy_drift comparisons see
     # identical values either way)
-    from hadoop__spark.operators.util import is_local_fs, list_files
+    from hadoop__spark.operators.util import (
+        is_local_fs,
+        visible_parquet_files,
+    )
 
     if is_local_fs(spark, path):
         import pyarrow.parquet as pq
 
-        parts = list_files(spark, path, suffix=".parquet")
+        # visible files only: a crashed overwrite's lone _temporary
+        # part must fall through to the Spark read, not a footer error
+        parts = visible_parquet_files(spark, path)
         if len(parts) == 1:
             rows = pq.read_table(parts[0]).to_pylist()
             if len(rows) == 1:

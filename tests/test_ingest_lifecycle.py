@@ -1915,6 +1915,13 @@ def test_policy_pyarrow_and_spark_reads_agree(spark, tmp_path):
     assert {k: type(v) for k, v in fast.items()} == {
         k: type(v) for k, v in via_spark.items()
     }
+    # a crashed overwrite's _temporary junk beside the real part must
+    # not reach the footer read or trip the single-part fast path
+    junk = f"{state}/policy/_temporary/0"
+    os.makedirs(junk)
+    with open(f"{junk}/part-00000.parquet", "wb") as fh:
+        fh.write(b"PAR1\x00truncated")
+    assert _read_policy(spark, state) == fast
 
 
 def test_streaming_loop_refit_advice(spark, tmp_path, monkeypatch):
