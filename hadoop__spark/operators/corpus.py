@@ -159,7 +159,19 @@ def _hex_threshold(frac: float) -> str:
 
 
 def _key_hash(key_col: str, salt: str) -> Column:
-    return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    """md5 over key+salt; a NULL key hashes as the sentinel "<null>"
+    rather than propagating NULL — concat(NULL, salt) is NULL, and a
+    NULL hash would make every comparison three-valued: samples would
+    silently DROP null-key rows even at fraction 1.0, and
+    deterministic_split would dump them all into the last-named split
+    (every when() is NULL → otherwise).  With the sentinel they get
+    one deterministic assignment like any other key value."""
+    return F.md5(
+        F.concat(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")),
+            F.lit(salt),
+        )
+    )
 
 
 def deterministic_split(

@@ -42,22 +42,39 @@ def asof_join(
     before left at equal timestamps).  Right rows must be unique per
     (key, ts) — pre-aggregate otherwise.
     """
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType
+
     rcols = [c for c in right.columns if c not in (on, right_ts)]
+    # the right payload travels as ONE struct, filled atomically: the
+    # struct is null exactly on left rows, so last(ignorenulls) always
+    # lands on the nearest preceding right ROW — per-column fills
+    # would let a genuine NULL in the nearest right row fall through
+    # to a staler row's value, stitching together a row that never
+    # existed (and disagreeing with ASOF JOIN semantics, where the
+    # matched row's nulls are returned as nulls)
+    rt_field = "_rt"
+    while rt_field in rcols:
+        rt_field += "_"
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in rcols]
+        + [StructField(rt_field, TimestampNTZType())]
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
-        F.lit(None).cast("timestamp_ntz").alias("_rt"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
-        F.col(right_ts).cast("timestamp_ntz").alias("_rt"),
+        F.struct(
+            *[F.col(c).alias(c) for c in rcols],
+            F.col(right_ts).cast("timestamp_ntz").alias(rt_field),
+        ).alias("_r"),
     )
     w = (
         Window.partitionBy("_k")
@@ -65,25 +82,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in rcols
-        ],
-        F.last("_rt", ignorenulls=True).over(w).alias("_asof_ts"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
     )
     out = filled.where(F.col("_side") == 1)
+    match = F.col("_asof")
     if tolerance_seconds is not None:
         stale = (
-            F.unix_timestamp("_t") - F.unix_timestamp("_asof_ts")
+            F.unix_timestamp("_t")
+            - F.unix_timestamp(F.col("_asof")[rt_field])
             > tolerance_seconds
         )
-        for c in rcols:
-            out = out.withColumn(
-                f"asof_{c}",
-                F.when(stale, F.lit(None)).otherwise(F.col(f"asof_{c}")),
-            )
-    return out.select(*left.columns, *[f"asof_{c}" for c in rcols])
+        # row-level staleness: the whole match is kept or dropped
+        match = F.when(stale, F.lit(None)).otherwise(F.col("_asof"))
+    return out.select(
+        *left.columns,
+        *[match[c].alias(f"asof_{c}") for c in rcols],
+    )
 
 
 def range_join(
@@ -114,18 +128,27 @@ def range_join(
             "the build side is bucket-replicated, so right/full outer "
             "would emit unmatched intervals once per bucket replica"
         )
-    b = F.lit(bucket_seconds)
-    l_b = left.withColumn(
-        "_bucket", (F.unix_timestamp(F.col(left_ts)) / b).cast("long")
-    )
+    # fractional-second epochs: unix_timestamp() TRUNCATES to whole
+    # seconds, so an interval whose exclusive end carries a fraction
+    # (e.g. 01:00:00.5) would lose every match in its final bucket.
+    # unix_micros keeps the fraction (through the same session-TZ
+    # mapping unix_timestamp used for NTZ inputs), and IEEE division
+    # by the same b is monotone, so bucket(ts) always lands inside
+    # [bucket(start), bucket(end)] whenever start <= ts < end; an end
+    # exactly on a bucket boundary costs one empty extra replica (the
+    # exact predicate below filters it), never a miss.  floor (not a
+    # long cast) keeps pre-1970 epochs in the right bucket.
+    b = F.lit(float(bucket_seconds))
+
+    def _sec(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)
+
+    l_b = left.withColumn("_bucket", F.floor(_sec(left_ts) / b))
     i_b = intervals.withColumn(
         "_ibucket",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(F.col(start)) / b).cast("long"),
-                # end is exclusive; an interval ending exactly on a
-                # bucket boundary does not reach into the next bucket
-                ((F.unix_timestamp(F.col(end)) - 1) / b).cast("long"),
+                F.floor(_sec(start) / b), F.floor(_sec(end) / b)
             )
         ),
     )
@@ -146,18 +169,26 @@ def sessionize_batch(
     """Batch gap-based sessionization: the lag/cumsum window idiom.
 
     A new session starts where the gap to the previous event of the
-    same key exceeds ``gap_seconds``; the running sum of session-start
-    flags is the session index.  Two window passes over ONE
-    hash-partition-by-key shuffle (both windows share the partitioning,
-    Catalyst plans a single Exchange).  Streaming twin:
-    ``streaming.sessionize`` (native session_window).
+    same key EXCEEDS ``gap_seconds`` — an event exactly ``gap`` after
+    the previous one still extends the session, the same inclusive
+    boundary as native ``session_window`` (verified empirically:
+    tests/test_sources_streaming.py twin-equality test), so a backfill
+    computed with this operator groups events identically to its
+    streaming twin ``streaming.sessionize``.  Gaps are measured at
+    microsecond precision (``unix_timestamp`` would truncate to whole
+    seconds and silently merge a 1800.5 s gap the stream splits).  The
+    running sum of session-start flags is the session index.  Two
+    window passes over ONE hash-partition-by-key shuffle (both windows
+    share the partitioning, Catalyst plans a single Exchange).
+    ``session_end`` is the LAST EVENT's timestamp; session_window's
+    window end is last event + gap.
     """
     w = Window.partitionBy(key).orderBy(ts)
-    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(
-        F.lag(ts).over(w)
-    )
+    ts_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     is_start = F.when(
-        gap.isNull() | (gap > gap_seconds), F.lit(1)
+        gap.isNull() | (gap > F.lit(int(gap_seconds) * 1_000_000)),
+        F.lit(1),
     ).otherwise(F.lit(0))
     with_idx = df.withColumn(
         "session_idx",

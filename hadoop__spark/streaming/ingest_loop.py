@@ -127,7 +127,11 @@ def ingest_foreach_batch(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        per_batch = derive(batch_df) if derive is not None else {}
+        per_batch = dict(derive(batch_df)) if derive is not None else {}
+        # the loop owns the replay contract on BOTH channels: a derive
+        # returning on_existing would otherwise be a duplicate-keyword
+        # TypeError that kills the query
+        per_batch.pop("on_existing", None)
         ingest_batch(
             spark,
             state_dir,

@@ -77,7 +77,11 @@ def running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             ]
             if sort_keys:
                 pdf = pdf.sort_values(sort_keys, kind="mergesort")
-            cum = total + pdf["value"].astype(float).cumsum()
+            # NULL values (parse_kafka_events keeps malformed rows,
+            # value null) contribute 0, matching F.sum's null-skipping
+            # — a bare astype(float) would turn one NULL into NaN and
+            # poison this user's total/high_water state forever
+            cum = total + pdf["value"].astype(float).fillna(0.0).cumsum()
             n += len(pdf)
             total = float(cum.iloc[-1])
             high = max(high, float(cum.max()))

@@ -1335,3 +1335,33 @@ def test_kll_gate_rank_error_above_exact_regime(spark):
             assert keep_frac - err <= frac <= keep_frac + err + tie_mass, (
                 name, keep_frac, frac, tie_mass
             )
+
+
+def test_null_keys_get_deterministic_assignment(spark):
+    """A NULL key must behave like any other key value, not propagate
+    NULL through the hash: md5(concat(NULL, salt)) is NULL, which
+    silently DROPPED null-key rows from samples (even at fraction 1.0)
+    and dumped them all into the LAST-named split (every when() is
+    NULL -> otherwise) — contaminating a held-out set with exactly the
+    rows most likely to be data bugs."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "doc_id LONG"
+    )
+    assert corpus.deterministic_sample(df, 1.0).count() == 4
+    split = corpus.deterministic_split(df).collect()
+    assert len(split) == 4
+    # all null keys share ONE deterministic assignment (they hash as
+    # one sentinel value), chosen by the hash rather than fallthrough
+    assert len({r.split for r in split if r.doc_id is None}) == 1
+    assert (
+        len(
+            {
+                r.split
+                for r in corpus.deterministic_split(
+                    df, salt="other"
+                ).collect()
+                if r.doc_id is None
+            }
+        )
+        == 1
+    )

@@ -1200,3 +1200,29 @@ def test_concurrent_writer_failures_all_surface(spark, tmp_path, monkeypatch):
     assert any(
         "'text'" in n and "text plane down" in n for n in notes
     ), notes
+
+
+def test_loop_derive_cannot_shadow_replay_contract(spark, tmp_path):
+    """The streaming loop owns on_existing on BOTH option channels: a
+    derive() returning it used to raise a duplicate-keyword TypeError
+    inside foreachBatch and kill the query; now the loop strips it and
+    the replay contract (skip on a committed batch id) holds."""
+    from hadoop__spark.streaming import ingest_foreach_batch
+
+    state = str(tmp_path / "state")
+    cb = ingest_foreach_batch(
+        state,
+        derive=lambda df: {"on_existing": "fail", "threshold": 0.8},
+        maintain="off",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"wholly distinct loop document number {i}") for i in range(1, 8)],
+        "doc_id LONG, text STRING",
+    )
+    cb(docs, 1)
+    cb(docs, 1)  # replay of the committed batch id must still no-op
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/batches/*").collect()
+    )
+    assert got == list(range(1, 8))

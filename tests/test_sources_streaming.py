@@ -141,6 +141,117 @@ def test_sessionize_stream(spark):
             assert start_b >= end_a, "overlapping sessions for one user"
 
 
+def test_sessionize_batch_matches_streaming_twin(spark, tmp_path):
+    """Boundary contract, pinned against the REAL session_window: an
+    event exactly gap after the previous one EXTENDS the session
+    (inclusive boundary — measured here, not assumed), and gaps are
+    compared at microsecond precision: a 1800.5 s gap splits in the
+    stream, and the batch twin must split too (whole-second
+    unix_timestamp truncation used to read it as 1800 and merge)."""
+    from hadoop__spark.operators.temporal import sessionize_batch
+
+    rows = [
+        # user 1: exact 1800 s strides -> ONE session (inclusive gap)
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:30:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 01:00:00", 1, "view", 1.0, "{}"),
+        # user 2: 1799 s then a big jump -> a 2-event + a 1-event
+        (4, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-01 00:29:59", 2, "view", 1.0, "{}"),
+        (6, "2024-01-01 02:00:00", 2, "view", 1.0, "{}"),
+        # user 3: 1800.5 s gap -> splits (truncation would merge)
+        (7, "2024-01-01 00:00:00", 3, "view", 1.0, "{}"),
+        (8, "2024-01-01 00:30:00.5", 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    src = str(tmp_path / "events_src")
+    # micros on disk (not INT96) so the stream reader's footer sniff
+    # sees a type the fixtures use
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.parquet(src)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    batch = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in sessionize_batch(
+            df.select("user_id", "ts"), gap_seconds=1800
+        ).collect()
+    }
+    stream = streaming.read_events_stream(spark, src)
+    streaming.run_stream_to_memory(
+        streaming.sessionize(stream, gap="30 minutes"),
+        "sessions_twin",
+        output_mode="complete",
+    )
+    live = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.table("sessions_twin").collect()
+    }
+    assert batch == live
+    # exact-gap events merged; the 1800.5 s gap split
+    assert (1, "2024-01-01 00:00:00", 3) in batch
+    assert sum(1 for u, _, n in batch if u == 3) == 2
+    assert (2, "2024-01-01 00:00:00", 2) in batch
+
+
+def test_stateful_null_value_does_not_poison_state(spark, tmp_path):
+    """A NULL value (parse_kafka_events keeps malformed rows with
+    value null) must contribute 0 like F.sum's null-skipping — a bare
+    astype(float) turned it into NaN, cumsum propagated it, and the
+    user's total_value/high_water state was NaN forever after."""
+    import math
+
+    from hadoop__spark.streaming.stateful import running_totals
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "view", 2.0, "{}"),
+            (2, "2024-01-01 00:01:00", 7, "view", None, "{}"),
+            (3, "2024-01-01 00:02:00", 7, "view", 3.0, "{}"),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    src = str(tmp_path / "ev")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.parquet(src)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    stream = streaming.read_events_stream(spark, src)
+    streaming.run_stream_to_memory(
+        running_totals(stream), "totals_null", output_mode="update"
+    )
+    rows = (
+        spark.table("totals_null")
+        .orderBy(F.desc("n_events"))
+        .limit(1)
+        .collect()
+    )
+    r = rows[0]
+    assert r.n_events == 3
+    assert not math.isnan(r.total_value) and r.total_value == 5.0
+    assert not math.isnan(r.high_water) and r.high_water == 5.0
+
+
 def test_stateful_running_totals(spark):
     """applyInPandasWithState custom operator: final per-user totals
     after a full replay must equal the batch groupBy."""
@@ -221,10 +332,21 @@ def test_incremental_rollup_exactly_once(spark, tmp_path):
     assert not missing, f"finalized windows missing: {sorted(missing)[:3]}"
     assert len(got) > 0
 
-    # second drain: no new input -> no new rows
-    n_before = spark.read.parquet(table).count()
+    # second drain: no new input -> no new partial rows
+    def partial_rows(t):
+        from hadoop__spark.streaming.continuous import (
+            _base_dir,
+            _batch_dirs,
+        )
+
+        srcs = [p for p in [_base_dir(spark, t)] if p] + sorted(
+            _batch_dirs(spark, t).values()
+        )
+        return spark.read.parquet(*srcs).count()
+
+    n_before = partial_rows(table)
     run_incremental_rollup(spark, events_path, table, ckpt)
-    assert spark.read.parquet(table).count() == n_before
+    assert partial_rows(table) == n_before
 
 
 def test_rollup_compaction_preserves_answer(spark, tmp_path):
@@ -247,8 +369,98 @@ def test_rollup_compaction_preserves_answer(spark, tmp_path):
         for r in read_rollup(spark, table).collect()
     }
     assert before == after
-    n_rows = spark.read.parquet(table).count()
+    n_rows = spark.read.parquet(f"{table}/base").count()
     assert n_rows == len(after), "compacted to one partial per key"
+    # every drained batch dir was folded and swept
+    from hadoop__spark.streaming.continuous import _batch_dirs
+
+    assert _batch_dirs(spark, table) == {}
+
+
+def test_rollup_compact_between_drains(spark, tmp_path):
+    """The compact-then-drain-again sequence — with the old streaming
+    file sink this destroyed the sink's _spark_metadata log and left
+    the table UNREADABLE (IllegalStateException: _spark_metadata/0
+    doesn't exist) after the next drain.  The batch-dir layout keeps
+    the sink log out of the picture: rollup totals equal the batch
+    aggregation of everything drained, the compacted base and the
+    post-compaction partials share one parquet schema, and a second
+    compaction folds the tail."""
+    import glob
+    import shutil
+
+    from hadoop__spark.streaming.continuous import (
+        compact_rollup,
+        read_rollup,
+        run_incremental_rollup,
+    )
+
+    # two-phase source dir: half the events per drain (the fixture is
+    # one file, so split it by timestamp into two single-file halves)
+    ev = load_tables(spark, SF_DIR)["events"]
+    n = ev.count()
+    halves = str(tmp_path / "halves")
+    ev.orderBy("ts", "event_id").limit(n // 2).coalesce(1).write.parquet(
+        f"{halves}/h1"
+    )
+    ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(
+        n - n // 2
+    ).coalesce(1).write.parquet(f"{halves}/h2")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def feed(h, tag):
+        for i, f in enumerate(glob.glob(f"{halves}/{h}/*.parquet")):
+            shutil.copy(f, os.path.join(src, f"{tag}_{i}.parquet"))
+
+    feed("h1", "a")
+    table, ckpt = str(tmp_path / "rt"), str(tmp_path / "ck")
+    run_incremental_rollup(spark, src, table, ckpt)
+    compact_rollup(spark, table)
+    feed("h2", "b")
+    run_incremental_rollup(spark, src, table, ckpt)
+
+    got = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 4))
+        for r in read_rollup(spark, table).collect()
+    }
+    # same finalized-windows contract as the exactly-once test: every
+    # emitted window matches the batch rollup over ALL drained input
+    batch = load_tables(spark, SF_DIR)["events"]
+    want = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 4))
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got <= want and len(got) > 0
+    # windows finalized by the FIRST drain must all have survived the
+    # compact + second drain (the old layout lost or broke them)
+    first_drain_rows = spark.read.parquet(f"{table}/base")
+    assert first_drain_rows.count() > 0
+    # one parquet schema across base and fresh partials
+    from hadoop__spark.streaming.continuous import _batch_dirs
+
+    post = _batch_dirs(spark, table)
+    assert post, "second drain should land new batch dirs"
+    base_schema = spark.read.parquet(f"{table}/base").schema
+    for p in post.values():
+        assert spark.read.parquet(p).schema == base_schema
+    # a second compaction folds the tail and preserves the answer
+    compact_rollup(spark, table)
+    again = {
+        (str(r.hour), r.event_type, r.n_events, round(r.sum_value, 4))
+        for r in read_rollup(spark, table).collect()
+    }
+    assert again == got
+    assert _batch_dirs(spark, table) == {}
 
 
 def test_stateful_high_water_deterministic(spark, tmp_path):

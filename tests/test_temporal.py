@@ -65,6 +65,79 @@ def test_asof_tolerance_nulls_stale_matches(spark, events):
     assert 0 < n_tight < n_loose, "tolerance must null out stale matches"
 
 
+def test_asof_null_right_values_stay_null(spark):
+    """A genuine NULL in the matched (nearest-preceding) right row
+    must come back as NULL — the right payload is filled as one
+    struct, so a per-column fill can never stitch values from
+    DIFFERENT right rows into a 'match' that never existed (DuckDB
+    ASOF semantics: you get THE row, nulls included)."""
+    import duckdb
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:03:00"), (1, "2024-01-01 00:00:30")],
+        "k INT, ts STRING",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0, 5),
+            (1, "2024-01-01 00:02:00", None, 7),
+        ],
+        "k INT, ts STRING, price DOUBLE, qty INT",
+    ).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "price", "qty"
+    )
+    got = sorted(
+        (str(r.ts), r.asof_price, r.asof_qty)
+        for r in asof_join(left, right, on="k").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l AS SELECT 1 k, TIMESTAMP '2024-01-01 00:03:00' ts "
+        "UNION ALL SELECT 1, TIMESTAMP '2024-01-01 00:00:30'"
+    )
+    con.execute(
+        "CREATE TABLE r AS SELECT 1 k, TIMESTAMP '2024-01-01 00:00:00' ts,"
+        " 10.0 price, 5 qty UNION ALL SELECT 1,"
+        " TIMESTAMP '2024-01-01 00:02:00', NULL, 7"
+    )
+    want = sorted(
+        (str(ts), price, qty)
+        for ts, price, qty in con.execute(
+            "SELECT l.ts, r.price, r.qty FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    assert got == want
+    # the 00:03 left row matched the 00:02 right row: price NULL (not
+    # back-filled from 00:00's 10.0), qty 7
+    assert got[1] == ("2024-01-01 00:03:00", None, 7)
+
+
+def test_range_join_fractional_second_bounds(spark):
+    """Sub-second interval bounds must not lose final-bucket matches:
+    unix_timestamp() truncation would bucket an interval ending at
+    01:00:00.5 as if it ended at 01:00:00, dropping a left row at
+    01:00:00.2 that the exact predicate admits."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00.2"), (2, "2024-01-01 01:00:00.7")],
+        "id INT, ts STRING",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    ivals = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00.5")],
+        "name STRING, start STRING, end STRING",
+    ).select(
+        "name",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    got = sorted(
+        (r.id, r.name)
+        for r in range_join(left, ivals, bucket_seconds=3600).collect()
+    )
+    # id 1 (01:00:00.2 < end 01:00:00.5) matches; id 2 does not
+    assert got == [(1, "a")]
+
+
 def test_range_join_equals_naive_nonequi(spark, events):
     intervals = spark.createDataFrame(
         [
