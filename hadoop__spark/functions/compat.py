@@ -180,9 +180,13 @@ def register_engine_udfs(spark: SparkSession) -> None:
     """
 
     @pandas_udf("double")
-    def jaro_sim(a: pd.Series, b: pd.Series) -> pd.Series:
-        # cheap vectorized token-set similarity (dedup helper where
-        # n-gram Jaccard is too strict); pure pandas ops, no row loop
+    def token_set_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        # token-set JACCARD similarity (dedup helper where n-gram
+        # Jaccard is too strict).  Honest cost note: Arrow ships the
+        # batch columnar, but the set intersection/union is per-row
+        # Python — fine for this helper's ad-hoc SQL surface, NOT a
+        # hot-path kernel (the hot dedup planes use the JVM-side
+        # shingle pipeline in operators/dedup.py instead).
         sa = a.fillna("").str.lower().str.split().apply(set)
         sb = b.fillna("").str.lower().str.split().apply(set)
         inter = pd.Series(
@@ -193,4 +197,4 @@ def register_engine_udfs(spark: SparkSession) -> None:
         )
         return inter / union
 
-    spark.udf.register("token_set_sim", jaro_sim)
+    spark.udf.register("token_set_sim", token_set_sim)

@@ -486,14 +486,14 @@ def corpus_stats_sketch(
     """
     from pyspark import StorageLevel
 
-    from hadoop__spark.operators.text import normalized, tokens
+    from hadoop__spark.operators.text import fingerprint_expr, tokens
 
     group_cols = list(group_cols or ["source"])
     base = ensure_parallelism(df).select(
         *group_cols,
         F.col(id_col).alias("_id"),
         tokens(F.col(text_col)).alias("_w"),
-        F.md5(normalized(F.col(text_col))).alias("_fp"),
+        fingerprint_expr(F.col(text_col)).alias("_fp"),
     )
     if cache:
         from hadoop__spark.operators.dedup import _register_probe_cache
@@ -861,13 +861,13 @@ def overlap_sketch(
     crawl B already exists in crawl A" question.  Shard tables merge
     with :func:`merge_overlap_sketches` (union = per-sketch theta
     union), same lifecycle as the other accounting sketches."""
-    from hadoop__spark.operators.text import normalized
+    from hadoop__spark.operators.text import fingerprint_expr
 
     return (
         ensure_parallelism(df)
         .select(
             F.col(group_col),
-            F.md5(normalized(F.col(text_col))).alias("_fp"),
+            fingerprint_expr(F.col(text_col)).alias("_fp"),
         )
         .groupBy(group_col)
         .agg(

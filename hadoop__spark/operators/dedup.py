@@ -29,7 +29,12 @@ from functools import reduce
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
-from hadoop__spark.operators.text import normalized, tokens
+from hadoop__spark.operators.text import (
+    exact_key,
+    fingerprint_expr,
+    normalized,
+    tokens,
+)
 from hadoop__spark.operators.util import ensure_parallelism
 
 # frames persisted by probe functions that RETURN lazy plans and so
@@ -153,7 +158,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     smallest id as the keeper and the duplicate count."""
     return (
         ensure_parallelism(df)
-        .select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+        .select(F.col(id_col), exact_key(F.col(text_col)).alias("_norm"))
         .groupBy("_norm")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -172,7 +177,7 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return (
         ensure_parallelism(df)
         .select(
-            F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fp")
+            F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fp")
         )
         .groupBy("fp")
         .agg(
@@ -690,7 +695,7 @@ def fingerprint_filter_new(
     per micro-batch, picking up snapshot updates between batches."""
     fps = spark.read.parquet(f"{path}/fingerprints").select("fp")
     return (
-        df.withColumn("_fp", F.md5(normalized(F.col(text_col))))
+        df.withColumn("_fp", fingerprint_expr(F.col(text_col)))
         .join(fps.withColumnRenamed("fp", "_fp"), "_fp", "left_anti")
         .drop("_fp")
     )

@@ -100,14 +100,23 @@ def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> Da
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
+            # null payloads (a NULL source column upstream) report -1,
+            # matching first_byte's empty convention — a bare len(None)
+            # would fail the whole job with an executor-side TypeError
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": content.map(len).astype("int64"),
-                    "first_byte": content.map(
-                        lambda b: int(b[0]) if len(b) else -1
+                    "n_bytes": content.map(
+                        lambda b: len(b) if b is not None else -1
                     ).astype("int64"),
-                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "first_byte": content.map(
+                        lambda b: int(b[0])
+                        if b is not None and len(b)
+                        else -1
+                    ).astype("int64"),
+                    "mime": pdf["meta"].map(
+                        lambda m: m["mime"] if m is not None else None
+                    ),
                 }
             )
 
@@ -131,12 +140,22 @@ def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            # null payloads stay null with n_bytes 0 (honest metadata)
+            # rather than crashing the Arrow worker on b[:target]
             out["content"] = out["content"].map(
-                lambda b: bytes(b[:target_bytes]).ljust(target_bytes, b"\x00")
+                lambda b: bytes(b[:target_bytes]).ljust(
+                    target_bytes, b"\x00"
+                )
+                if b is not None
+                else None
             )
-            out["meta"] = out["meta"].map(
-                lambda m: {"mime": m["mime"], "n_bytes": target_bytes}
-            )
+            out["meta"] = [
+                {
+                    "mime": m["mime"] if m is not None else None,
+                    "n_bytes": target_bytes if b is not None else 0,
+                }
+                for m, b in zip(pdf["meta"], out["content"])
+            ]
             yield out
 
     return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
@@ -145,12 +164,21 @@ def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the binary payload every
     ``every_n_bytes`` bytes — the same partition/batch shape a video
-    frame sampler would produce (doc_id, frame_idx, frame_bytes)."""
+    frame sampler would produce (doc_id, frame_idx, frame_bytes).
+    Null payloads yield zero frames (like empty ones)."""
+    if every_n_bytes <= 0:
+        # 0 raises 'range() arg 3 must not be zero' per-task; a
+        # negative stride silently returns zero frames for EVERY doc
+        raise ValueError(
+            f"every_n_bytes must be positive, got {every_n_bytes}"
+        )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
                 for i in range(0, len(content), every_n_bytes):
                     ids.append(int(doc_id))
                     idxs.append(i // every_n_bytes)

@@ -30,6 +30,11 @@ _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
     " ' +', ' ', 'g'))"
 )
+# the exact-dedup key / fingerprint: normalization falls back to the
+# RAW text when it strips everything (text.exact_key's contract — two
+# distinct pure-CJK/punctuation docs must not both key as '')
+_EXACT_KEY = f"coalesce(nullif({_NORM}, ''), text)"
+_FP = f"md5({_EXACT_KEY})"
 _WORDS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
 # distinct 3-gram shingles (falls back to the whole text for short docs)
 _SHINGLES3 = (
@@ -386,16 +391,16 @@ OPERATOR_PROBES: list[Probe] = [
         fn=_dd01,
         oracle=(
             f"SELECT min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
-            f"FROM documents GROUP BY {_NORM}"
+            f"FROM documents GROUP BY {_EXACT_KEY}"
         ),
     ),
     Probe(
         name="dd02_dedup_fingerprint",
         fn=_dd02,
         oracle=(
-            f"SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id, "
+            f"SELECT {_FP} AS fp, min(doc_id) AS keep_id, "
             f"CAST(COUNT(*) AS BIGINT) AS n_copies "
-            f"FROM documents GROUP BY md5({_NORM})"
+            f"FROM documents GROUP BY {_FP}"
         ),
     ),
     Probe(name="dd03_minhash_lsh", fn=_dd03, oracle=_jaccard_oracle(0.8)),
@@ -553,7 +558,7 @@ WITH t0 AS (
                       ELSE 0.0 END) * 10.0, 1.0)) * 0.1 AS quality_score
   FROM m
 ), k AS (
-  SELECT min(doc_id) AS doc_id FROM t GROUP BY md5({_NORM})
+  SELECT min(doc_id) AS doc_id FROM t GROUP BY md5(coalesce(nullif({_NORM}, ''), text))
 ), s AS (
   SELECT q.doc_id, q.n_tokens FROM q JOIN k USING (doc_id)
   WHERE q.quality_score >= 0.5
@@ -755,7 +760,7 @@ FROM s
     Probe(
         name="ts04_fingerprint",
         fn=_ts04,
-        oracle=f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
+        oracle=f"SELECT doc_id, {_FP} AS fp_md5 FROM documents",
     ),
     Probe(
         name="mm01_multimodal_features",

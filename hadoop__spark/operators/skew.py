@@ -49,6 +49,11 @@ def salted_join(
             "the build side is replicated salt x, so right/full outer "
             "would duplicate unmatched build rows once per salt value"
         )
+    if salt < 1:
+        # x % 0 is NULL (non-ANSI) / DIVIDE_BY_ZERO (ANSI) and the
+        # build replication becomes sequence(0, -1): an inner join
+        # would silently return ZERO rows instead of failing
+        raise ValueError(f"salt must be >= 1, got {salt}")
     if probe_salt_col is None:
         probe_salt_col = F.abs(F.xxhash64(*probe.columns)) % salt
     elif isinstance(probe_salt_col, str):

@@ -41,6 +41,26 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(normalized(col), " "), lambda x: x != F.lit(""))
 
 
+def exact_key(col: Column) -> Column:
+    """The exact-dedup grouping key: the normalized text, falling back
+    to the RAW text when normalization yields the empty string.
+    :func:`normalized` strips everything outside ``[a-z0-9 ]``, so two
+    DISTINCT documents written entirely in characters it strips
+    (pure-CJK text, pure punctuation) would otherwise both key as
+    ``''`` — and exact/fingerprint dedup would silently delete one.
+    ASCII-normalizable documents are unaffected (their key is nonempty
+    or their raw text really is empty)."""
+    return F.coalesce(F.nullif(normalized(col), F.lit("")), col)
+
+
+def fingerprint_expr(col: Column) -> Column:
+    """md5 digest of :func:`exact_key` — THE document fingerprint, one
+    definition shared by every plane that computes it (batch dedup,
+    the incremental fingerprints state, accounting sketches, the ts04
+    probe), so the fallback rule above cannot drift between them."""
+    return F.md5(exact_key(col))
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish subword estimate.
 
@@ -196,7 +216,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
-        F.md5(normalized(F.col(text_col))).alias("fp_md5"),
+        fingerprint_expr(F.col(text_col)).alias("fp_md5"),
         roll.alias("fp_roll"),
     )
 

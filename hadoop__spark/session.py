@@ -109,6 +109,14 @@ def load_tables(
     """
     sid = id(spark)
     key = (sid, os.path.abspath(sf_dir))
+    # sweep every DEAD session's entries, not just this id: the caches
+    # hold strong references, and an id-collision purge alone can never
+    # fire for a stopped session that is never passed in again (CPython
+    # cannot reuse its id while the dict pins it) — a long-lived
+    # process cycling sessions would pin every dead one forever
+    for other_sid, other in list(_SESSION_REFS.items()):
+        if not _is_live(other):
+            _purge_session(other_sid)
     if sid in _SESSION_REFS and (
         _SESSION_REFS[sid] is not spark or not _is_live(spark)
     ):

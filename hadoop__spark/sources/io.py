@@ -37,9 +37,12 @@ def read_table(
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt in ("json", "csv"):
-        # schema inference on text formats costs a full extra pass at
-        # scale; make it explicit that the caller opted in
+    elif fmt == "csv":
+        # schema inference on CSV costs a full extra pass at scale;
+        # make it explicit that the caller opted in.  (JSON always
+        # infers when no schema is given — inferSchema is a CSV-only
+        # option the JSON source ignores, so setting it there would
+        # only mislead a reader auditing scan costs.)
         reader = reader.option("inferSchema", "true")
     if fmt == "csv":
         reader = reader.option("header", options.pop("header", "true"))
@@ -76,17 +79,33 @@ def write_partitioned(
     Repartitioning on the partition columns first bounds output file
     count at ``partitions × files_per_partition`` — without it every
     task holds a writer per partition value and a 1000-task stage over
-    1000 partition values emits up to a million small files."""
+    1000 partition values emits up to a million small files.
+
+    ``files_per_partition > 1`` adds a deterministic row-content salt
+    to the shuffle key, splitting each partition VALUE across that many
+    tasks/files — repartition(N, *keys) alone would still hash every
+    row of one value to a single task (one straggler, one giant file),
+    making the parameter a silent no-op."""
     from pyspark.sql import functions as F
 
-    keys = [F.col(c) for c in partition_by]
-    shuffled = (
-        df.repartition(*keys)
-        if files_per_partition == 1
-        else df.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, *keys
+    if files_per_partition < 1:
+        raise ValueError(
+            f"files_per_partition must be >= 1, got {files_per_partition}"
         )
-    )
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition == 1:
+        shuffled = df.repartition(*keys)
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        # explicit partition count: an un-numbered repartition is
+        # advisory and AQE coalesces a small shuffle back to one task,
+        # silently undoing the salt
+        shuffled = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, *keys, salt
+        )
     shuffled.write.format(fmt).mode(mode).partitionBy(*partition_by).save(path)
 
 

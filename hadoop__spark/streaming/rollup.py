@@ -19,17 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-#: Schema of the events fixture (TESTDATA.md).  The physical parquet
-#: type of ``ts`` is NOT fixed by contract — fixture regenerations have
-#: shipped timestamp[us] and int64-nanos variants — so the stream
-#: reader sniffs the footer (:func:`_sniff_ts_physical_type`) instead
-#: of hardcoding one decode.
-EVENTS_SCHEMA = (
-    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
-
-
 def _sniff_ts_physical_type(path: str) -> str:
     """Classify the physical parquet type of the ``ts`` column.
 
@@ -155,10 +144,21 @@ def read_events_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
     )
     if os.path.isfile(path):
-        # the file source accepts directories or globs, not plain files:
-        # turn the filename into a glob matching exactly that file
+        # the file source accepts directories or globs, not plain
+        # files: turn the filename into a glob matching exactly that
+        # file.  EVERY glob metacharacter must be neutralized, not
+        # just the first character — 'events[0].parquet' left as
+        # '[e]vents[0].parquet' would match 'events0.parquet' instead
+        # of the real file.  Hadoop's GlobPattern honors backslash
+        # escapes; the leading character-class wrap is what forces
+        # glob (not plain-file) handling when the name has no metas.
+        import re
+
         d, name = os.path.split(path)
-        path = os.path.join(d, f"[{name[0]}]{name[1:]}")
+        esc = lambda s: re.sub(r"([*?\[\]{}\\])", r"\\\1", s)  # noqa: E731
+        first, rest = name[0], name[1:]
+        head = f"[{first}]" if first not in r"*?[]{}\\" else esc(first)
+        path = os.path.join(esc(d), head + esc(rest))
         reader = reader.option("basePath", d)
     raw = reader.load(path)
     if ts_kind == "native":

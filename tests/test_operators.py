@@ -1278,3 +1278,60 @@ def test_dedup_clusters_empty_pairs_fast_path(spark):
         "doc_id LONG, text STRING",
     )
     assert dedup.dedup_corpus(df, method="minhash").count() == 11
+
+
+def test_distinct_unnormalizable_docs_do_not_collapse(spark):
+    """Two DIFFERENT documents whose characters all fall outside the
+    [a-z0-9] normalization alphabet (pure-CJK text, pure punctuation)
+    must not share a fingerprint: normalized() maps both to '', so an
+    unguarded md5(normalized(text)) silently deleted one of them in
+    exact/fingerprint dedup.  The key falls back to the RAW text
+    (text.exact_key), so true duplicates still collapse."""
+    df = spark.createDataFrame(
+        [
+            (1, "你好世界"),
+            (2, "完全不同的文档"),
+            (3, "你好世界"),
+            (4, "!!!"),
+            (5, "???"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    assert dedup.exact_dedup(df).count() == 4
+    fp = dedup.fingerprint_dedup(df)
+    assert fp.count() == 4
+    # the true duplicate pair still collapses, keeping the min id
+    assert {(r.keep_id, r.n_copies) for r in fp.collect()} == {
+        (1, 2), (2, 1), (4, 1), (5, 1),
+    }
+    assert (
+        text.fingerprint(df).select("fp_md5").distinct().count() == 4
+    )
+
+
+def test_multimodal_null_payloads_do_not_crash(spark):
+    """A NULL source text yields content=NULL from to_media; every
+    downstream Arrow kernel must handle it (report -1/0/no-frames),
+    not die with an executor-side TypeError on len(None)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "real document"), (2, None)], "doc_id LONG, text STRING"
+    )
+    media = multimodal.to_media(df)
+    feats = {
+        r.doc_id: (r.n_bytes, r.first_byte, r.mime)
+        for r in multimodal.extract_features(media).collect()
+    }
+    assert feats[1][0] > 0 and feats[1][2] == "text/plain"
+    assert feats[2] == (-1, -1, "text/plain")
+    resized = multimodal.resize_media(media, target_bytes=16)
+    rows = {r.doc_id: r for r in resized.collect()}
+    assert len(rows[1].content) == 16 and rows[1].meta.n_bytes == 16
+    assert rows[2].content is None and rows[2].meta.n_bytes == 0
+    frames = multimodal.frame_sample(media, every_n_bytes=4)
+    assert {r.doc_id for r in frames.collect()} == {1}
+    with _pytest.raises(ValueError, match="every_n_bytes"):
+        multimodal.frame_sample(media, every_n_bytes=0)
+    with _pytest.raises(ValueError, match="every_n_bytes"):
+        multimodal.frame_sample(media, every_n_bytes=-64)

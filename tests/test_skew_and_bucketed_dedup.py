@@ -146,3 +146,17 @@ def test_bucketed_dedup_plan_is_bucket_local(spark):
     # the only allowed non-equi join is the broadcast against the tiny
     # centroid table (BroadcastNestedLoopJoin over nlist rows)
     assert all("BroadcastNestedLoop" in ln for ln in joins), joins
+
+
+def test_salted_join_rejects_degenerate_salt(spark):
+    """salt=0 used to make the probe-side salt expression x % 0 (NULL
+    per row in non-ANSI mode) while the build side replicated into
+    sequence(0, -1) = [0, -1]: an inner join silently returned ZERO
+    rows.  Refuse upfront like the bad-'how' guard."""
+    import pytest as _pytest
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="salt"):
+        salted_join(df, df, on="k", salt=0)
+    with _pytest.raises(ValueError, match="salt"):
+        salted_join(df, df, on="k", salt=-3)

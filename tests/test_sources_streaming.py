@@ -56,6 +56,31 @@ def test_write_partitioned_layout_and_file_count(spark, tmp_path):
         assert len(files) == 1, "one file per partition, no small-file spray"
     back = sources.read_table(spark, out)
     assert back.count() == orders.count()
+    # files_per_partition > 1 must actually split a hot partition
+    # value across tasks/files (it used to be a silent no-op: the
+    # numbered repartition still hashed every row of one value to ONE
+    # task); rows round-trip and the cap holds
+    out4 = str(tmp_path / "orders_by_status_4")
+    sources.write_partitioned(
+        orders, out4, partition_by=["o_orderstatus"],
+        files_per_partition=4,
+    )
+    hot = max(
+        (d for d in os.listdir(out4) if d.startswith("o_orderstatus=")),
+        key=lambda d: len(os.listdir(os.path.join(out4, d))),
+    )
+    n_hot = sum(
+        1
+        for f in os.listdir(os.path.join(out4, hot))
+        if f.endswith(".parquet")
+    )
+    assert 2 <= n_hot <= 4, n_hot
+    assert sources.read_table(spark, out4).count() == orders.count()
+    with pytest.raises(ValueError, match="files_per_partition"):
+        sources.write_partitioned(
+            orders, str(tmp_path / "bad"), partition_by=["o_orderstatus"],
+            files_per_partition=0,
+        )
     # partition pruning on the partition column
     plan = _plan(back.where(F.col("o_orderstatus") == "F"))
     assert "PartitionFilters" in plan
@@ -981,3 +1006,73 @@ def test_fingerprint_filter_new_on_a_stream(spark, tmp_path):
         for r in spark.table("fp_filter_stream").collect()
     }
     assert got == batch_want
+
+
+def test_stream_single_file_with_glob_metachars(spark, tmp_path):
+    """A single-FILE events source whose name contains glob
+    metacharacters must stream exactly that file: the first-char-only
+    class trick left 'events[0].parquet' as '[e]vents[0].parquet',
+    which matches 'events0.parquet' — a Path-does-not-exist failure
+    (or worse, a different file)."""
+    import glob as _glob
+    import shutil
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 00:01:00", 2, "view", 2.0, "{}"),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    staging = str(tmp_path / "staging")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.coalesce(1).write.parquet(staging)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    # the decoy the broken glob used to match
+    target = str(src_dir / "events[0].parquet")
+    decoy = str(src_dir / "events0.parquet")
+    part = _glob.glob(f"{staging}/part-*.parquet")[0]
+    shutil.copy(part, target)
+    with open(decoy, "wb") as fh:
+        fh.write(b"PAR1\x00not-a-real-footer")
+    stream = streaming.read_events_stream(spark, target)
+    streaming.run_stream_to_memory(
+        stream.select("event_id"), "glob_events"
+    )
+    got = sorted(r.event_id for r in spark.table("glob_events").collect())
+    assert got == [1, 2]
+
+
+def test_session_cache_sweeps_dead_sessions(spark):
+    """The per-session caches hold strong references; a stopped session
+    that is never passed to load_tables again must still be swept on
+    the next call (the id-collision purge alone can never fire while
+    the dict pins the object)."""
+    from hadoop__spark import session as sess_mod
+
+    class _DeadCtx:
+        _jsc = None
+
+    class _DeadSession:
+        sparkContext = _DeadCtx()
+
+    dead = _DeadSession()
+    sid = id(dead)
+    sess_mod._SESSION_REFS[sid] = dead
+    sess_mod._TABLE_CACHE[(sid, "/nowhere")] = {}
+    sess_mod._VIEWS_CURRENT[sid] = "/nowhere"
+    load_tables(spark, SF_DIR)
+    assert sid not in sess_mod._SESSION_REFS
+    assert (sid, "/nowhere") not in sess_mod._TABLE_CACHE
+    assert sid not in sess_mod._VIEWS_CURRENT
