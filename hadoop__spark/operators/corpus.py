@@ -993,14 +993,16 @@ def contamination_report(
             n,
         )
         .select(F.explode("_sh").alias("_s"))
-        # empty/whitespace-only benchmark rows reduce to the ""
-        # shingle via shingles_of_tokens' short-doc fallback; left in,
-        # one empty benchmark row would flag EVERY empty corpus
-        # document with overlap 1.0 — the opposite of the documented
-        # "nothing to leak" contract.  "" is never a shingle of real
-        # text (concat_ws over a non-empty token array is non-empty),
-        # so dropping it loses no genuine contamination signal.
-        .where(F.col("_s") != "")
+        # empty- or WHITESPACE-only benchmark rows shingle as their
+        # raw text (the fallback of dedup._shingles_with_fallback) —
+        # content-free strings with nothing to leak: left in, one such
+        # benchmark row would flag every blank corpus document with
+        # overlap 1.0, the opposite of the documented "nothing to
+        # leak" contract.  The whitespace-regex (trim() strips only
+        # 0x20, not \n/\t) keeps genuine token-less CONTENT (pure
+        # CJK/punctuation raw text), which matching corpus docs SHOULD
+        # flag as leakage.
+        .where(~F.col("_s").rlike(r"^\s*$"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -1218,7 +1220,11 @@ def prepare_corpus(
             text_col,
             id_col,
             method=dedup_method,
-            scores=scores,
+            # fingerprint mode deliberately ignores scores (exact
+            # copies are interchangeable — see docstring); dedup_corpus
+            # itself REFUSES the combination, so the documented drop
+            # happens here, where the composition owns the choice
+            scores=None if dedup_method == "fingerprint" else scores,
             score_col=score_col,
             **(dedup_kwargs or {}),
         ),

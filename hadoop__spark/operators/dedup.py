@@ -124,11 +124,28 @@ def shingles_of_tokens(w: Column, n: int = 3) -> Column:
     )
 
 
+def _shingles_with_fallback(w: Column, text: Column, n: int) -> Column:
+    """Shingles of the token array, with the TOKEN-LESS fallback keyed
+    on the raw text: ``tokens()`` strips everything outside
+    ``[a-z0-9 ]``, so a pure-CJK or pure-punctuation document has an
+    empty token array — and ``shingles_of_tokens``'s short-doc branch
+    would reduce EVERY such document to the single shingle ``[""]``,
+    making all of them mutual Jaccard-1.0 / Hamming-0 "duplicates"
+    that the near-dup planes then delete (the same collapse class
+    :func:`~hadoop__spark.operators.text.exact_key` closes on the
+    exact plane, and the same fallback rule: identical raw texts still
+    pair at 1.0, distinct ones share nothing).  A NULL text yields an
+    empty set (dropped — null is near nothing)."""
+    return F.when(F.size(w) > 0, shingles_of_tokens(w, n)).otherwise(
+        F.filter(F.array(exact_key(text)), lambda x: x.isNotNull())
+    )
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (one
     self-contained expression).  Prefer :func:`shingle_frame` in
     operator code — see its docstring for why."""
-    return shingles_of_tokens(tokens(col), n)
+    return _shingles_with_fallback(tokens(col), col, n)
 
 
 def shingle_frame(
@@ -142,13 +159,23 @@ def shingle_frame(
     expression tree.  Runtime subexpression elimination mostly saves
     the re-evaluation, but compiling the inlined tree measurably does
     not: the split projection is ~2.4× faster on the first (codegen)
-    pass at sf0.1 and no slower warm.  Rows with no shingles (empty
-    text) are dropped.
+    pass at sf0.1 and no slower warm.  Rows with no shingles (NULL
+    text) are dropped; token-LESS rows shingle as their raw text
+    (see :func:`_shingles_with_fallback`).
     """
     return (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w"))
-        .select("_id", shingles_of_tokens(F.col("_w"), n).alias("_sh"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_txt"),
+            tokens(F.col(text_col)).alias("_w"),
+        )
+        .select(
+            "_id",
+            _shingles_with_fallback(F.col("_w"), F.col("_txt"), n).alias(
+                "_sh"
+            ),
+        )
         .where(F.size("_sh") > 0)
     )
 
@@ -259,6 +286,14 @@ def minhash_lsh_pairs(
     # automatic cleanup, and under dynamic allocation localCheckpoint
     # is outright unsafe (Spark's own docs flag it).  At 100 TB,
     # materialize signatures as a table instead (NOTES.md).
+    if num_perm % bands:
+        # the four table/frame entry points all refuse this; skipping
+        # the check here let rows_per_band TRUNCATE silently — and at
+        # num_perm < bands every band hashed a constant, putting the
+        # whole corpus in one capped bucket (recall collapse)
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm}"
+        )
     base = shingle_frame(df, text_col, id_col, n)
     if cache == "auto":
         cache = "persist"
@@ -694,10 +729,12 @@ def fingerprint_filter_new(
     tests/test_sources_streaming.py) — the static table is re-read
     per micro-batch, picking up snapshot updates between batches."""
     fps = spark.read.parquet(f"{path}/fingerprints").select("fp")
-    return (
-        df.withColumn("_fp", fingerprint_expr(F.col(text_col)))
-        .join(fps.withColumnRenamed("fp", "_fp"), "_fp", "left_anti")
-        .drop("_fp")
+    # join on the EXPRESSION, not a staged column: withColumn('_fp')
+    # would clobber (and then drop) a caller column of that name
+    return df.join(
+        fps,
+        fingerprint_expr(F.col(text_col)) == fps["fp"],
+        "left_anti",
     )
 
 
@@ -1619,6 +1656,18 @@ def dedup_clusters(
         labels = new_labels.drop("_chg")
         if not changed:
             break
+    else:
+        # exhausting the loop with labels still moving means the
+        # output is NOT connected components: nodes that are local
+        # minima of their max_iterations-hop neighborhood would pass
+        # the doc_id == cluster_id keeper test and survive as spurious
+        # keepers — silent under-deduplication.  Fail loudly instead.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing): the pair "
+            "graph has a longer chain than the round budget — raise "
+            "max_iterations (rounds needed ~ graph diameter)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -1701,6 +1750,12 @@ def _normalized_assignment(
         nearest_centroids,
     )
 
+    if assign not in ("jvm", "arrow"):
+        # validate HERE, at the shared dispatch: a typo ('arow') would
+        # otherwise silently fall through to the slow expression-fold
+        # path — and embedding_pairs_against_index (the ingest loop's
+        # entry) forwards the caller's value unchecked
+        raise ValueError(f"assign must be 'jvm' or 'arrow', got {assign!r}")
     if assign == "arrow":
         return ivf_assign_arrow(
             df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vn")),
@@ -1957,6 +2012,20 @@ def dedup_corpus(
         )
     if pairs is None:
         if method == "fingerprint":
+            if scores is not None or checkpoint_dir is not None:
+                # same refuse-to-ignore contract as the threshold
+                # guard above: the fingerprint keeper is min-id (no
+                # cluster stage exists), so a scores frame would be
+                # dropped on the floor while the caller believes
+                # quality arbitration happened
+                raise ValueError(
+                    "method='fingerprint' keeps the smallest id per "
+                    "identical text and runs no cluster stage: scores "
+                    "and checkpoint_dir do not apply (score-arbitrated "
+                    "keepers need a cluster method, e.g. "
+                    "method='minhash' with scores=) — refusing to "
+                    "ignore them silently"
+                )
             keep = fingerprint_dedup(df, text_col, id_col).select(
                 F.col("keep_id").alias("_keep")
             )

@@ -36,17 +36,19 @@ _NORM = (
 _EXACT_KEY = f"coalesce(nullif({_NORM}, ''), text)"
 _FP = f"md5({_EXACT_KEY})"
 _WORDS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
-# distinct 3-gram shingles (falls back to the whole text for short docs)
+# distinct 3-gram shingles: short docs fall back to the whole
+# normalized text, TOKEN-LESS docs to the raw text (exact_key rule —
+# see dedup._shingles_with_fallback); requires the CTE to carry `text`
 _SHINGLES3 = (
     f"list_distinct(CASE WHEN len(w) >= 3 THEN "
     "list_transform(range(1, len(w) - 1), i -> "
     "array_to_string(list_slice(w, i, i + 2), ' ')) "
-    "ELSE [array_to_string(w, ' ')] END)"
+    "ELSE [coalesce(nullif(array_to_string(w, ' '), ''), text)] END)"
 )
 # exact all-pairs jaccard over 3-gram shingles at a threshold
 def _jaccard_oracle(threshold: float) -> str:
     return f"""
-WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -533,7 +535,9 @@ WITH t0 AS (
 ), sh AS (
   SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t0
 ), bench AS (
-  SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0
+  -- mirror decontaminate's content-free-shingle filter
+  SELECT DISTINCT s FROM sh
+  WHERE doc_id % 17 = 0 AND NOT regexp_matches(s, '^\s*$')
 ), contam AS (
   SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
 ), t AS (

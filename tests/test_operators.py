@@ -1335,3 +1335,87 @@ def test_multimodal_null_payloads_do_not_crash(spark):
         multimodal.frame_sample(media, every_n_bytes=0)
     with _pytest.raises(ValueError, match="every_n_bytes"):
         multimodal.frame_sample(media, every_n_bytes=-64)
+
+
+def test_unnormalizable_docs_not_near_duplicates(spark):
+    """Token-less documents (pure CJK / pure punctuation) used to
+    shingle as [""] and pair mutually at Jaccard 1.0 — every near-dup
+    plane then deleted distinct documents.  With the raw-text shingle
+    fallback, only IDENTICAL raw texts pair; distinct ones share
+    nothing."""
+    df = spark.createDataFrame(
+        [
+            (1, "你好世界"),
+            (2, "完全不同的文档"),
+            (3, "你好世界"),
+            (4, "!!!"),
+            (5, "???"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    mh = _pairs(dedup.minhash_lsh_pairs(df, threshold=0.8))
+    ng = _pairs(dedup.ngram_jaccard_pairs(df, threshold=0.8))
+    sh = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(df, max_hamming=6, n_chunks=8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert mh == {(1, 3)}, mh
+    assert ng == {(1, 3)}, ng
+    assert sh == {(1, 3)}, sh
+    # end to end: dedup_corpus keeps all distinct docs, drops only the
+    # true duplicate
+    kept = {
+        r.doc_id
+        for r in dedup.dedup_corpus(df, method="minhash").collect()
+    }
+    assert kept == {1, 2, 4, 5}
+
+
+def test_dedup_guards_refuse_degenerate_inputs(spark):
+    """Guard parity across the dedup surface: the primary minhash
+    entry point validates bands like its four siblings (num_perm <
+    bands used to silently hash every band to a constant);
+    dedup_corpus refuses scores/checkpoint_dir with the cluster-less
+    fingerprint method; a typo'd assign= raises instead of silently
+    running the 100x-slower kernel; dedup_clusters raises on
+    non-convergence instead of returning wrong components."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(df, num_perm=8, bands=16)
+    with pytest.raises(ValueError, match="refusing to ignore"):
+        dedup.dedup_corpus(
+            df, method="fingerprint",
+            scores=df.select("doc_id", F.lit(1.0).alias("quality_score")),
+        )
+    with pytest.raises(ValueError, match="assign"):
+        dedup._normalized_assignment(df, df, "v", "doc_id", 1, "arow")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(chain, max_iterations=2)
+
+
+def test_filter_new_preserves_caller_fp_column(spark, tmp_path):
+    """fingerprint_filter_new joins on the fingerprint EXPRESSION: a
+    caller frame already carrying a '_fp' column must pass through
+    untouched (the staged-column form clobbered and then dropped
+    it)."""
+    known = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id LONG, text STRING"
+    )
+    state = str(tmp_path / "fp_state")
+    dedup.fingerprint_write(known, state)
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "keep-me-a"),
+            (2, "a wholly new document body", "keep-me-b"),
+        ],
+        "doc_id LONG, text STRING, _fp STRING",
+    )
+    out = dedup.fingerprint_filter_new(spark, state, batch).collect()
+    assert [(r.doc_id, r._fp) for r in out] == [(2, "keep-me-b")]
