@@ -537,7 +537,7 @@ WITH t0 AS (
 ), bench AS (
   -- mirror decontaminate's content-free-shingle filter
   SELECT DISTINCT s FROM sh
-  WHERE doc_id % 17 = 0 AND NOT regexp_matches(s, '^\s*$')
+  WHERE doc_id % 17 = 0 AND NOT regexp_matches(s, '^\\s*$')
 ), contam AS (
   SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
 ), t AS (
