@@ -177,7 +177,13 @@ def convert_plan(jplan, sql: str) -> Node:
             {
                 "table_parts": table["parts"],
                 "overwrite": bool(jplan.overwrite()),
-                "cols": [str(ucols.apply(i)) for i in range(ucols.size())],
+                # lowercase like every other identifier path: a
+                # consumer joining edges on to_name case-sensitively
+                # must not see default.sink.C2 beside default.sink.c2
+                "cols": [
+                    str(ucols.apply(i)).lower()
+                    for i in range(ucols.size())
+                ],
             },
             [convert_plan(jplan.query(), sql)],
         )

@@ -694,6 +694,14 @@ class LineageAnalyzer:
                         for s in c.sources:
                             if s not in extra:
                                 extra.append(s)
+                # the walked scope already folded the subquery's OWN
+                # output-column sources; re-pushing fields['plan']
+                # would also surface its internal PREDICATE subqueries
+                # (row gates, not column feeds) as select-item sources
+                # — and re-walk the plan once per ancestor.  Outer
+                # value expressions (children) still scan normally.
+                stack.extend(n.children)
+                continue
             stack.extend(n.children)
             for v in n.fields.values():
                 if isinstance(v, Node):

@@ -38,7 +38,9 @@ class LineageError(Exception):
     pass
 
 
-_NUMERIC_RE = re.compile(r"^-?[0-9]+(\.[0-9]+)?$")
+# scientific notation included: '1e3' is a literal, and treating it as
+# a real column name defeats _merge_union's first-non-literal-alias rule
+_NUMERIC_RE = re.compile(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
 
 
 def not_normal_col(name: str | None) -> bool:

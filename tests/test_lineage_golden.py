@@ -433,6 +433,38 @@ def test_scalar_subquery_select_item_column_edge(spark):
         "app.t1.a",
         "app.t4.y",
     )
+    # a predicate subquery NESTED INSIDE the scalar subquery is a row
+    # gate of that inner query — its columns must not leak into the
+    # select item's sources (the raw field-walk used to re-traverse
+    # the already-folded plan and surface t3.y as a source of m)
+    res3 = an.analyze(
+        "use app; select (select max(x) from t2 "
+        "where t2.k in (select y from t3)) as m from t1"
+    )
+    assert lines_by_name(res3)["m"].from_names == ("app.t2.x",)
+
+
+def test_insert_cols_and_scientific_literals_normalized(spark):
+    """User-specified INSERT column lists lowercase like every other
+    identifier path, and scientific-notation literals count as
+    literals for union alias merging (1e3 is not a column name)."""
+    an = LineageAnalyzer(
+        spark, DictMetastore({"app.sink": ["c1", "c2"]})
+    )
+    res = an.analyze(
+        "use app; insert into sink (C2, C1) select a, b from t1"
+    )
+    assert {ln.to_name for ln in res.col_lines} == {
+        "app.sink.c1", "app.sink.c2",
+    }
+    res2 = an.analyze(
+        "use app; select 1e3, a from t1 "
+        "union all select b, a from t1"
+    )
+    # the union merge picks the non-literal branch's alias for the
+    # first output column instead of keeping '1e3'
+    names = sorted(ln.to_name_parse for ln in res2.col_lines)
+    assert not any("1e3" in n for n in names), names
 
 
 def test_create_view_lineage_and_resolution(spark):
