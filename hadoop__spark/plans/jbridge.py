@@ -142,9 +142,23 @@ def convert_plan(jplan, sql: str) -> Node:
         return Node("Sort", {"keys": keys}, [convert_plan(jplan.child(), sql)])
     if cls == "Join":
         jcond = _opt(jplan.condition())
+        # USING/NATURAL joins carry their keys in the join TYPE
+        # (UsingJoin(tpe, cols) / NaturalJoin(tpe)), with condition()
+        # undefined — unwrap to the inner type for the label and keep
+        # the keys so the analyzer can emit the join-condition tag.
+        jtype = jplan.joinType()
+        using: list[str] | None = None
+        natural = False
+        jt_cls = _name(jtype)
+        if jt_cls == "UsingJoin":
+            using = [str(c) for c in _seq(jtype.usingColumns())]
+            jtype = jtype.tpe()
+        elif jt_cls == "NaturalJoin":
+            natural = True
+            jtype = jtype.tpe()
         # Inner→JOIN, FullOuter→FULLOUTERJOIN … — the reference labels
         # joins by stripping TOK_ from the Hive token (README.md:276).
-        label = str(jplan.joinType().sql()).replace(" ", "")
+        label = str(jtype.sql()).replace(" ", "")
         if label in ("INNER", "CROSS"):
             label = "JOIN"
         elif not label.endswith("JOIN"):
@@ -154,6 +168,8 @@ def convert_plan(jplan, sql: str) -> Node:
             {
                 "label": label,
                 "cond": convert_expr(jcond, sql) if jcond is not None else None,
+                "using": using,
+                "natural": natural,
             },
             [convert_plan(jplan.left(), sql), convert_plan(jplan.right(), sql)],
         )

@@ -229,6 +229,20 @@ class FromCtx:
 
         def qualify(parts: list[str]) -> str:
             if len(parts) >= 3:
+                # Consult FROM sources before assuming db.table.col:
+                # `t.addr.city` through an alias/table `t` is a struct
+                # FIELD access — provenance (and the validation binding)
+                # is the COLUMN `addr`; the field path is kept on the
+                # rendered name for fidelity.
+                src = self._find(parts[0].lower())
+                if src is not None:
+                    base = resolve(src, parts[1].lower())
+                    return ".".join([base, *parts[2:]])
+                if len(parts) >= 4:
+                    src = self._find(f"{parts[0]}.{parts[1]}".lower())
+                    if src is not None:
+                        base = resolve(src, parts[2].lower())
+                        return ".".join([base, *parts[3:]])
                 qname, col = ".".join(parts[-3:-1]), parts[-1]
                 analyzer._bindings.append((qname, col))
                 return f"{qname}.{col}"
@@ -376,8 +390,16 @@ class LineageAnalyzer:
             res.output_tables.add(dest)
             scope = self._walk_query(node.children[0], conditions, res)
             self._emit(dest, scope, conditions, res)
-            self._views[dest] = scope
-            self._views[node["table_parts"][-1].lower()] = scope
+            if node.get("temp"):
+                # temp views are session-global and db-independent:
+                # bare-name key only (the db-qualified key would pin
+                # them to whatever database was current at CREATE time)
+                self._views[node["table_parts"][-1].lower()] = scope
+            else:
+                # persistent views live in a database: qualified key
+                # ONLY — a bare-name key would make a same-named TABLE
+                # after `USE other` resolve to this view's stale lineage
+                self._views[dest] = scope
             res.statements.append("CREATEVIEW")
         elif node.cls == "CreateTableLike":
             # CREATE TABLE t LIKE s: schema copy — target is an output,
@@ -633,6 +655,23 @@ class LineageAnalyzer:
                 self._scan_subquery_exprs(node["cond"], res)
                 rendered = render(node["cond"], ctx.make_qualify(self))
                 conditions.add(f"{node['label']}:{rendered}")  # README.md:265-278
+            elif node.get("using") or node.get("natural"):
+                # USING/NATURAL joins have no condition() — the keys
+                # live in the join type.  Render the implied equality
+                # with each side qualified in ITS OWN context (the
+                # merged ctx would &-join both tables for the shared
+                # name).  NATURAL keys are the common column names; if
+                # either side is opaque to the metastore the tag
+                # degrades to the keyword instead of vanishing.
+                keys = node.get("using") or self._common_columns(left, right)
+                lq, rq = left.make_qualify(self), right.make_qualify(self)
+                rendered = "natural"
+                for c in keys:
+                    eq = f"{lq([c.lower()])} = {rq([c.lower()])}"
+                    rendered = (
+                        eq if rendered == "natural" else f"({rendered} and {eq})"
+                    )
+                conditions.add(f"{node['label']}:{rendered}")
             return ctx
         if node.cls in ("Project", "Aggregate", "Union", "Having", "Sort"):
             scope = self._walk_query(node, conditions, res)
@@ -664,6 +703,32 @@ class LineageAnalyzer:
             return FromCtx([(alias or simple, SubScope(view))])
         res.input_tables.add(qname)
         return FromCtx([(alias, BaseTable(qname, simple))])
+
+    def _common_columns(self, left: FromCtx, right: FromCtx) -> list[str]:
+        """NATURAL-join key discovery: column names present on both
+        sides, in left-side order.  Base tables answer through the
+        metastore; an unknown table makes its side opaque and the
+        result empty (the caller degrades the tag, it never guesses)."""
+
+        def side(ctx: FromCtx) -> list[str] | None:
+            out: list[str] = []
+            for _, s in ctx.sources:
+                if isinstance(s, SubScope):
+                    names = [c.name.lower() for c in s.scope.cols if c.name]
+                else:
+                    cols = self.metastore.columns(s.qname)
+                    if cols is None:
+                        return None
+                    names = [c.lower() for c in cols]
+                for n in names:
+                    if n not in out:
+                        out.append(n)
+            return out
+
+        lcols, rcols = side(left), side(right)
+        if lcols is None or rcols is None:
+            return []
+        return [c for c in lcols if c in rcols]
 
     def _scan_subquery_exprs(
         self, expr: Node, res: LineageResult

@@ -42,6 +42,11 @@ class LineageError(Exception):
 # a real column name defeats _merge_union's first-non-literal-alias rule
 _NUMERIC_RE = re.compile(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
 
+# Catalyst's Origin for InSubquery spans only the keyword(s) + subquery
+# (`IN (SELECT …)` / `NOT IN (SELECT …)`), never the probed value —
+# strip the prefix so the probed column can be re-attached, qualified.
+_IN_PREFIX_RE = re.compile(r"^\s*(?:not\s+)?in\s*", re.IGNORECASE)
+
 
 def not_normal_col(name: str | None) -> bool:
     """A 'column' that is really a literal — number or quoted string
@@ -97,6 +102,11 @@ def render(node: Node, qualify: Qualify, simple: bool = False) -> str:
         if child.cls == "BinOp" and child["op"] == "=":
             l, r = child.children
             return f"{render(l, qualify)} <> {render(r, qualify)}"
+        if child.cls == "SubqueryExpr" and child.children:
+            # NOT IN (subquery): the child's own src slice already
+            # starts with `NOT IN`, so `not {src}` would double the
+            # keyword (`not NOT IN …`)
+            return _render_in_subquery(child, qualify, negated=True)
         return f"not {render(child, qualify)}"
     if cls == "Unary":
         return f"{node['op']}{render(node.children[0], qualify)}"
@@ -136,11 +146,33 @@ def render(node: Node, qualify: Qualify, simple: bool = False) -> str:
         return f"{node['name']}({args})"
     if cls in ("Alias", "UnresolvedAlias"):
         return render(node.children[0], qualify, simple)
+    if cls == "SubqueryExpr":
+        if node.children:  # IN (subquery): children are the probed values
+            return _render_in_subquery(node, qualify, negated=False)
+        # scalar / EXISTS subquery: the origin slice is the whole
+        # expression as written (`(SELECT max(x) FROM t2)`)
+        return node.src if node.src is not None else "subquery"
     # Opaque / unknown: prefer the exact source slice.
     if node.src is not None:
         return node.src
     inner = ",".join(render(c, qualify) for c in node.children)
     return f"{node.get('cls', cls)}({inner})"
+
+
+def _render_in_subquery(node: Node, qualify: Qualify, negated: bool) -> str:
+    """``x in (SELECT …)`` with the probed value(s) qualified — the
+    value children are preserved by jbridge's InSubquery case; the
+    subquery body comes from the origin slice with its leading
+    ``[NOT] IN`` stripped (Catalyst's slice never covers the value)."""
+    vals = ",".join(render(c, qualify) for c in node.children)
+    if len(node.children) > 1:
+        vals = f"({vals})"
+    body = (
+        _IN_PREFIX_RE.sub("", node.src, count=1)
+        if node.src is not None
+        else "(subquery)"
+    )
+    return f"{vals} {'not in' if negated else 'in'} {body}"
 
 
 def extract_sources(node: Node, qualify: Qualify) -> list[str]:

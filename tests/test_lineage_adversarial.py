@@ -24,6 +24,7 @@ def analyzer(spark):
     ms = DictMetastore(
         {
             "db.src": ["a", "b", "m", "k"],
+            "db.src2": ["k", "z"],
             "db.dest": ["x"],
             "db.t2": ["c", "d"],
         }
@@ -138,3 +139,143 @@ def test_validate_flags_unknown_table(analyzer):
         "use db;insert into table dest select a from no_such_table"
     )
     assert res.input_tables == {"db.no_such_table"}
+
+
+def test_in_subquery_condition_renders_probed_column(analyzer):
+    """IN (subquery) predicates: Catalyst's origin slice spans only
+    `IN (SELECT …)`, never the probed value — the WHERE: tag must
+    re-attach the qualified probed column, and the subquery still
+    registers as an input table (NOTES round-13 deferred item e)."""
+    res = analyzer.analyze(
+        "use db;insert into table dest select a from src "
+        "where k in (select c from t2)"
+    )
+    assert res.input_tables == {"db.src", "db.t2"}
+    (line,) = res.col_lines
+    assert set(line.conditions) == {
+        "WHERE:db.src.k in (select c from t2)"
+    }
+
+
+def test_not_in_subquery_renders_single_not(analyzer):
+    """NOT IN (subquery): the InSubquery origin slice already starts
+    with `NOT IN`, so the old Opaque fallback rendered `not NOT IN …`
+    with no probed column."""
+    res = analyzer.analyze(
+        "use db;insert into table dest select a from src "
+        "where k not in (select c from t2)"
+    )
+    (line,) = res.col_lines
+    assert set(line.conditions) == {
+        "WHERE:db.src.k not in (select c from t2)"
+    }
+
+
+def test_multi_value_in_subquery_renders_tuple(analyzer):
+    """(a,b) IN (SELECT …) keeps every probed column, parenthesized."""
+    res = analyzer.analyze(
+        "use db;insert into table dest select a from src "
+        "where (a, b) in (select c, d from t2)"
+    )
+    (line,) = res.col_lines
+    assert set(line.conditions) == {
+        "WHERE:(db.src.a,db.src.b) in (select c, d from t2)"
+    }
+
+
+def test_using_join_emits_condition_tag(analyzer):
+    """JOIN … USING (k): the keys live in the join TYPE (Catalyst
+    UsingJoin), condition() is undefined — the tag must render the
+    implied equality with each side qualified in its own context
+    (NOTES round-13 deferred item d)."""
+    res = analyzer.analyze(
+        "use db;insert into table dest "
+        "select src.a from src join t2 using (k)"
+    )
+    (line,) = res.col_lines
+    assert set(line.conditions) == {"JOIN:db.src.k = db.t2.k"}
+
+    res = analyzer.analyze(
+        "use db;insert into table dest "
+        "select src.a from src left join t2 using (k, b)"
+    )
+    (line,) = res.col_lines
+    assert set(line.conditions) == {
+        "LEFTOUTERJOIN:(db.src.k = db.t2.k and db.src.b = db.t2.b)"
+    }
+
+
+def test_natural_join_derives_keys_from_metastore(analyzer):
+    """NATURAL JOIN: common columns come from the metastore (db.src
+    and db.t2 share no columns here, so join dest2 which shares k) —
+    and when either side is unknown the tag degrades to the keyword
+    instead of vanishing."""
+    res = analyzer.analyze(
+        "use db;insert into table dest "
+        "select src.a from src natural join src2"
+    )
+    (line,) = res.col_lines
+    assert set(line.conditions) == {"JOIN:db.src.k = db.src2.k"}
+
+    res = analyzer.analyze(
+        "use db;insert into table dest "
+        "select src.a from src natural left join unknown_tbl"
+    )
+    (line,) = res.col_lines
+    assert set(line.conditions) == {"LEFTOUTERJOIN:natural"}
+
+
+def test_struct_field_through_alias_resolves_column(analyzer):
+    """`t.addr.city` through a FROM alias is a struct FIELD access —
+    provenance is the COLUMN (db.src.m), with the field path kept on
+    the rendered name; the old code treated any 3-part attribute as
+    db.table.col and produced garbage `t.addr.city` provenance plus a
+    bogus validation binding (NOTES round-13 deferred item c)."""
+    res = analyzer.analyze(
+        "use db;insert into table dest select t.m.city from src t "
+        "where t.m.zip = '10' "
+    )
+    (line,) = res.col_lines
+    assert line.from_names == ("db.src.m.city",)
+    assert set(line.conditions) == {"WHERE:db.src.m.zip = '10'"}
+    # the validation binding is the real column, so validate passes
+    analyzer.analyze(
+        "use db;insert into table dest select t.m.city from src t",
+        validate=True,
+    )
+
+
+def test_view_does_not_shadow_table_after_use(analyzer):
+    """CREATE VIEW in db then USE other: a same-named TABLE in the new
+    database must NOT resolve to the stale view's lineage (the old
+    bare-name registration did exactly that); the view still resolves
+    by bare name in its own db and by qualified name from anywhere
+    (NOTES round-13 deferred item b)."""
+    res = analyzer.analyze(
+        "use db;create view v as select a from src;"
+        "insert into table dest select a from v;"
+        "use other;insert into table dest select x from v"
+    )
+    by_stmt = res.col_lines
+    # statement 2: v resolves to the view -> src.a provenance
+    assert by_stmt[1].from_names == ("db.src.a",)
+    # statement 3: other.v is a base table, not the stale view
+    assert by_stmt[2].from_names == ("other.v.x",)
+    assert "other.v" in res.input_tables
+
+    # qualified reference still reaches the view from the other db
+    res = analyzer.analyze(
+        "use db;create view v as select a from src;"
+        "use other;insert into table dest select a from db.v"
+    )
+    assert res.col_lines[-1].from_names == ("db.src.a",)
+
+
+def test_temp_view_resolves_across_use(analyzer):
+    """Temp views are session-global and db-independent: the bare name
+    keeps resolving after USE other."""
+    res = analyzer.analyze(
+        "use db;create temporary view tv as select a from src;"
+        "use other;insert into table dest select a from tv"
+    )
+    assert res.col_lines[-1].from_names == ("db.src.a",)

@@ -163,3 +163,70 @@ def test_run_script_validate_precheck(sess, spark):
         validate=True,
     )
     assert [r.ip for r in results[-1].df.collect()] == ["a"]
+
+
+def test_exec_split_quote_aware(sess, spark):
+    """A ';' inside a string literal must not split the EXECUTION
+    plane's statements (the analysis plane keeps the reference's regex
+    split, README.md:746) — previously this hard-failed run_script
+    with a ParseException on the fragment (NOTES round-13 item e)."""
+    sess.run_script(
+        """
+        USE appx;
+        CREATE TABLE src (ip STRING, name STRING, age INT) USING parquet;
+        INSERT INTO src VALUES ('a;b','x;--y',1), ('c','z',2)
+        """
+    )
+    rows = sess.run(
+        "SELECT name FROM src WHERE ip = 'a;b' ORDER BY name"
+    ).collect()
+    assert [r.name for r in rows] == ["x;--y"]
+    # a backslash-escaped ';' inside quotes reaches Spark intact, which
+    # unescapes it itself (same result as the old split+unescape path)
+    rows = sess.run(
+        r"SELECT name FROM src WHERE ip = 'a\;b' ORDER BY name"
+    ).collect()
+    assert [r.name for r in rows] == ["x;--y"]
+    # comments hide ';' too; backticks survive
+    out = sess.run_script(
+        "SELECT `name` FROM src -- trailing; comment\n WHERE age = 2;\n"
+        "/* block; comment */ SELECT count(*) AS n FROM src"
+    )
+    assert len(out) == 2
+    assert [r.name for r in out[0].df.collect()] == ["z"]
+    assert out[1].df.collect()[0].n == 2
+
+
+def test_exec_split_units():
+    """split_statements_exec corner shapes, no Spark needed."""
+    from hadoop__spark.scripting import split_statements_exec
+
+    assert split_statements_exec("select 'a;b'; select 1") == [
+        "select 'a;b'",
+        "select 1",
+    ]
+    assert split_statements_exec('select ";" ; select 2') == [
+        'select ";"',
+        "select 2",
+    ]
+    assert split_statements_exec("select `we;ird` from t") == [
+        "select `we;ird` from t"
+    ]
+    assert split_statements_exec("select 1 -- c;omment\n; select 2") == [
+        "select 1 -- c;omment",
+        "select 2",
+    ]
+    assert split_statements_exec("select 1 /* a;b */; select 2") == [
+        "select 1 /* a;b */",
+        "select 2",
+    ]
+    # escaped quote inside a string does not end it
+    assert split_statements_exec(r"select 'a\';b'; select 3") == [
+        r"select 'a\';b'",
+        "select 3",
+    ]
+    # legacy top-level escape unescapes, like the analysis plane
+    assert split_statements_exec(r"select 'x\;y'") == [r"select 'x\;y'"]
+    assert split_statements_exec(r"a \; b; c") == ["a ; b", "c"]
+    # trailing semicolon / empty statements drop
+    assert split_statements_exec("select 1; ;\n;") == ["select 1"]
