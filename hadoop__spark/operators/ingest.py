@@ -2446,7 +2446,10 @@ def _compact_state_locked(
     ``fsck=False`` skips the fsck-first pass when the composing verb
     already ran it under the same hold; ``skip_ivf=True`` skips the
     IVF rewrite when a just-finished refit already rewrote the index
-    one-file-per-bucket)."""
+    in :func:`_compact_ivf_assigned`'s exact layout — one file per
+    bucket, id-sorted within buckets (``ivf_write_index`` sorts within
+    partitions), so re-compacting it in the same window would double
+    the window's table I/O to produce byte-equivalent row groups)."""
     from hadoop__spark.sources.io import compact_parquet
 
     done: dict[str, int] = {}
@@ -2954,8 +2957,12 @@ def maintain_state(
     ``advice["ivf_bucket_skew"]`` and, when the max/mean bucket-row
     ratio exceeds ``refit_skew`` (the summary's
     ``refit_recommended`` threshold), runs the centroid re-fit inside
-    this window — after which the compact step skips the IVF table
-    (the refit already rewrote it bucket-clustered).  Default
+    this window — after which the compact step skips the IVF table:
+    the refit's own write IS the compacted layout (one file per
+    bucket, id-sorted within buckets — ``ivf_write_index`` mirrors
+    :func:`_compact_ivf_assigned`'s sort), so the window leaves the
+    index exactly as a compact would without paying a second
+    full-table rewrite right after the refit's.  Default
     ``"off"``: a refit is heavier than a coalesce+compact and swaps
     the index layout mid-stream, so it stays opt-in.
 

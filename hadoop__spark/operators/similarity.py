@@ -381,11 +381,21 @@ def ivf_write_index(
     promises at 100 TB: each centroid bucket is a Hive-style partition
     directory, and a query touching nprobe buckets reads exactly those
     directories and nothing else.
+
+    Rows are sorted within each bucket by ``id_col`` — the exact layout
+    ``ingest._compact_ivf_assigned`` produces — so a fresh write (or a
+    maintenance-window re-fit, which calls this) needs NO follow-up
+    compaction for retraction's pushed-IN row-group pruning to work:
+    the partitioned writer demands task rows clustered by the partition
+    column anyway (it inserts its own order-destroying sort when they
+    are not), so leading with ``centroid_id`` makes the id order reach
+    the row groups at zero extra cost.
     """
     cents = ivf_fit_centroids(corpus, nlist, vec_col, seed)
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
     (
         assigned.repartition("centroid_id")
+        .sortWithinPartitions("centroid_id", id_col)
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/assigned")
@@ -437,6 +447,7 @@ def ivf_append_index(
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
     (
         assigned.repartition("centroid_id")
+        .sortWithinPartitions("centroid_id", id_col)
         .write.mode("append")
         .partitionBy("centroid_id")
         .parquet(f"{path}/assigned")

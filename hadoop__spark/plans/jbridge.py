@@ -480,16 +480,31 @@ def convert_expr(jexpr, sql: str) -> Node:
 
     if cls in ("ScalarSubquery", "Exists", "ListQuery", "LateralSubquery"):
         # expression-level subquery: keep the inner plan so the walker
-        # can register its input tables (beyond the reference's Q3)
+        # can register its input tables (beyond the reference's Q3).
+        # The EXPRESSION origin is unreliable here — Exists spans
+        # `NOT EXISTS (…)` under a NOT and the WHOLE statement when
+        # bare — but the inner PLAN's origin is the exact subquery
+        # text in every case; carry it for the renderer.
+        jinner = jexpr.plan()
         return Node(
-            "SubqueryExpr", {"plan": convert_plan(jexpr.plan(), sql)}, src=src
+            "SubqueryExpr",
+            {
+                "plan": convert_plan(jinner, sql),
+                "kind": cls,
+                "plan_src": _src_of(jinner, sql),
+            },
+            src=src,
         )
     if cls == "InSubquery":
         values = [convert_expr(v, sql) for v in _seq(jexpr.values())]
-        inner = convert_expr(jexpr.query(), sql)  # ListQuery
+        jinner = jexpr.query().plan()  # ListQuery's inner plan
         return Node(
             "SubqueryExpr",
-            {"plan": inner.get("plan")},
+            {
+                "plan": convert_plan(jinner, sql),
+                "kind": cls,
+                "plan_src": _src_of(jinner, sql),
+            },
             values,
             src=src,
         )

@@ -42,10 +42,6 @@ class LineageError(Exception):
 # a real column name defeats _merge_union's first-non-literal-alias rule
 _NUMERIC_RE = re.compile(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
 
-# Catalyst's Origin for InSubquery spans only the keyword(s) + subquery
-# (`IN (SELECT …)` / `NOT IN (SELECT …)`), never the probed value —
-# strip the prefix so the probed column can be re-attached, qualified.
-_IN_PREFIX_RE = re.compile(r"^\s*(?:not\s+)?in\s*", re.IGNORECASE)
 
 
 def not_normal_col(name: str | None) -> bool:
@@ -149,9 +145,17 @@ def render(node: Node, qualify: Qualify, simple: bool = False) -> str:
     if cls == "SubqueryExpr":
         if node.children:  # IN (subquery): children are the probed values
             return _render_in_subquery(node, qualify, negated=False)
-        # scalar / EXISTS subquery: the origin slice is the whole
-        # expression as written (`(SELECT max(x) FROM t2)`)
-        return node.src if node.src is not None else "subquery"
+        if node.get("kind") == "Exists":
+            # the Exists EXPRESSION origin spans `NOT EXISTS (…)` under
+            # a NOT (→ `not NOT EXISTS …` through the src fallback) and
+            # the whole statement when bare — the inner plan's slice is
+            # the reliable text
+            return f"exists ({_subquery_body(node)})"
+        # scalar subquery: the origin slice is the whole expression as
+        # written (`(SELECT max(x) FROM t2)`)
+        if node.src is not None:
+            return node.src
+        return f"({_subquery_body(node)})"
     # Opaque / unknown: prefer the exact source slice.
     if node.src is not None:
         return node.src
@@ -159,20 +163,23 @@ def render(node: Node, qualify: Qualify, simple: bool = False) -> str:
     return f"{node.get('cls', cls)}({inner})"
 
 
+def _subquery_body(node: Node) -> str:
+    """The subquery's exact source text, from the inner plan's origin
+    (jbridge ``plan_src``)."""
+    return node.get("plan_src") or "subquery"
+
+
 def _render_in_subquery(node: Node, qualify: Qualify, negated: bool) -> str:
     """``x in (SELECT …)`` with the probed value(s) qualified — the
-    value children are preserved by jbridge's InSubquery case; the
-    subquery body comes from the origin slice with its leading
-    ``[NOT] IN`` stripped (Catalyst's slice never covers the value)."""
+    value children are preserved by jbridge's InSubquery case
+    (Catalyst's InSubquery origin slice never covers the value and
+    swallows a wrapping NOT, so the src fallback rendered
+    ``not NOT IN (…)`` with no probed column)."""
     vals = ",".join(render(c, qualify) for c in node.children)
     if len(node.children) > 1:
         vals = f"({vals})"
-    body = (
-        _IN_PREFIX_RE.sub("", node.src, count=1)
-        if node.src is not None
-        else "(subquery)"
-    )
-    return f"{vals} {'not in' if negated else 'in'} {body}"
+    kw = "not in" if negated else "in"
+    return f"{vals} {kw} ({_subquery_body(node)})"
 
 
 def extract_sources(node: Node, qualify: Qualify) -> list[str]:

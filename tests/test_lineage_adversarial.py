@@ -279,3 +279,27 @@ def test_temp_view_resolves_across_use(analyzer):
         "use other;insert into table dest select a from tv"
     )
     assert res.col_lines[-1].from_names == ("db.src.a",)
+
+
+def test_exists_subquery_renders_once(analyzer):
+    """EXISTS predicates: Catalyst's Exists origin spans `NOT EXISTS
+    (…)` under a NOT (the src fallback doubled the keyword) and the
+    WHOLE statement when bare (the tag quoted the outer query) — the
+    inner plan's origin slice is the reliable subquery text."""
+    res = analyzer.analyze(
+        "use db;insert into table dest select a from src "
+        "where not exists (select 1 from t2 where t2.c = src.k)"
+    )
+    (line,) = res.col_lines
+    assert set(line.conditions) == {
+        "WHERE:not exists (select 1 from t2 where t2.c = src.k)"
+    }
+    res = analyzer.analyze(
+        "use db;insert into table dest select a from src "
+        "where exists (select 1 from t2 where t2.c = src.k)"
+    )
+    (line,) = res.col_lines
+    assert set(line.conditions) == {
+        "WHERE:exists (select 1 from t2 where t2.c = src.k)"
+    }
+    assert res.input_tables == {"db.src", "db.t2"}
