@@ -343,6 +343,29 @@ class LineageAnalyzer:
         self._ctes = {}
         self._cur_res = res  # for expression-subquery input scanning
 
+        if node.cls == "With" and node.children and (
+            node.children[0].cls == "InsertIntoStatement"
+            or (
+                node.children[0].cls == "Union"
+                and all(
+                    c.cls == "InsertIntoStatement"
+                    for c in node.children[0].children
+                )
+            )
+        ):
+            # WITH wrapping a SINK statement (`WITH w AS (…) INSERT …`
+            # parses as With(InsertIntoStatement)): hoist — register
+            # the CTE scopes for this statement, then dispatch on the
+            # wrapped statement, or the INSERT would fall through to
+            # the bare-SELECT branch and lose its destination.  CTAS/
+            # CREATE VIEW put the With inside their query child, so
+            # only INSERT (and multi-insert) need this.
+            for name, cte_query in node["ctes"]:
+                self._ctes[name.lower()] = self._walk_query(
+                    cte_query, conditions, res
+                )
+            node = node.children[0]
+
         if node.cls == "Use":
             parts = node["parts"]
             if parts:
@@ -356,7 +379,9 @@ class LineageAnalyzer:
             # each branch gets its own condition set (cleaner than the
             # reference's shared statement-wide accumulator)
             for branch in node.children:
-                branch_conditions: set[str] = set()
+                # seeded with the statement-level set: a hoisted WITH's
+                # CTE-internal conditions apply to every branch
+                branch_conditions: set[str] = set(conditions)
                 dest = self._fill_parts(branch["table_parts"])
                 res.output_tables.add(dest)
                 scope = self._walk_query(
@@ -433,6 +458,7 @@ class LineageAnalyzer:
                 res.output_tables.add(dest)
             qualify = ctx.make_qualify(self)
             if node.get("cond") is not None:
+                self._scan_subquery_exprs(node["cond"], res)
                 conditions.add(f"WHERE:{render(node['cond'], qualify)}")
             for key, value in node.get("assignments") or []:
                 col = (
@@ -465,6 +491,7 @@ class LineageAnalyzer:
             res.output_tables.add(dest)
             ctx = FromCtx(tgt_ctx.sources + src_ctx.sources)
             qualify = ctx.make_qualify(self)
+            self._scan_subquery_exprs(node["cond"], res)
             conditions.add(f"MERGE:{render(node['cond'], qualify)}")
             merged: dict[str, list[str]] = {}
             for action in node["actions"]:
@@ -579,6 +606,9 @@ class LineageAnalyzer:
             inner = self._walk_query(node.children[0], conditions, res)
             ctx = FromCtx([(None, SubScope(inner))])
             tag = "HAVING" if node.cls == "Having" else "WHERE"
+            # register subquery input tables (`HAVING k IN (SELECT …)`);
+            # predicate position, so the returned sources are ignored
+            self._scan_subquery_exprs(node["cond"], res)
             conditions.add(
                 f"{tag}:{render(node['cond'], ctx.make_qualify(self))}"
             )
@@ -750,6 +780,18 @@ class LineageAnalyzer:
         while stack:
             n = stack.pop()
             if not isinstance(n, Node):
+                continue
+            if n.cls == "CaseWhen":
+                # the reference's CASE rule (README.md:368-383): WHEN
+                # predicates gate rows, only THEN/ELSE values are
+                # lineage sources — a subquery inside a WHEN predicate
+                # registers its input tables (recursive register-only
+                # call, return discarded) but must not feed the item
+                for cond_, val in n["branches"]:
+                    self._scan_subquery_exprs(cond_, res)
+                    stack.append(val)
+                if n["else"] is not None:
+                    stack.append(n["else"])
                 continue
             if n.cls == "SubqueryExpr":
                 plan = n.get("plan")

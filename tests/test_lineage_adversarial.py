@@ -303,3 +303,69 @@ def test_exists_subquery_renders_once(analyzer):
         "WHERE:exists (select 1 from t2 where t2.c = src.k)"
     }
     assert res.input_tables == {"db.src", "db.t2"}
+
+
+def test_with_wrapped_insert_keeps_sink(analyzer):
+    """`WITH w AS (…) INSERT INTO …` parses as With(InsertInto…) —
+    the statement dispatch hoists the CTEs and keeps the sink (it
+    used to fall through to the bare-SELECT branch, losing the
+    destination and all column edges)."""
+    res = analyzer.analyze(
+        "use db;with w as (select a, b from src where b > 1) "
+        "insert into table dest select a from w"
+    )
+    assert res.output_tables == {"db.dest"}
+    assert res.input_tables == {"db.src"}
+    assert res.statements == ["USE", "INSERT"]
+    (line,) = res.col_lines
+    assert line.from_names == ("db.src.a",)
+    assert line.to_name == "db.dest.x"
+    assert set(line.conditions) == {"WHERE:db.src.b > 1"}
+
+    # multi-insert under a WITH keeps every branch's sink
+    res = analyzer.analyze(
+        "use db;with w as (select a, b from src) "
+        "from w "
+        "insert into table dest select a "
+        "insert into table t2 select a, b"
+    )
+    assert res.output_tables == {"db.dest", "db.t2"}
+    assert res.statements[-1] == "MULTIINSERT"
+    assert [l.from_names for l in res.col_lines] == [
+        ("db.src.a",), ("db.src.a",), ("db.src.b",)
+    ]
+
+
+def test_having_subquery_registers_inputs(analyzer):
+    """`HAVING k IN (SELECT …)` registers the subquery's input table
+    (the Having branch never scanned its condition for subqueries)."""
+    res = analyzer.analyze(
+        "use db;insert into table dest select k from src "
+        "group by k having k in (select c from t2)"
+    )
+    assert res.input_tables == {"db.src", "db.t2"}
+    (line,) = res.col_lines
+    assert "HAVING:db.src.k in (select c from t2)" in line.conditions
+
+
+def test_case_when_predicate_subquery_is_not_a_source(analyzer):
+    """A subquery inside a WHEN predicate gates rows — it registers
+    its input table but does NOT feed the item's sources (the
+    reference's CASE rule: only THEN/ELSE values are lineage
+    sources); a subquery in VALUE position (boolean expression as the
+    selected value) still does."""
+    res = analyzer.analyze(
+        "use db;insert into table dest select "
+        "case when a in (select c from t2) then k else a end from src"
+    )
+    (line,) = res.col_lines
+    assert sorted(line.from_names) == ["db.src.a", "db.src.k"]
+    assert res.input_tables == {"db.src", "db.t2"}
+
+    # value position: the boolean derives from the subquery's column
+    res = analyzer.analyze(
+        "use db;insert into table dest "
+        "select a in (select c from t2) from src"
+    )
+    (line,) = res.col_lines
+    assert sorted(line.from_names) == ["db.src.a", "db.t2.c"]
