@@ -343,8 +343,12 @@ class LineageAnalyzer:
         self._ctes = {}
         self._cur_res = res  # for expression-subquery input scanning
 
+        _SINKS = (
+            "InsertIntoStatement", "InsertIntoDir",
+            "UpdateTable", "DeleteFromTable", "MergeIntoTable",
+        )
         if node.cls == "With" and node.children and (
-            node.children[0].cls == "InsertIntoStatement"
+            node.children[0].cls in _SINKS
             or (
                 node.children[0].cls == "Union"
                 and all(
@@ -354,12 +358,13 @@ class LineageAnalyzer:
             )
         ):
             # WITH wrapping a SINK statement (`WITH w AS (…) INSERT …`
-            # parses as With(InsertIntoStatement)): hoist — register
-            # the CTE scopes for this statement, then dispatch on the
-            # wrapped statement, or the INSERT would fall through to
-            # the bare-SELECT branch and lose its destination.  CTAS/
-            # CREATE VIEW put the With inside their query child, so
-            # only INSERT (and multi-insert) need this.
+            # parses as With(InsertIntoStatement); likewise directory
+            # inserts, UPDATE/DELETE/MERGE): hoist — register the CTE
+            # scopes for this statement, then dispatch on the wrapped
+            # statement, or it would fall through to the bare-SELECT
+            # branch and lose its destination.  CTAS/CREATE VIEW put
+            # the With inside their query child, so they never arrive
+            # wrapped.
             for name, cte_query in node["ctes"]:
                 self._ctes[name.lower()] = self._walk_query(
                     cte_query, conditions, res

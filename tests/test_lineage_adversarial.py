@@ -369,3 +369,24 @@ def test_case_when_predicate_subquery_is_not_a_source(analyzer):
     )
     (line,) = res.col_lines
     assert sorted(line.from_names) == ["db.src.a", "db.t2.c"]
+
+
+def test_with_wrapped_dir_insert_and_update(analyzer):
+    """The WITH hoist covers every sink-statement class Spark wraps:
+    directory inserts and UPDATE (whose IN-subquery probes a CTE)."""
+    res = analyzer.analyze(
+        "use db;with w as (select a from src) "
+        "insert overwrite directory '/tmp/out' select a from w"
+    )
+    assert res.output_tables == {"/tmp/out"}
+    assert res.input_tables == {"db.src"}
+    (line,) = res.col_lines
+    assert line.from_names == ("db.src.a",)
+
+    res = analyzer.analyze(
+        "use db;with w as (select a from src) "
+        "update t2 set d = 1 where c in (select a from w)"
+    )
+    assert res.output_tables == {"db.t2"}
+    assert res.input_tables == {"db.src", "db.t2"}
+    assert res.statements[-1] == "UPDATE"
