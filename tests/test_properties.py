@@ -733,3 +733,53 @@ def test_retract_fast_equals_rebuild_any_subset(spark, texts, data):
         assert admitted[a] == admitted[b]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_STMT_FRAGMENT = st.lists(
+    st.one_of(
+        # no bare "-", "/", "*" (adjacent fragments could combine
+        # into a comment opener that swallows the joining ";") and no
+        # bare "\\" (the legacy escape's left-to-right consumption
+        # can't be modelled by a post-hoc replace — its exact
+        # semantics are pinned by test_exec_split_units instead):
+        # the comment/string BUILDERS cover those states with
+        # balanced bodies
+        st.sampled_from(["select ", "a", "b2", " from ", "t", " where ", "=",
+                         "1", " ", ",", "(", ")"]),
+        # quoted strings whose BODY may contain every splitter hazard
+        st.builds(
+            lambda q, body: q + body.replace("\\", "").replace(q, "") + q,
+            st.sampled_from(["'", '"', "`"]),
+            st.text(
+                alphabet=";'\"`-/* ab\\\n", min_size=0, max_size=12
+            ),
+        ),
+        # comments that swallow ';' to end-of-line / end-of-block
+        st.builds(
+            lambda body: "-- " + body.replace("\n", " ") + "\n",
+            st.text(alphabet="; ab*/", min_size=0, max_size=8),
+        ),
+        st.builds(
+            lambda body: "/* " + body.replace("*/", "") + " */",
+            st.text(alphabet="; ab'\"-\n", min_size=0, max_size=8),
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+).map("".join)
+
+
+@given(stmts=st.lists(_STMT_FRAGMENT, min_size=1, max_size=5))
+@settings(max_examples=120, deadline=None)
+def test_exec_split_roundtrips_generated_statements(stmts):
+    """Property: joining statements with ';' and re-splitting with the
+    quote-aware exec splitter recovers exactly the non-blank
+    statements (whitespace-stripped) — for ANY statement bodies whose
+    quotes/comments are internally balanced, including ';' inside
+    strings and comments and escaped quotes.  Backslash-escape
+    semantics (including the left-to-right '\\;' consumption order)
+    are pinned separately by test_exec_split_units."""
+    from hadoop__spark.scripting import split_statements_exec
+
+    out = split_statements_exec(";".join(stmts))
+    assert out == [s.strip() for s in stmts if s.strip()]
