@@ -783,3 +783,26 @@ def test_exec_split_roundtrips_generated_statements(stmts):
 
     out = split_statements_exec(";".join(stmts))
     assert out == [s.strip() for s in stmts if s.strip()]
+
+
+@given(
+    stmts=st.lists(
+        st.text(
+            alphabet="select abt12,()=.* \n", min_size=1, max_size=40
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_exec_split_agrees_with_analysis_split_on_common_surface(stmts):
+    """On scripts with no quotes, comments, or backslashes — the
+    entire surface the reference's regex split was designed for — the
+    quote-aware exec splitter and the pinned analysis-plane splitter
+    must return IDENTICAL statement lists (the exec plane is a
+    superset, never a divergence)."""
+    from hadoop__spark.plans.lineage import split_statements
+    from hadoop__spark.scripting import split_statements_exec
+
+    script = ";".join(stmts)
+    assert split_statements_exec(script) == split_statements(script)
