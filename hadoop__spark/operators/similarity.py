@@ -43,6 +43,18 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Measured dead end, kept as a note (round 14): unrolling the fold
+# into a flat `a[0]*b[0] + … + a[63]*b[63]` expression tree — guarded
+# by size() checks with the fold as fallback, values bit-identical —
+# was 4-8× SLOWER than the fold at every pair count tried.  The pair
+# projection behind the non-equi self-joins is not whole-stage
+# code-generated, so the flat tree is evaluated by the recursive
+# interpreter (boxing per node), while the higher-order fold runs one
+# specialized loop per row.  The wins that stuck instead: spread the
+# input before the quadratic stage and hoist the norms out of it
+# (below / dedup.embedding_dedup_pairs).
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,14 +69,23 @@ def cosine_topk(
     engines that evaluate the same expression tree (verified against
     DuckDB's list_sum), so ranking with the neighbor id as tiebreak is
     fully deterministic.
+
+    Each side's norm is hoisted out of the pair loop: |Q|+|C| norm
+    folds instead of 2·|Q|·|C| (a vector's norm is the same double
+    wherever it is computed, so the cosine value is unchanged — the
+    pair stage pays one fold, not three).
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
         )
     )
     c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     sims = (
         c.crossJoin(q)
@@ -72,7 +93,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine"),
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -392,7 +416,10 @@ def ivf_write_index(
     the row groups at zero extra cost.
     """
     cents = ivf_fit_centroids(corpus, nlist, vec_col, seed)
-    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    # fit on the raw frame (sampling is partition-layout-sensitive),
+    # assign on the spread frame: nlist folds per row on one core
+    # otherwise serializes a single-row-group input (no-op at scale)
+    assigned = ivf_assign(ensure_parallelism(corpus), cents, vec_col, id_col)
     (
         assigned.repartition("centroid_id")
         .sortWithinPartitions("centroid_id", id_col)
@@ -444,7 +471,7 @@ def ivf_append_index(
         corpus = corpus.withColumn(
             vec_col, F.col(vec_col).cast(stored_type)
         )
-    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    assigned = ivf_assign(ensure_parallelism(corpus), cents, vec_col, id_col)
     (
         assigned.repartition("centroid_id")
         .sortWithinPartitions("centroid_id", id_col)
@@ -577,7 +604,9 @@ def ivf_topk(
     ``centroid_id`` so query-time probing is a partition-pruned scan.
     """
     cents = ivf_fit_centroids(corpus, nlist, vec_col, seed)
-    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    # fit on the raw frame, assign on the spread one (see
+    # ivf_write_index — the fit's sample is partition-layout-sensitive)
+    assigned = ivf_assign(ensure_parallelism(corpus), cents, vec_col, id_col)
     cent_arr = collect_centroid_array(cents)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     q_buckets = q.select(
