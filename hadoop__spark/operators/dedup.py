@@ -785,8 +785,19 @@ def ngram_jaccard_pairs(
     is also the right heuristic for unseen shingles), so a df table
     from an earlier corpus snapshot stays exact, just marginally less
     selective.
+
+    The shingle frame is persisted (same strategy decision as
+    :func:`minhash_lsh_pairs` — see its docstring): it feeds the
+    inverted index (document frequencies + the prefix ranking) AND
+    both sides of the exact verify join, so the lazy plan re-ran the
+    corpus normalize+shingle projection four times (r15 before-plan:
+    13 parquet scans of the corpus, 32 Exchanges).
     """
-    sh = shingle_frame(df, text_col, id_col, n)
+    sh = _register_probe_cache(
+        shingle_frame(df, text_col, id_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     if not prefix_filter:
         sizes = sh.select("_id", F.size("_sh").alias("_n"))
         inv = sh.select("_id", F.explode("_sh").alias("_s"))
@@ -1590,11 +1601,25 @@ def dedup_clusters(
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    # Both edge directions from ONE pass over ``pairs`` (explode of a
+    # two-struct array), not a self-union: union's two branches each
+    # re-run the caller's whole pair pipeline — for dd08 that was the
+    # entire candidate-generation + verify join graph executed twice
+    # before the checkpoint below ever materialized it.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.src", "_e.dst")
         .distinct()
     )
     # Materialize the edge list ONCE: every propagation round joins
@@ -1662,8 +1687,16 @@ def dedup_clusters(
             .withColumn("_chg", (F.col("label") != F.col("_old")).cast("long"))
             .drop("_old")
         )
+        # LAZY local checkpoint: the convergence aggregate right below
+        # is the round's materializing action, so lineage truncation
+        # and block caching piggyback on it — one Spark job per round
+        # instead of two (eager checkpoint + aggregate).  The reliable
+        # mode stays eager: ``checkpoint(eager=False)`` recomputes the
+        # whole round when the first action fires (Spark's documented
+        # persist-before-checkpoint caveat), which would double, not
+        # halve, the per-round work.
         new_labels = (
-            new_labels.localCheckpoint(eager=True)
+            new_labels.localCheckpoint(eager=False)
             if checkpoint_dir is None
             else new_labels.checkpoint(eager=True)
         )

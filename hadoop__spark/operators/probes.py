@@ -277,18 +277,28 @@ def _pp01(spark, sf_dir):
     a bare ``Window.orderBy`` would funnel the corpus through one
     task.
 
-    Scale note (visible in PLANS.md as 6 pushed-filter scans): the
-    lazy composition re-derives the decontaminated frame for each
-    consumer (quality scoring + dedup).  At 100 TB each stage boundary
-    is a materialized table (write clean → read clean), which this
-    probe deliberately does not do at gate scale — the oracle checks
-    the composed semantics, not the staging."""
+    Scale note (r15): the decontaminated frame feeds TWO consumers
+    (quality scoring + dedup), and the lazy composition re-derived it
+    — the full contaminate-join subtree included — for each (r14
+    before-plan: 6 pushed-filter corpus scans, 70 Exchanges).  It is
+    now persisted inside the operator run (MEMORY_AND_DISK, lineage
+    kept — the same strategy as ``dedup.minhash_lsh_pairs``; at
+    100 TB this stage boundary becomes a materialized table, write
+    clean → read clean).  The persist is physical only: the oracle
+    checks the composed semantics, which are unchanged."""
+    from pyspark.storagelevel import StorageLevel
+
     from hadoop__spark.operators import corpus
+    from hadoop__spark.operators.dedup import _register_probe_cache
     from hadoop__spark.operators.util import global_running_sum
 
     docs = _docs(spark, sf_dir)
     bench = docs.where(F.col("doc_id") % 17 == 0)
-    clean = corpus.decontaminate(docs, bench)
+    clean = _register_probe_cache(
+        corpus.decontaminate(docs, bench).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     scored = text.quality_score(clean).select(
         "doc_id", "n_tokens", "quality_score"
     )

@@ -605,9 +605,18 @@ def ivf_topk(
     """
     cents = ivf_fit_centroids(corpus, nlist, vec_col, seed)
     # fit on the raw frame, assign on the spread one (see
-    # ivf_write_index — the fit's sample is partition-layout-sensitive)
-    assigned = ivf_assign(ensure_parallelism(corpus), cents, vec_col, id_col)
+    # ivf_write_index — the fit's sample is partition-layout-sensitive).
+    # The centroid literal is built ONCE and shared by the corpus
+    # assignment and the query-side probe selection: ivf_assign would
+    # re-collect the centroid frame for an identical expression (one
+    # redundant driver job per call).
     cent_arr = collect_centroid_array(cents)
+    best = F.element_at(
+        nearest_centroids(F.col(vec_col), cent_arr, 1, cosine_sim), 1
+    )
+    assigned = ensure_parallelism(corpus).select(
+        id_col, vec_col, best["cid"].alias("centroid_id")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     q_buckets = q.select(
         "query_id",

@@ -119,8 +119,20 @@ def global_running_sum(
     and the local windows honor the same composite order, so
     descending / multi-key prefix sums (quality-ordered token budgets)
     use the identical distributed shape.
+
+    The partition-local frame is persisted: it feeds BOTH the offset
+    aggregation and the final join, and without materialization the
+    lazy composition re-ran the caller's entire upstream pipeline (in
+    pp01: the full decontaminate→score→dedup join graph) twice — one
+    of the two full passes the r15 before-plans show.  persist (not
+    localCheckpoint) for the same recomputability/dynamic-allocation
+    reasons documented in ``dedup.minhash_lsh_pairs``; registered in
+    the probe-cache ledger so long-lived ingest sessions release it.
     """
     from pyspark.sql import Window, functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from hadoop__spark.operators.dedup import _register_probe_cache
 
     spark = df.sparkSession
     if num_partitions is None:
@@ -137,7 +149,11 @@ def global_running_sum(
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    local = _register_probe_cache(
+        ranged.withColumn(
+            "_local_cum", F.sum(value_col).over(w_local)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -38,11 +38,17 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def get_spark(app_name: str = "hadoop__spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "hadoop__spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     Honors ``SPARK_GRAFT_CPUS`` for the local core count.  All configs
     are cluster-safe: on a real deployment only ``master`` changes.
+    ``extra_conf`` lets tooling (e.g. the profiler) set start-time-only
+    configs such as ``spark.ui.retainedJobs``.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -60,6 +66,8 @@ def get_spark(app_name: str = "hadoop__spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

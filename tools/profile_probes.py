@@ -1,11 +1,16 @@
 #!/usr/bin/env python
-"""Per-probe optimization profiler (round 14).
+"""Per-probe optimization profiler (rounds 14-15).
 
 For each requested probe: run it to completion through the noop sink
 ``--reps`` times inside one session, record every rep's seconds plus
 min/median, count the Spark jobs the rep submitted (job-group scoped),
 and optionally dump the formatted physical plan to
-``plans/r14/<probe>_<tag>.txt``.
+``plans/<round>/<probe>_<tag>.txt``.
+
+Job counts come from ``sc.statusTracker().getJobIdsForGroup()``, which
+only sees jobs retained by the UI listener (``spark.ui.retainedJobs``,
+default 1000) — the session below raises it to 100000 so long
+many-probe profiling runs don't silently undercount early reps.
 
 Unlike bench.py (the driver contract: one cold + one warm pass), this
 is the measurement harness the optimization loop uses: min-of-N is
@@ -41,8 +46,9 @@ def main() -> None:
     ap.add_argument(
         "--plans",
         metavar="TAG",
-        help="dump plans/r14/<probe>_<TAG>.txt for each probe",
+        help="dump plans/<round>/<probe>_<TAG>.txt for each probe",
     )
+    ap.add_argument("--round", default="r15", help="plans/ subdir")
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
@@ -54,8 +60,16 @@ def main() -> None:
     if not names:
         ap.error("no probes given")
 
-    spark = get_spark("hadoop__spark-profile")
     probes = probe_map()
+    unknown = [n for n in names if n not in probes]
+    if unknown:
+        ap.error(
+            f"unknown probes: {unknown}; known: {sorted(probes)}"
+        )
+    spark = get_spark(
+        "hadoop__spark-profile",
+        extra_conf={"spark.ui.retainedJobs": "100000"},
+    )
     register_views(spark, args.sf_dir)
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()  # warm-up
 
@@ -63,7 +77,7 @@ def main() -> None:
     plan_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        args.round,
     )
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
