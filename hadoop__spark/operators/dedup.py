@@ -162,9 +162,20 @@ def shingle_frame(
     pass at sf0.1 and no slower warm.  Rows with no shingles (NULL
     text) are dropped; token-LESS rows shingle as their raw text
     (see :func:`_shingles_with_fallback`).
+
+    The no-shingle drop is expressed as ``text IS NOT NULL`` on the
+    BASE column, not ``size(_sh) > 0`` on the derived one: the two are
+    equivalent (for non-null text the token branch always yields ≥ 1
+    shingle and the fallback branch keys on the non-null raw text;
+    for NULL text the fallback filters to an empty array), but a
+    filter on the derived column is pushed below the projection with
+    the whole shingle expression re-inlined into the Filter — every
+    row paid normalize+tokenize+shingle TWICE (measured ~2× on this
+    stage at sf0.1, the dominant stage of dd03/dd04/dd05), while the
+    base-column form is a free parquet pushed filter.
     """
     return (
-        ensure_parallelism(df)
+        ensure_parallelism(df.where(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col).alias("_id"),
             F.col(text_col).alias("_txt"),
@@ -176,7 +187,6 @@ def shingle_frame(
                 "_sh"
             ),
         )
-        .where(F.size("_sh") > 0)
     )
 
 
@@ -1552,8 +1562,20 @@ def embedding_dedup_pairs(
     # broadcast self-join's parallelism is the stream side's partition
     # count, and a single-row-group file otherwise serializes every
     # pair fold onto one core (no-op at real scale — see
-    # util.ensure_parallelism)
-    e = ensure_parallelism(e).withColumn("_nrm", _norm(F.col("_v")))
+    # util.ensure_parallelism).
+    #
+    # The hoisted norm is wrapped in coalesce(..., 0.0) to make the
+    # expression non-nullable: the cosine>=threshold join condition is
+    # null-intolerant, so Catalyst infers an isnotnull(_nrm) constraint
+    # per side and pushes it below this projection with the WHOLE norm
+    # fold re-inlined into the Filter — each side paid the fold twice
+    # (r15 dd06 before-plan, Filter nodes (2)/(7)).  Values are
+    # unchanged: _nrm is null only for a null vector / null element,
+    # where the dot fold is also null, so the pair's cosine stays null
+    # and the threshold drops it exactly as the inferred filter did.
+    e = ensure_parallelism(e).withColumn(
+        "_nrm", F.coalesce(_norm(F.col("_v")), F.lit(0.0))
+    )
     pairs = (
         e.alias("a")
         .join(e.alias("b"), F.col("a._id") < F.col("b._id"))
