@@ -985,6 +985,13 @@ def contamination_report(
     """
     from hadoop__spark.operators.dedup import shingle_frame
 
+    # explode_outer on both shingle frames: row-identical to explode
+    # (shingle_frame guarantees non-null, non-empty arrays of non-null
+    # shingles) but skips InferFiltersFromGenerate's size(_sh)>0
+    # filter, which plain explode pushes below the shingle projection
+    # with the whole normalize+shingle tree re-inlined — these frames
+    # have no persist boundary, so every corpus/benchmark row paid the
+    # pipeline's dominant expression twice (r15 pp01 before-plan).
     bench_sh = (
         shingle_frame(
             benchmark,
@@ -992,7 +999,7 @@ def contamination_report(
             bench_id_col or id_col,
             n,
         )
-        .select(F.explode("_sh").alias("_s"))
+        .select(F.explode_outer("_sh").alias("_s"))
         # empty- or WHITESPACE-only benchmark rows shingle as their
         # raw text (the fallback of dedup._shingles_with_fallback) —
         # content-free strings with nothing to leak: left in, one such
@@ -1008,7 +1015,7 @@ def contamination_report(
     )
     c = shingle_frame(df, text_col, id_col, n)
     exploded = c.select(
-        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+        "_id", F.size("_sh").alias("_n"), F.explode_outer("_sh").alias("_s")
     )
     return (
         exploded.join(F.broadcast(bench_sh), "_s", "left")

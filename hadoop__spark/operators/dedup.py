@@ -1160,8 +1160,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: in
     UDF.
     """
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    # explode_outer, not explode: shingle_frame guarantees a non-null,
+    # non-empty array of non-null shingles per row, so the two are
+    # row-identical here — but plain explode makes
+    # InferFiltersFromGenerate add a size(_sh)>0 filter that is pushed
+    # below the shingle projection with the WHOLE normalize+shingle
+    # tree re-inlined (the same duplication shingle_frame's own filter
+    # had; unlike dd03/dd04 this chain has no persist boundary to
+    # absorb it).
     exploded = shingle_frame(df, text_col, id_col, n).select(
-        "_id", F.explode("_sh").alias("_s")
+        "_id", F.explode_outer("_sh").alias("_s")
     ).select("_id", F.xxhash64("_s").alias("_h"))
     counted = exploded.groupBy("_id").agg(
         F.count("*").alias("_n"),
