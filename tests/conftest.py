@@ -6,8 +6,43 @@ import duckdb
 import pytest
 
 from hadoop__spark.session import TABLES, get_spark
+from tests.slow_manifest import SLOW_TESTS
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run the multi-minute rehearsal/lifecycle tests "
+        "(tests/slow_manifest.py)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute rehearsal/lifecycle test, skipped unless "
+        "--runslow is given (see tests/slow_manifest.py)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip the measured-slow tests by default so the driver-facing
+    ``pytest tests/`` run completes inside the driver's window (the
+    full suite is ~66 min; the default subset is ~9 min).  The full
+    surface stays runnable on demand: ``pytest tests/ --runslow``."""
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow: run with --runslow")
+    for item in items:
+        # rootdir-independent base id: manifest keys are
+        # "tests/<file>::<function>" regardless of invocation cwd
+        base = f"tests/{item.path.name}::{item.name.split('[')[0]}"
+        if base in SLOW_TESTS or "slow" in item.keywords:
+            item.add_marker(skip_slow)
 
 
 @pytest.fixture(scope="session")

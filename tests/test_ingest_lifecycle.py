@@ -1307,6 +1307,11 @@ def test_release_probe_caches_scoped_to_session(spark, tmp_path):
 
     from hadoop__spark.operators import dedup
 
+    # drain registrations earlier tests left in this shared session
+    # (r15: ngram/prefix-sum operators register too) so the exact
+    # per-session counts below test THIS test's frames only
+    dedup.release_probe_caches()
+
     other = spark.newSession()
     a = dedup._register_probe_cache(
         spark.range(5).persist(StorageLevel.MEMORY_AND_DISK)
