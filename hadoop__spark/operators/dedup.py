@@ -963,8 +963,14 @@ def ngram_write_index(
             .write.mode("overwrite")
             .parquet(f"{path}/prefix")
         )
-        df.sparkSession.createDataFrame(
-            [(float(threshold), int(n))], "threshold DOUBLE, n INT"
+        # Arrow-built local frame — see util.local_frame: the pickled
+        # default made this one-row coalesce(1) write cost ~5 s
+        from hadoop__spark.operators.util import local_frame
+
+        local_frame(
+            df.sparkSession,
+            [(float(threshold), int(n))],
+            "threshold DOUBLE, n INT",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     finally:
         sh.unpersist()

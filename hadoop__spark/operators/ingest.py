@@ -260,8 +260,12 @@ _POLICY_ENFORCED = (
 
 
 def _write_policy(spark, state_dir: str, pol: dict) -> None:
-    spark.createDataFrame(
-        [tuple(pol.get(f) for f in _POLICY_FIELDS)], _POLICY_SCHEMA
+    # Arrow-built local frame — see util.local_frame: the pickled
+    # default made this one-row coalesce(1) write cost ~5 s per state
+    from hadoop__spark.operators.util import local_frame
+
+    local_frame(
+        spark, [tuple(pol.get(f) for f in _POLICY_FIELDS)], _POLICY_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/policy")
 
 

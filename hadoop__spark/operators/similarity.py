@@ -180,7 +180,17 @@ def ivf_fit_centroids(
     X = np.array(sdf.toPandas()["_v"].tolist(), dtype=np.float64)
     centers = _kmeans_numpy(X, nlist, seed)
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    from hadoop__spark.operators.util import local_frame
+
+    # Arrow-built local frame: the pickled-slice default made every
+    # coalesce(1) write / collect of this tiny table pay serialized
+    # python-worker startups (see util.local_frame; ~5 s per
+    # ivf_write_index centroid write at local[32], the largest single
+    # cost of the persisted-index lifecycle).  Values are unchanged
+    # (float64 is exact through Arrow) — pinned ann02/ann03/dd07
+    # oracles re-verified.
+    return local_frame(
+        spark,
         [(i, c.tolist()) for i, c in enumerate(centers)],
         "centroid_id INT, centroid ARRAY<DOUBLE>",
     )

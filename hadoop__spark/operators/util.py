@@ -79,6 +79,33 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df
 
 
+def local_frame(spark, rows, schema) -> DataFrame:
+    """Tiny driver-built DataFrame via the pandas/Arrow path.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` PICKLED python slices, so the usual
+    ``coalesce(1)`` single-file write of such a frame runs every
+    slice's python-worker startup serially inside ONE task — measured
+    4.5–7 s per 8-row write at local[32], and it was the hidden bulk
+    of ``ivf_write_index`` (centroid table), the ngram index ``meta``
+    write and the per-state ingest ``policy`` write.  The Arrow route
+    ships one JVM-side batch: no python workers at execution, same
+    values (float64/int64 are exact through Arrow), measured ~0.2 s.
+    ``schema`` is a DDL string or StructType and is applied verbatim;
+    columns are named before conversion so the match is by name.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows], columns=st.fieldNames()
+    )
+    return spark.createDataFrame(pdf, st)
+
+
 def table_exists(spark, path: str) -> bool:
     """True when ``path`` exists on the session's Hadoop filesystem
     (local paths, HDFS and object stores alike) — an explicit

@@ -38,10 +38,12 @@ def pytest_collection_modifyitems(config, items):
         return
     skip_slow = pytest.mark.skip(reason="slow: run with --runslow")
     for item in items:
-        # rootdir-independent base id: manifest keys are
-        # "tests/<file>::<function>" regardless of invocation cwd
-        base = f"tests/{item.path.name}::{item.name.split('[')[0]}"
-        if base in SLOW_TESTS or "slow" in item.keywords:
+        # rootdir-independent EXACT id: manifest keys are
+        # "tests/<file>::<function>[param]" regardless of invocation
+        # cwd; parametrized variants are gated individually so fast
+        # variants stay in the default run
+        nodeid = f"tests/{item.path.name}::{item.name}"
+        if nodeid in SLOW_TESTS or "slow" in item.keywords:
             item.add_marker(skip_slow)
 
 
